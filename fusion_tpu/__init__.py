@@ -1,0 +1,26 @@
+"""fusion_tpu — a TPU-native hybrid retrieval framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+maastrichtlawtech/fusion reference (see SURVEY.md): five retrieval systems
+(BM25, DPR, SPLADE, ColBERT, monoBERT) plus rank fusion (Borda / RRF /
+normalized convex score fusion), training (InfoNCE, MarginMSE, KLD, FLOPS
+regularizers; AdamW / Adafactor / Shampoo), hard-negative mining, and a
+vectorized IR evaluation suite.
+
+Design principles (TPU-first, not a port):
+  * ranked lists are fixed-shape ``(ids int32[Q,K], scores f32[Q,K])`` device
+    arrays end-to-end — never Python list-of-dicts;
+  * all corpus-scale scoring runs on device: BM25 as a gathered
+    impact-segment-sum / blocked SpMM, dense retrieval as tiled MXU matmul with
+    streaming top-k, ColBERT late interaction as a MaxSim kernel;
+  * one metrics implementation (the reference has three);
+  * parallelism via a ``jax.sharding.Mesh`` with axes ``('data', 'index')``:
+    training shards the batch over ``data``; serving shards the corpus over
+    ``index`` with per-shard top-k and an all-gather merge.
+"""
+
+__version__ = "0.1.0"
+
+from fusion_tpu.core.ranked import RankedLists, PAD_ID
+
+__all__ = ["RankedLists", "PAD_ID", "__version__"]

@@ -1,0 +1,3 @@
+from fusion_tpu.models.bm25 import BM25Index
+
+__all__ = ["BM25Index"]

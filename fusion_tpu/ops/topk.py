@@ -1,0 +1,67 @@
+"""Streaming top-k over blocked score computation.
+
+The reference holds per-query heaps on the host and merges 50k-doc chunks of
+GPU scores through them (src/utils/sentence_transformers.py:334-367,
+src/retrievers/splade/base.py:223-243).  On TPU the merge lives on device:
+each score block produces a local top-k, which is merged into a running
+(scores, ids) state with one ``lax.top_k`` over the concatenation — the whole
+corpus scan is a single ``lax.scan`` under jit, so no host sync per chunk.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from fusion_tpu.core.ranked import RankedLists
+
+
+def merge_topk(
+    acc_scores: jax.Array,
+    acc_ids: jax.Array,
+    blk_scores: jax.Array,
+    blk_ids: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Merge a block's scores into the running top-k.
+
+    acc_scores/acc_ids: [Q, K]; blk_scores/blk_ids: [Q, B].  Returns new
+    [Q, K] state.  Ties keep the accumulator entry (stable across blocks).
+    """
+    k = acc_scores.shape[-1]
+    cat_scores = jnp.concatenate([acc_scores, blk_scores], axis=-1)
+    cat_ids = jnp.concatenate([acc_ids, blk_ids], axis=-1)
+    top_scores, top_pos = jax.lax.top_k(cat_scores, k)
+    top_ids = jnp.take_along_axis(cat_ids, top_pos, axis=-1)
+    return top_scores, top_ids
+
+
+def blockwise_topk(
+    score_block: Callable[[jax.Array], tuple[jax.Array, jax.Array]],
+    num_blocks: int,
+    num_queries: int,
+    k: int,
+) -> RankedLists:
+    """Scan ``num_blocks`` score blocks and keep a running top-k.
+
+    ``score_block(block_idx)`` must return ``(scores [Q, B], ids [Q, B])``
+    for that block (ids are global corpus indices; masked slots should carry
+    ``-inf`` scores).  The scan is jit-compatible: fixed shapes, no host
+    round-trips.
+    """
+    init = (
+        jnp.full((num_queries, k), -jnp.inf, dtype=jnp.float32),
+        jnp.full((num_queries, k), -1, dtype=jnp.int32),
+    )
+
+    def body(carry, block_idx):
+        acc_scores, acc_ids = carry
+        blk_scores, blk_ids = score_block(block_idx)
+        new_scores, new_ids = merge_topk(
+            acc_scores, acc_ids, blk_scores.astype(jnp.float32), blk_ids.astype(jnp.int32)
+        )
+        return (new_scores, new_ids), None
+
+    (scores, ids), _ = jax.lax.scan(body, init, jnp.arange(num_blocks))
+    return RankedLists(ids=ids, scores=scores)
