@@ -1,0 +1,146 @@
+"""BM25 / TF-IDF / ATIRE scoring parity.
+
+The oracle computes Okapi BM25 per the published formula (the same one the
+reference implements, src/retrievers/bm25.py:145-156): tf/df/idf from plain
+dict counting, score summed per query token. Both device paths (gather and
+blocked-matmul) must reproduce it to float tolerance and agree on rankings.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from fusion_tpu.core.ranked import PAD_ID
+from fusion_tpu.models.bm25 import BM25Index
+
+CORPUS = [
+    "le chat noir dort sur le tapis",
+    "le chien aboie dans le jardin",
+    "un chat et un chien jouent ensemble",
+    "la voiture rouge roule vite",
+    "le tapis rouge du salon",
+    "chat chat chat partout des chats",
+]
+QUERIES = ["chat noir", "chien jardin", "tapis rouge", "avion supersonique", "chat chat"]
+
+
+def oracle_scores(corpus, queries, k1, b, variant="bm25"):
+    docs = [d.split() for d in corpus]
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    df = {}
+    for d in docs:
+        for t in set(d):
+            df[t] = df.get(t, 0) + 1
+
+    def idf(t):
+        if t not in df:
+            return 0.0
+        if variant == "bm25":
+            return math.log10((n - df[t] + 0.5) / (df[t] + 0.5))
+        return math.log10((n + 1) / (df[t] + 1))
+
+    out = np.zeros((len(queries), n))
+    for qi, q in enumerate(queries):
+        for t in q.split():
+            for di, d in enumerate(docs):
+                tf = d.count(t)
+                if variant == "tfidf":
+                    out[qi, di] += tf * idf(t)
+                else:
+                    norm = tf + k1 * (1 - b + b * len(d) / avgdl)
+                    out[qi, di] += idf(t) * tf * (k1 + 1) / norm if norm else 0.0
+    return out
+
+
+@pytest.mark.parametrize("variant", ["bm25", "atire", "tfidf"])
+def test_score_gather_matches_oracle(variant):
+    k1, b = 1.5, 0.75
+    idx = BM25Index.build(CORPUS, k1=k1, b=b, variant=variant)
+    expected = oracle_scores(CORPUS, QUERIES, k1, b, variant)
+    q_terms, q_weights = idx.encode_queries(QUERIES)
+    import jax.numpy as jnp
+
+    got = np.asarray(idx.score_gather(q_terms, q_weights, jnp.float32(k1), jnp.float32(b)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_matmul_path_matches_gather():
+    idx = BM25Index.build(CORPUS, k1=2.5, b=0.2)
+    import jax.numpy as jnp
+
+    q_terms, q_weights = idx.encode_queries(QUERIES)
+    k1, b = jnp.float32(2.5), jnp.float32(0.2)
+    dense = np.asarray(idx.score_gather(q_terms, q_weights, k1, b))
+    blocked = np.asarray(idx.score_matmul(q_terms, q_weights, k1, b, doc_block=4))
+    np.testing.assert_allclose(blocked, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_topk_matches_full_sort():
+    idx = BM25Index.build(CORPUS, k1=2.5, b=0.2)
+    import jax.numpy as jnp
+
+    q_terms, q_weights = idx.encode_queries(QUERIES)
+    k1, b = jnp.float32(2.5), jnp.float32(0.2)
+    full = np.asarray(idx.score_gather(q_terms, q_weights, k1, b))
+    ranked = idx.score_matmul(q_terms, q_weights, k1, b, doc_block=4, top_k=3)
+    for qi in range(len(QUERIES)):
+        expect_scores = np.sort(full[qi])[::-1][:3]
+        np.testing.assert_allclose(np.asarray(ranked.scores[qi]), expect_scores, rtol=1e-5)
+
+
+def test_search_all_ranking_and_update_params():
+    idx = BM25Index.build(CORPUS, k1=1.5, b=0.75)
+    ranked = idx.search_all(QUERIES, top_k=3)
+    assert ranked.ids.shape == (len(QUERIES), 3)
+    # 'chat noir' should top-rank doc 0 (only doc with both terms)
+    assert int(ranked.ids[0, 0]) == 0
+    # 'chien jardin' -> doc 1
+    assert int(ranked.ids[1, 0]) == 1
+    # OOV-only query scores 0 everywhere
+    assert float(ranked.scores[3].max()) == pytest.approx(0.0)
+
+    # grid-tuning path: update params, scores must change accordingly
+    idx.update_params(k1=0.5, b=0.9)
+    expected = oracle_scores(CORPUS, QUERIES, 0.5, 0.9)
+    ranked2 = idx.search_all(QUERIES, top_k=6)
+    row = np.asarray(ranked2.scores[0])
+    np.testing.assert_allclose(np.sort(row)[::-1], np.sort(expected[0])[::-1], rtol=1e-5, atol=1e-6)
+
+
+def test_save_load_roundtrip(tmp_path):
+    idx = BM25Index.build(CORPUS, k1=2.5, b=0.2)
+    idx.save(str(tmp_path))
+    idx2 = BM25Index.load(str(tmp_path))
+    r1 = idx.search_all(QUERIES, top_k=4)
+    r2 = idx2.search_all(QUERIES, top_k=4)
+    np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
+    np.testing.assert_allclose(np.asarray(r1.scores), np.asarray(r2.scores), rtol=1e-6)
+
+
+def test_negatives_extraction():
+    idx = BM25Index.build(CORPUS, k1=2.5, b=0.2)
+    ranked = idx.search_all(QUERIES[:2], top_k=6)
+    negs = idx.extract_negatives(ranked, positives=[[0], [1]], num_negatives=3)
+    assert 0 not in negs[0] and len(negs[0]) == 3
+    assert 1 not in negs[1] and len(negs[1]) == 3
+
+
+def test_preprocessor_pipeline():
+    from fusion_tpu.data.preprocessor import TextPreprocessor
+
+    prep = TextPreprocessor(spacy_model=None)
+    out = prep.preprocess(["Les chats noirs, 42 fois!", "La voiture ROUGE."])
+    assert "42" not in out[0]
+    assert "," not in out[0]
+    # stopwords stripped
+    assert not any(w in out[0].split() for w in ("les", "la"))
+    assert "rouge" in out[1]
+
+
+def test_empty_query_and_padding():
+    idx = BM25Index.build(CORPUS)
+    ranked = idx.search_all([""], top_k=2)
+    assert ranked.ids.shape == (1, 2)
+    assert (np.asarray(ranked.ids) != PAD_ID).all()  # zero scores still rank docs
