@@ -1,0 +1,306 @@
+"""Flax transformer encoder trunk (CamemBERT/RoBERTa-compatible).
+
+One encoder serves all five retrieval systems (the reference wraps four
+separate libraries around the same CamemBERT-base architecture —
+hybrid.py:315-332): DPR pooling, SPLADE MLM activations, ColBERT per-token
+projections, and monoBERT pair classification are thin heads over this trunk
+(see fusion_tpu/models/heads.py).
+
+TPU notes:
+  * compute dtype is a constructor arg (bf16 by default on TPU) with f32
+    params and f32 layernorm/softmax accumulation;
+  * all shapes static; attention is the standard fused-softmax einsum form
+    that XLA maps onto the MXU;
+  * tensor-parallel sharding is applied externally by path-based
+    PartitionSpec rules (fusion_tpu/parallel/sharding.py) — attention heads
+    and the FFN inner dim shard over the 'model' mesh axis.
+
+Weight import: ``load_hf_encoder_params`` converts a HuggingFace
+(camembert/xlm-roberta/bert) checkpoint into this module's parameter tree so
+reference checkpoints can be served directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 32005
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position: int = 514
+    type_vocab_size: int = 1
+    pad_token_id: int = 1
+    mask_token_id: int = 32004
+    layer_norm_eps: float = 1e-5
+    # RoBERTa-style position ids start at pad_token_id + 1
+    position_offset: int = 2
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 128, **kw) -> "EncoderConfig":
+        """Small config for tests/dry-runs."""
+        defaults = dict(
+            vocab_size=vocab_size,
+            hidden_size=32,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=64,
+            max_position=66,
+            pad_token_id=1,
+            mask_token_id=vocab_size - 1,
+            dropout=0.0,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def camembert_base(cls, **kw) -> "EncoderConfig":
+        return cls(**kw)
+
+
+def roberta_position_ids(input_ids: jax.Array, pad_token_id: int) -> jax.Array:
+    """Positions count non-pad tokens, offset past the pad index."""
+    mask = (input_ids != pad_token_id).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=-1) * mask + pad_token_id
+
+
+class Embeddings(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, deterministic=True):
+        c = self.cfg
+        word = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.dtype, name="word")(input_ids)
+        pos_ids = roberta_position_ids(input_ids, c.pad_token_id)
+        pos = nn.Embed(c.max_position, c.hidden_size, dtype=c.dtype, name="position")(pos_ids)
+        tok_type = nn.Embed(c.type_vocab_size, c.hidden_size, dtype=c.dtype, name="token_type")(
+            jnp.zeros_like(input_ids)
+        )
+        x = word + pos + tok_type
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="ln")(x)
+        x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
+        return x.astype(c.dtype)
+
+
+class SelfAttention(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attention_mask, deterministic=True):
+        c = self.cfg
+        head_dim = c.hidden_size // c.num_heads
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            features=(c.num_heads, head_dim), dtype=c.dtype, name=name
+        )
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
+        scale = 1.0 / math.sqrt(head_dim)
+        # [B, H, Tq, Tk] logits in f32 for stable softmax
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+        probs = jax.nn.softmax(logits + bias, axis=-1).astype(c.dtype)
+        probs = nn.Dropout(c.dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = nn.DenseGeneral(c.hidden_size, axis=(-2, -1), dtype=c.dtype, name="out")(ctx)
+        return out
+
+
+class TransformerLayer(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attention_mask, deterministic=True):
+        c = self.cfg
+        attn = SelfAttention(c, name="attention")(x, attention_mask, deterministic)
+        attn = nn.Dropout(c.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attn_ln")(
+            x + attn
+        ).astype(c.dtype)
+        h = nn.Dense(c.intermediate_size, dtype=c.dtype, name="ffn_in")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="ffn_out")(h)
+        h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="ffn_ln")(
+            x + h
+        ).astype(c.dtype)
+        return x
+
+
+class Encoder(nn.Module):
+    """Embedding + N transformer layers → last hidden states."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, deterministic=True):
+        x = Embeddings(self.cfg, name="embeddings")(input_ids, attention_mask, deterministic)
+        for i in range(self.cfg.num_layers):
+            x = TransformerLayer(self.cfg, name=f"layer_{i}")(
+                x, attention_mask, deterministic
+            )
+        return x
+
+
+class MLMHead(nn.Module):
+    """Masked-LM head: dense → gelu → LN → vocab projection (SPLADE input)."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, hidden):
+        c = self.cfg
+        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="transform")(hidden)
+        h = nn.gelu(h, approximate=False)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="ln")(h)
+        logits = nn.Dense(c.vocab_size, dtype=c.dtype, name="decoder")(h.astype(c.dtype))
+        return logits
+
+
+class EncoderWithMLM(nn.Module):
+    """Encoder trunk + MLM head, returning (hidden, logits)."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, deterministic=True):
+        hidden = Encoder(self.cfg, name="encoder")(input_ids, attention_mask, deterministic)
+        logits = MLMHead(self.cfg, name="mlm")(hidden)
+        return hidden, logits
+
+
+# ----------------------------------------------------------------------
+# HF checkpoint import (host-side, torch-cpu → numpy → flax tree)
+# ----------------------------------------------------------------------
+def load_hf_encoder_params(
+    model_name_or_path: str, dtype=jnp.float32
+) -> tuple[EncoderConfig, dict]:
+    """Convert a HuggingFace MaskedLM checkpoint to (config, params).
+
+    Supports roberta/camembert/xlm-roberta and bert naming schemes. Runs on
+    host; requires the checkpoint to be locally cached (zero-egress builds).
+    """
+    from transformers import AutoConfig, AutoModelForMaskedLM
+
+    hf_cfg = AutoConfig.from_pretrained(model_name_or_path)
+    model = AutoModelForMaskedLM.from_pretrained(model_name_or_path)
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    is_roberta = any(k.startswith("roberta.") for k in sd)
+    base = "roberta" if is_roberta else "bert"
+
+    cfg = EncoderConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        max_position=hf_cfg.max_position_embeddings,
+        type_vocab_size=hf_cfg.type_vocab_size,
+        pad_token_id=hf_cfg.pad_token_id if hf_cfg.pad_token_id is not None else 1,
+        mask_token_id=getattr(hf_cfg, "mask_token_id", None) or hf_cfg.vocab_size - 1,
+        layer_norm_eps=hf_cfg.layer_norm_eps,
+        position_offset=2 if is_roberta else 0,
+        dropout=0.0,
+        dtype=dtype,
+    )
+
+    def g(key):
+        return np.asarray(sd[key], dtype=np.float32)
+
+    h, heads = cfg.hidden_size, cfg.num_heads
+    hd = h // heads
+
+    def attn_proj(prefix):
+        kernel = g(f"{prefix}.weight").T.reshape(h, heads, hd)
+        bias = g(f"{prefix}.bias").reshape(heads, hd)
+        return {"kernel": kernel, "bias": bias}
+
+    params: dict = {"encoder": {"embeddings": {}}, "mlm": {}}
+    emb = params["encoder"]["embeddings"]
+    emb["word"] = {"embedding": g(f"{base}.embeddings.word_embeddings.weight")}
+    emb["position"] = {"embedding": g(f"{base}.embeddings.position_embeddings.weight")}
+    emb["token_type"] = {"embedding": g(f"{base}.embeddings.token_type_embeddings.weight")}
+    emb["ln"] = {
+        "scale": g(f"{base}.embeddings.LayerNorm.weight"),
+        "bias": g(f"{base}.embeddings.LayerNorm.bias"),
+    }
+
+    for i in range(cfg.num_layers):
+        lp = f"{base}.encoder.layer.{i}"
+        layer = {
+            "attention": {
+                "query": attn_proj(f"{lp}.attention.self.query"),
+                "key": attn_proj(f"{lp}.attention.self.key"),
+                "value": attn_proj(f"{lp}.attention.self.value"),
+                "out": {
+                    "kernel": g(f"{lp}.attention.output.dense.weight").T.reshape(heads, hd, h),
+                    "bias": g(f"{lp}.attention.output.dense.bias"),
+                },
+            },
+            "attn_ln": {
+                "scale": g(f"{lp}.attention.output.LayerNorm.weight"),
+                "bias": g(f"{lp}.attention.output.LayerNorm.bias"),
+            },
+            "ffn_in": {
+                "kernel": g(f"{lp}.intermediate.dense.weight").T,
+                "bias": g(f"{lp}.intermediate.dense.bias"),
+            },
+            "ffn_out": {
+                "kernel": g(f"{lp}.output.dense.weight").T,
+                "bias": g(f"{lp}.output.dense.bias"),
+            },
+            "ffn_ln": {
+                "scale": g(f"{lp}.output.LayerNorm.weight"),
+                "bias": g(f"{lp}.output.LayerNorm.bias"),
+            },
+        }
+        params["encoder"][f"layer_{i}"] = layer
+
+    head_base = "lm_head" if is_roberta else "cls.predictions"
+    if is_roberta:
+        params["mlm"] = {
+            "transform": {"kernel": g("lm_head.dense.weight").T, "bias": g("lm_head.dense.bias")},
+            "ln": {"scale": g("lm_head.layer_norm.weight"), "bias": g("lm_head.layer_norm.bias")},
+            "decoder": {
+                "kernel": g(f"{base}.embeddings.word_embeddings.weight").T,
+                "bias": g("lm_head.bias") if "lm_head.bias" in sd else g("lm_head.decoder.bias"),
+            },
+        }
+    else:
+        params["mlm"] = {
+            "transform": {
+                "kernel": g(f"{head_base}.transform.dense.weight").T,
+                "bias": g(f"{head_base}.transform.dense.bias"),
+            },
+            "ln": {
+                "scale": g(f"{head_base}.transform.LayerNorm.weight"),
+                "bias": g(f"{head_base}.transform.LayerNorm.bias"),
+            },
+            "decoder": {
+                "kernel": g(f"{base}.embeddings.word_embeddings.weight").T,
+                "bias": g(f"{head_base}.bias"),
+            },
+        }
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return cfg, {"params": params}
+
+
+def init_encoder_params(cfg: EncoderConfig, seed: int = 0, with_mlm: bool = True):
+    """Random-init parameter tree for tests and from-scratch training."""
+    model = EncoderWithMLM(cfg) if with_mlm else Encoder(cfg)
+    dummy = jnp.ones((1, 4), dtype=jnp.int32)
+    mask = jnp.ones((1, 4), dtype=jnp.int32)
+    return model, model.init(jax.random.PRNGKey(seed), dummy, mask, deterministic=True)
