@@ -1,0 +1,84 @@
+"""MaxSim late-interaction: oracle vs XLA vs Pallas (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fusion_tpu.ops.maxsim import maxsim_scores, maxsim_scores_pallas, maxsim_search
+
+
+def oracle_maxsim(q_tokens, q_mask, d_tokens, d_mask):
+    q, lq, _ = q_tokens.shape
+    n, ld, _ = d_tokens.shape
+    out = np.zeros((q, n))
+    for qi in range(q):
+        for ni in range(n):
+            total = 0.0
+            for i in range(lq):
+                if q_mask[qi, i] == 0:
+                    continue
+                sims = [
+                    float(q_tokens[qi, i] @ d_tokens[ni, j])
+                    for j in range(ld)
+                    if d_mask[ni, j] > 0
+                ]
+                total += max(sims) if sims else -1e9
+            out[qi, ni] = total
+    return out
+
+
+@pytest.fixture
+def token_data(rng):
+    q, lq, n, ld, d = 3, 4, 8, 6, 16
+    qt = rng.normal(size=(q, lq, d)).astype(np.float32)
+    qt /= np.linalg.norm(qt, axis=-1, keepdims=True)
+    dt = rng.normal(size=(n, ld, d)).astype(np.float32)
+    dt /= np.linalg.norm(dt, axis=-1, keepdims=True)
+    qm = np.ones((q, lq), dtype=np.float32)
+    qm[0, -1] = 0
+    dm = np.ones((n, ld), dtype=np.float32)
+    dm[1, -2:] = 0
+    dm[4, 1:] = 0
+    return qt, qm, dt, dm
+
+
+def test_xla_matches_oracle(token_data):
+    qt, qm, dt, dm = token_data
+    got = np.asarray(maxsim_scores(jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt), jnp.asarray(dm)))
+    exp = oracle_maxsim(qt, qm, dt, dm)
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_matches_xla(token_data):
+    qt, qm, dt, dm = token_data
+    xla = np.asarray(maxsim_scores(jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt), jnp.asarray(dm)))
+    pls = np.asarray(
+        maxsim_scores_pallas(
+            jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt), jnp.asarray(dm),
+            block_docs=4, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(pls, xla, rtol=1e-4, atol=1e-4)
+
+
+def test_maxsim_search_topk(token_data):
+    qt, qm, dt, dm = token_data
+    full = np.asarray(maxsim_scores(jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt), jnp.asarray(dm)))
+    ranked = maxsim_search(
+        jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt), jnp.asarray(dm), k=3, doc_block=3
+    )
+    for qi in range(qt.shape[0]):
+        exp = np.sort(full[qi])[::-1][:3]
+        np.testing.assert_allclose(np.asarray(ranked.scores[qi]), exp, rtol=1e-4)
+        ids = np.asarray(ranked.ids[qi])
+        assert len(set(ids.tolist())) == 3
+
+
+def test_query_mask_zeroes_contribution(token_data):
+    qt, qm, dt, dm = token_data
+    # zeroing a query token's mask must strictly reduce the masked-token sum
+    s1 = np.asarray(maxsim_scores(jnp.asarray(qt), jnp.asarray(np.ones_like(qm)), jnp.asarray(dt), jnp.asarray(dm)))
+    qm2 = np.ones_like(qm)
+    qm2[:, 0] = 0
+    s2 = np.asarray(maxsim_scores(jnp.asarray(qt), jnp.asarray(qm2), jnp.asarray(dt), jnp.asarray(dm)))
+    assert (s1 != s2).any()
