@@ -1,0 +1,166 @@
+"""monoBERT cross-encoder reranker.
+
+Replaces the reference's ``CrossEncoderCustom`` (sentence_transformers.py:
+498-721): pointwise relevance over (query, document) pairs — sigmoid logit,
+BCE training — used to rerank fused candidate lists (hybrid.py:139-163,
+460-462).  Scoring batches (query, doc) token pairs through one jitted
+forward; reranking is a device top-k over the candidate scores.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fusion_tpu
+from fusion_tpu.core.ranked import RankedLists, ranked_from_scores
+from fusion_tpu.data.tokenization import WordHashTokenizer, pair_encode_simple
+from fusion_tpu.models.encoder import Encoder, EncoderConfig
+from fusion_tpu.models.heads import CrossEncoderHead
+
+CONFIG_FILENAME = "config_fusion_tpu.json"
+
+
+class CrossEncoderModule(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, deterministic=True):
+        hidden = Encoder(self.cfg, name="encoder")(input_ids, attention_mask, deterministic)
+        return CrossEncoderHead(self.cfg, name="head")(hidden)
+
+
+class CrossEncoder:
+    def __init__(
+        self,
+        cfg: EncoderConfig,
+        params: Any = None,
+        tokenizer=None,
+        max_length: int = 256,
+        seed: int = 42,
+    ):
+        self.cfg = cfg
+        self.max_length = max_length
+        self.module = CrossEncoderModule(cfg)
+        if params is None:
+            dummy = jnp.ones((1, 4), dtype=jnp.int32)
+            params = self.module.init(
+                jax.random.PRNGKey(seed), dummy, jnp.ones((1, 4), jnp.int32), deterministic=True
+            )
+        self.params = params
+        self.tokenizer = tokenizer or WordHashTokenizer(vocab_size=cfg.vocab_size)
+        self._score_jit = None
+
+    # functional forward for training steps
+    def score_tokens(self, params, input_ids, attention_mask, train: bool = False):
+        return self.module.apply(params, input_ids, attention_mask, deterministic=not train)
+
+    def _encode_pairs(self, queries: Sequence[str], docs: Sequence[str]):
+        if hasattr(self.tokenizer, "pair"):
+            return self.tokenizer.pair(queries, docs, self.max_length)
+        return pair_encode_simple(self.tokenizer, queries, docs, self.max_length)
+
+    def _get_score_fn(self):
+        if self._score_jit is None:
+            self._score_jit = jax.jit(
+                lambda params, ids, mask: self.score_tokens(params, ids, mask, train=False)
+            )
+        return self._score_jit
+
+    def predict(
+        self, pairs: Sequence[tuple[str, str]], batch_size: int = 64, apply_sigmoid: bool = True
+    ) -> np.ndarray:
+        """Relevance scores for (query, doc) pairs."""
+        fn = self._get_score_fn()
+        out = []
+        for start in range(0, len(pairs), batch_size):
+            chunk = list(pairs[start : start + batch_size])
+            real = len(chunk)
+            while len(chunk) < batch_size and len(pairs) > batch_size:
+                chunk.append(("", ""))
+            ids, mask = self._encode_pairs([q for q, _ in chunk], [d for _, d in chunk])
+            logits = np.asarray(fn(self.params, jnp.asarray(ids), jnp.asarray(mask)))[:real]
+            out.append(logits)
+        logits = np.concatenate(out, axis=0) if out else np.zeros(0, np.float32)
+        if apply_sigmoid:
+            return 1.0 / (1.0 + np.exp(-logits))
+        return logits
+
+    def rank(
+        self, query: str, documents: Sequence[str], top_k: int | None = None, batch_size: int = 64
+    ) -> list[dict]:
+        """Rerank one query's candidates (reference CrossEncoder.rank API)."""
+        scores = self.predict([(query, d) for d in documents], batch_size=batch_size)
+        order = np.argsort(-scores, kind="stable")[: top_k or len(documents)]
+        return [{"corpus_id": int(i), "score": float(scores[i])} for i in order]
+
+    def rerank(
+        self,
+        queries: Sequence[str],
+        candidates: RankedLists,
+        corpus: dict[int, str] | Sequence[str],
+        top_k: int = 100,
+        batch_size: int = 64,
+    ) -> RankedLists:
+        """Rerank the top candidates of each query; fixed-shape in and out.
+
+        Mirrors the hybrid pipeline's rerank stage (hybrid.py:460-462): the
+        fused candidate lists go through the cross-encoder and are re-sorted
+        by its scores.
+        """
+        lookup = corpus if isinstance(corpus, dict) else {i: d for i, d in enumerate(corpus)}
+        k = min(top_k, candidates.depth)
+        ids = np.asarray(candidates.ids)[:, :k]
+        all_scores = np.full(ids.shape, -np.inf, dtype=np.float32)
+        for qi, query in enumerate(queries):
+            docs, cols = [], []
+            for col, cid in enumerate(ids[qi]):
+                if cid < 0:
+                    continue
+                docs.append(lookup.get(int(cid), ""))
+                cols.append(col)
+            if not docs:
+                continue
+            scores = self.predict([(query, d) for d in docs], batch_size=batch_size)
+            all_scores[qi, cols] = scores
+        ranked = ranked_from_scores(jnp.asarray(all_scores), k)
+        # ranked ids are column positions; map back to corpus ids
+        pos = np.asarray(ranked.ids)
+        remapped = np.take_along_axis(ids, np.clip(pos, 0, k - 1), axis=1)
+        remapped = np.where(pos < 0, -1, remapped)
+        return RankedLists(ids=jnp.asarray(remapped), scores=ranked.scores)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        from flax import serialization
+
+        os.makedirs(path, exist_ok=True)
+        config = {
+            "model_type": "crossencoder",
+            "max_length": self.max_length,
+            "encoder": {k: v for k, v in dataclasses.asdict(self.cfg).items() if k != "dtype"},
+            "__version__": {"fusion_tpu": fusion_tpu.__version__, "jax": jax.__version__},
+        }
+        with open(os.path.join(path, CONFIG_FILENAME), "w") as f:
+            json.dump(config, f, indent=2)
+        with open(os.path.join(path, "params.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(self.params))
+
+    @classmethod
+    def load(cls, path: str, tokenizer=None) -> "CrossEncoder":
+        from flax import serialization
+
+        with open(os.path.join(path, CONFIG_FILENAME)) as f:
+            config = json.load(f)
+        cfg = EncoderConfig(**config["encoder"])
+        model = cls(cfg, tokenizer=tokenizer, max_length=config["max_length"])
+        with open(os.path.join(path, "params.msgpack"), "rb") as f:
+            model.params = serialization.from_bytes(model.params, f.read())
+        return model

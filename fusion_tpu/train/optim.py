@@ -1,0 +1,281 @@
+"""Optimizers: AdamW, Adafactor, and a TPU-native blocked Shampoo.
+
+The reference surfaces {AdamW, Adafactor, Shampoo} in every trainer CLI
+(single_dense_biencoder.py:121 etc.) and carries a Google-reference Shampoo
+port (src/utils/optim.py:337-507: block partitioning at 128, SGD/AdaGrad
+grafting, Nesterov momentum, coupled-Newton inverse p-th roots).
+
+This module re-designs Shampoo as a vectorized optax transformation:
+
+  * every parameter is viewed as a 2-D matrix (higher ranks collapse trailing
+    dims; vectors precondition on their single axis) and tiled into
+    ``block_size`` × ``block_size`` blocks — all blocks of a parameter are
+    stacked so statistics, roots, and preconditioning run as ONE batched
+    einsum / vmapped eigh per parameter instead of per-block Python loops;
+  * inverse 4th/2nd roots via symmetric eigendecomposition (vmapped
+    ``eigh`` — simpler and more numerically robust on TPU f32 than coupled
+    Newton iterations);
+  * AdaGrad grafting: the preconditioned direction is rescaled to the
+    per-block norm of a diagonal-AdaGrad step, preserving Shampoo's geometry
+    with AdaGrad's step size;
+  * roots are recomputed every ``precondition_every`` steps under
+    ``lax.cond`` (fixed-shape, jit-safe).
+
+AdamW keeps the reference's eps=1e-7 / no-decay-on-bias-and-LayerNorm
+grouping (splade.py:179-190).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ----------------------------------------------------------------------
+# AdamW / Adafactor with the reference's parameter grouping
+# ----------------------------------------------------------------------
+def _no_decay_mask(params) -> Any:
+    """True where weight decay applies: skip biases and LayerNorm params."""
+
+    def flag(path, _):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        is_norm = any(("ln" == k or "LayerNorm" in k or "norm" in k.lower()) for k in keys)
+        is_bias = keys and keys[-1] in ("bias", "scale")
+        return not (is_norm or is_bias)
+
+    return jax.tree_util.tree_map_with_path(flag, params)
+
+
+def adamw(
+    learning_rate,
+    weight_decay: float = 0.01,
+    eps: float = 1e-7,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    params=None,
+) -> optax.GradientTransformation:
+    mask = _no_decay_mask(params) if params is not None else None
+    return optax.adamw(
+        learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, mask=mask
+    )
+
+
+def adafactor(learning_rate, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    # reference config: clip_threshold 1.0, no relative step / param scaling
+    # (splade.py:188)
+    return optax.adafactor(
+        learning_rate=learning_rate,
+        multiply_by_parameter_scale=False,
+        clipping_threshold=1.0,
+        weight_decay_rate=weight_decay or None,
+    )
+
+
+# ----------------------------------------------------------------------
+# blocked Shampoo
+# ----------------------------------------------------------------------
+class _ShampooParamState(NamedTuple):
+    stats_l: jax.Array  # [nb, bs, bs] left Gram statistics
+    stats_r: jax.Array  # [nb, bs, bs] right Gram statistics
+    root_l: jax.Array  # [nb, bs, bs] L^{-1/4}
+    root_r: jax.Array  # [nb, bs, bs] R^{-1/4}
+    adagrad: jax.Array  # diag grafting accumulator, original shape
+    momentum: jax.Array  # original shape
+
+
+class ShampooState(NamedTuple):
+    count: jax.Array
+    per_param: Any
+
+
+def _as_matrix(x: jax.Array) -> tuple[jax.Array, tuple]:
+    """View a param as 2-D: vectors become [1, n], rank>2 collapses tails."""
+    if x.ndim == 0:
+        return x.reshape(1, 1), x.shape
+    if x.ndim == 1:
+        return x.reshape(1, -1), x.shape
+    if x.ndim == 2:
+        return x, x.shape
+    return x.reshape(x.shape[0], -1), x.shape
+
+
+def _block_pad(m: jax.Array, bs: int) -> tuple[jax.Array, tuple[int, int]]:
+    """Pad a matrix so both dims divide bs, return padded + original dims."""
+    r, c = m.shape
+    rp = (-r) % bs
+    cp = (-c) % bs
+    return jnp.pad(m, ((0, rp), (0, cp))), (r, c)
+
+
+def _to_blocks(m: jax.Array, bs: int) -> jax.Array:
+    """[R, C] (padded) → [nb, bs, bs] stacked tiles."""
+    r, c = m.shape
+    return (
+        m.reshape(r // bs, bs, c // bs, bs).transpose(0, 2, 1, 3).reshape(-1, bs, bs)
+    )
+
+
+def _from_blocks(blocks: jax.Array, shape_padded: tuple[int, int], bs: int) -> jax.Array:
+    r, c = shape_padded
+    return (
+        blocks.reshape(r // bs, c // bs, bs, bs).transpose(0, 2, 1, 3).reshape(r, c)
+    )
+
+
+def _inv_pth_root(mats: jax.Array, p: int, eps: float) -> jax.Array:
+    """Batched symmetric inverse p-th root via eigh: M^{-1/p}."""
+    bs = mats.shape[-1]
+    eye = jnp.eye(bs, dtype=mats.dtype)
+
+    def one(m):
+        # normalize for conditioning, eigh in f32
+        w, v = jnp.linalg.eigh(m + eps * eye)
+        w = jnp.maximum(w, eps)
+        return (v * (w ** (-1.0 / p))[None, :]) @ v.T
+
+    return jax.vmap(one)(mats)
+
+
+def shampoo(
+    learning_rate,
+    block_size: int = 128,
+    beta1: float = 0.9,
+    beta2: float = 1.0,
+    matrix_eps: float = 1e-6,
+    diagonal_eps: float = 1e-10,
+    weight_decay: float = 0.0,
+    precondition_every: int = 10,
+    start_preconditioning_step: int = 1,
+    nesterov: bool = True,
+) -> optax.GradientTransformation:
+    """Blocked second-order Shampoo with AdaGrad grafting.
+
+    ``beta2=1.0`` accumulates raw statistics (the reference default,
+    optim.py:171); <1 gives an EMA.
+    """
+    sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
+
+    def init_fn(params):
+        def per_param(x):
+            m, _ = _as_matrix(x)
+            mp, _ = _block_pad(m, block_size)
+            nb = (mp.shape[0] // block_size) * (mp.shape[1] // block_size)
+            eye = jnp.zeros((nb, block_size, block_size), dtype=jnp.float32)
+            root = jnp.tile(
+                jnp.eye(block_size, dtype=jnp.float32)[None], (nb, 1, 1)
+            )
+            return _ShampooParamState(
+                stats_l=eye,
+                stats_r=jnp.zeros_like(eye),
+                root_l=root,
+                root_r=root,
+                adagrad=jnp.zeros_like(x, dtype=jnp.float32),
+                momentum=jnp.zeros_like(x, dtype=jnp.float32),
+            )
+
+        return ShampooState(
+            count=jnp.zeros([], jnp.int32),
+            per_param=jax.tree_util.tree_map(per_param, params),
+        )
+
+    def update_fn(grads, state, params=None):
+        count = state.count + 1
+
+        def per_param(g, s, p):
+            g32 = g.astype(jnp.float32)
+            m, orig_shape = _as_matrix(g32)
+            mp, (r0, c0) = _block_pad(m, block_size)
+            gb = _to_blocks(mp, block_size)  # [nb, bs, bs]
+
+            # gram statistics
+            new_l = beta2 * s.stats_l + jnp.einsum("nab,ncb->nac", gb, gb)
+            new_r = beta2 * s.stats_r + jnp.einsum("nab,nac->nbc", gb, gb)
+
+            # refresh inverse roots every `precondition_every` steps
+            def refresh(_):
+                return _inv_pth_root(new_l, 4, matrix_eps), _inv_pth_root(new_r, 4, matrix_eps)
+
+            def keep(_):
+                return s.root_l, s.root_r
+
+            do_refresh = jnp.logical_or(
+                count % precondition_every == 0, count == start_preconditioning_step
+            )
+            root_l, root_r = jax.lax.cond(do_refresh, refresh, keep, None)
+
+            # preconditioned direction
+            pre = jnp.einsum("nab,nbc,ncd->nad", root_l, gb, root_r)
+            pre_m = _from_blocks(pre, mp.shape, block_size)[:r0, :c0].reshape(orig_shape)
+
+            # adagrad grafting: magnitude from diagonal adagrad
+            new_acc = s.adagrad + g32 * g32
+            graft = g32 / (jnp.sqrt(new_acc) + diagonal_eps)
+            graft_norm = jnp.linalg.norm(graft.ravel())
+            pre_norm = jnp.linalg.norm(pre_m.ravel())
+            direction = pre_m * (graft_norm / jnp.maximum(pre_norm, 1e-30))
+
+            # before preconditioning kicks in, fall back to the grafted step
+            direction = jnp.where(count >= start_preconditioning_step, direction, graft)
+
+            if weight_decay and p is not None:
+                direction = direction + weight_decay * p.astype(jnp.float32)
+
+            mom = beta1 * s.momentum + direction
+            step_dir = beta1 * mom + direction if nesterov else mom
+
+            new_state = _ShampooParamState(
+                stats_l=new_l,
+                stats_r=new_r,
+                root_l=root_l,
+                root_r=root_r,
+                adagrad=new_acc,
+                momentum=mom,
+            )
+            return (-sched(count) * step_dir).astype(g.dtype), new_state
+
+        if params is None:
+            assert not weight_decay, "shampoo with weight_decay needs params in update()"
+            params_tree = grads  # placeholder with matching structure; unused
+        else:
+            params_tree = params
+        out = jax.tree_util.tree_map(per_param, grads, state.per_param, params_tree)
+        updates = jax.tree_util.tree_map(
+            lambda o: o[0], out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 2
+        )
+        new_per_param = jax.tree_util.tree_map(
+            lambda o: o[1], out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 2
+        )
+        return updates, ShampooState(count=count, per_param=new_per_param)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+# ----------------------------------------------------------------------
+# registry matching the reference CLI names
+# ----------------------------------------------------------------------
+def get_optimizer(
+    name: str,
+    learning_rate,
+    weight_decay: float = 0.01,
+    max_grad_norm: float | None = 1.0,
+    params=None,
+    **kw,
+) -> optax.GradientTransformation:
+    """Build the full update chain: clip → optimizer (reference clips at 1.0
+    in every fit loop, e.g. splade.py:270-276)."""
+    name_l = name.lower()
+    if name_l == "adamw":
+        tx = adamw(learning_rate, weight_decay=weight_decay, params=params, **kw)
+    elif name_l == "adafactor":
+        tx = adafactor(learning_rate, weight_decay=weight_decay)
+    elif name_l == "shampoo":
+        tx = shampoo(learning_rate, weight_decay=weight_decay, **kw)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if max_grad_norm:
+        return optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    return tx

@@ -1,0 +1,97 @@
+"""Optimizer and schedule tests: convergence + mechanics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from fusion_tpu.train.optim import get_optimizer, shampoo
+from fusion_tpu.train.schedules import get_schedule
+
+
+def quadratic_problem(rng, dim=20):
+    a = rng.normal(size=(dim, dim)).astype(np.float32)
+    a = a @ a.T / dim + np.eye(dim, dtype=np.float32)
+    b = rng.normal(size=(dim,)).astype(np.float32)
+    a_j, b_j = jnp.asarray(a), jnp.asarray(b)
+
+    def loss_fn(params):
+        x = params["w"]
+        return 0.5 * x @ a_j @ x - b_j @ x
+
+    x_star = np.linalg.solve(a, b)
+    return loss_fn, {"w": jnp.zeros(dim)}, x_star
+
+
+@pytest.mark.parametrize("name,lr", [("adamw", 0.1), ("adafactor", 0.5), ("shampoo", 0.3)])
+def test_optimizers_converge_on_quadratic(rng, name, lr):
+    loss_fn, params, x_star = quadratic_problem(rng)
+    tx = get_optimizer(name, lr, weight_decay=0.0, max_grad_norm=None)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(300):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.5 * abs(losses[0]), f"{name} failed to descend: {losses[::60]}"
+
+
+def test_shampoo_blocks_and_matrix_params(rng):
+    # matrix param larger than block_size exercises the tiling path
+    w = jnp.asarray(rng.normal(size=(20, 36)).astype(np.float32))
+    params = {"w": w}
+    tx = shampoo(0.05, block_size=16, precondition_every=2)
+    state = tx.init(params)
+
+    target = jnp.asarray(rng.normal(size=(20, 36)).astype(np.float32))
+
+    @jax.jit
+    def step(params, state):
+        loss, grads = jax.value_and_grad(lambda p: ((p["w"] - target) ** 2).mean())(params)
+        updates, state = tx.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    first = None
+    for i in range(60):
+        params, state, loss = step(params, state)
+        first = first if first is not None else float(loss)
+    assert float(loss) < 0.2 * first
+
+
+def test_shampoo_vector_params(rng):
+    params = {"b": jnp.asarray(rng.normal(size=(33,)).astype(np.float32))}
+    tx = shampoo(0.1, block_size=16)
+    state = tx.init(params)
+    grads = {"b": jnp.ones(33)}
+    updates, state = tx.update(grads, state, params)
+    assert updates["b"].shape == (33,)
+    assert np.isfinite(np.asarray(updates["b"])).all()
+
+
+def test_linear_schedule_shape():
+    sched = get_schedule("linear", 2e-5, total_steps=100, warmup_ratio=0.1)
+    vals = [float(sched(s)) for s in [0, 5, 10, 55, 100]]
+    assert vals[0] == 0.0
+    assert vals[2] == pytest.approx(2e-5, rel=1e-6)  # peak at end of warmup
+    assert 0 < vals[3] < 2e-5
+    assert vals[4] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_no_decay_mask():
+    from fusion_tpu.train.optim import _no_decay_mask
+
+    params = {
+        "layer": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones(2)},
+        "ln": {"scale": jnp.ones(2), "bias": jnp.ones(2)},
+    }
+    mask = _no_decay_mask(params)
+    assert mask["layer"]["kernel"] is True
+    assert mask["layer"]["bias"] is False
+    assert mask["ln"]["scale"] is False
