@@ -1,0 +1,186 @@
+"""End-to-end hybrid retrieval pipeline.
+
+The TPU counterpart of reference src/retrievers/hybrid.py: run any subset of
+{BM25, DPR, SPLADE, ColBERT} over a corpus, fuse the ranked lists (Borda /
+RRF / NSF), optionally rerank with monoBERT, and evaluate — with every
+ranked list living on device as fixed-shape ``RankedLists`` until the final
+metric read.
+
+External corpus ids: models operate on contiguous internal indices [0, N);
+``idx2id`` remaps at the boundary (the reference keeps an idx2id dict,
+hybrid.py:66,93).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+import numpy as np
+
+from fusion_tpu.core.ranked import RankedLists
+from fusion_tpu.data.preprocessor import TextPreprocessor
+from fusion_tpu.eval.metrics import Metrics
+from fusion_tpu.fusion.aggregator import Aggregator
+from fusion_tpu.models.bm25 import BM25Index
+
+
+def run_evaluation(
+    predictions: Sequence[Sequence[int]] | RankedLists,
+    labels: Sequence[Sequence[int]],
+    print2console: bool = True,
+    logger=None,
+    split: str = "dev",
+) -> dict:
+    """Full metric suite (reference hybrid.py:24-42 wiring, one metrics
+    engine)."""
+    evaluator = Metrics(
+        recall_at_k=[5, 10, 20, 50, 100, 200, 500, 1000],
+        map_at_k=[10, 100],
+        mrr_at_k=[10, 100],
+        ndcg_at_k=[10, 100],
+    )
+    scores = evaluator.compute_all_metrics(labels, predictions)
+    if print2console:
+        for metric, score in scores.items():
+            print(f"- {metric.capitalize()}: {score:.3f}")
+    if logger is not None:
+        for metric, score in scores.items():
+            logger.log_eval(0, 0, f"{split}/{metric}", score)
+    return scores
+
+
+@dataclass
+class SearchResult:
+    ranked: RankedLists  # internal indices
+    latency_ms_per_query: float
+
+
+class HybridPipeline:
+    """Hold a corpus and run retrieval systems over it."""
+
+    def __init__(self, corpus: Mapping[int, str], preprocessor: TextPreprocessor | None = None):
+        self.corpus = dict(corpus)
+        self.documents = list(self.corpus.values())
+        self.idx2id = np.asarray(list(self.corpus.keys()), dtype=np.int64)
+        self.id2idx = {pid: i for i, pid in enumerate(self.corpus.keys())}
+        self.preprocessor = preprocessor
+        self._bm25_cache: dict = {}
+        self._preprocessed_docs: list[str] | None = None
+
+    # ------------------------------------------------------------------
+    def _preprocess(self, texts: Sequence[str]) -> list[str]:
+        if self.preprocessor is None:
+            self.preprocessor = TextPreprocessor(spacy_model=None)
+        return self.preprocessor.preprocess(list(texts), lemmatize=True)
+
+    def bm25_search(
+        self,
+        queries: Sequence[str],
+        do_preprocessing: bool = True,
+        k1: float = 2.5,
+        b: float = 0.2,
+        return_topk: int = 1000,
+        variant: str = "bm25",
+    ) -> SearchResult:
+        """Lexical retrieval (reference Ranker.bm25_search, hybrid.py:49-75)."""
+        if do_preprocessing:
+            if self._preprocessed_docs is None:
+                self._preprocessed_docs = self._preprocess(self.documents)
+            docs = self._preprocessed_docs
+            queries = self._preprocess(queries)
+        else:
+            docs = self.documents
+        key = (variant, do_preprocessing)
+        if key not in self._bm25_cache:
+            self._bm25_cache[key] = BM25Index.build(docs, k1=k1, b=b, variant=variant)
+        index = self._bm25_cache[key]
+        index.update_params(k1, b)
+        t0 = time.perf_counter()
+        ranked = index.search_all(queries, top_k=return_topk)
+        dt = (time.perf_counter() - t0) / max(len(queries), 1) * 1000
+        return SearchResult(ranked, dt)
+
+    def single_vector_search(
+        self, queries: Sequence[str], model, return_topk: int = 1000, batch_size: int = 64
+    ) -> SearchResult:
+        """Dense or SPLADE retrieval (reference hybrid.py:77-106): encode the
+        corpus once, exact top-k on device."""
+        import jax.numpy as jnp
+
+        d_embs = jnp.asarray(model.encode(self.documents, query_mode=False, batch_size=batch_size))
+        t0 = time.perf_counter()
+        ranked = model.search(queries, d_embs, topk=return_topk, batch_size=batch_size)
+        dt = (time.perf_counter() - t0) / max(len(queries), 1) * 1000
+        return SearchResult(ranked, dt)
+
+    def multi_vector_search(
+        self,
+        queries: Sequence[str],
+        model,
+        return_topk: int = 1000,
+        batch_size: int = 32,
+        index=None,
+        use_pallas: bool = True,
+    ) -> SearchResult:
+        """ColBERT late interaction (reference hybrid.py:108-137)."""
+        if index is None:
+            index = model.index(self.documents, batch_size=batch_size)
+        t0 = time.perf_counter()
+        ranked = model.search(queries, index, k=return_topk, batch_size=batch_size, use_pallas=use_pallas)
+        dt = (time.perf_counter() - t0) / max(len(queries), 1) * 1000
+        return SearchResult(ranked, dt)
+
+    def cross_encoder_search(
+        self,
+        queries: Sequence[str],
+        candidates: RankedLists,
+        model,
+        return_topk: int = 100,
+        batch_size: int = 64,
+    ) -> SearchResult:
+        """monoBERT rerank over candidate lists (reference hybrid.py:139-163).
+
+        ``candidates`` carry internal indices."""
+        t0 = time.perf_counter()
+        ranked = model.rerank(
+            queries, candidates, corpus=self.documents, top_k=return_topk, batch_size=batch_size
+        )
+        dt = (time.perf_counter() - t0) / max(len(queries), 1) * 1000
+        return SearchResult(ranked, dt)
+
+    # ------------------------------------------------------------------
+    def fuse(
+        self,
+        results: Mapping[str, RankedLists],
+        method: str = "rrf",
+        normalization: str | None = None,
+        linear_weights: Mapping[str, float] | None = None,
+        percentile_distributions=None,
+        return_topk: int = 1000,
+    ) -> RankedLists:
+        if method == "nsf" and linear_weights is None:
+            linear_weights = {s: 1.0 / len(results) for s in results}
+        return Aggregator.fuse(
+            results,
+            method=method,
+            normalization=normalization,
+            linear_weights=linear_weights,
+            percentile_distributions=percentile_distributions,
+            return_topk=return_topk,
+        )
+
+    # ------------------------------------------------------------------
+    def to_external_ids(self, ranked: RankedLists) -> list[list[int]]:
+        return ranked.remap_ids(self.idx2id).id_lists()
+
+    def labels_to_internal(self, labels: Sequence[Sequence[int]]) -> list[list[int]]:
+        return [[self.id2idx[i] for i in row if i in self.id2idx] for row in labels]
+
+    def evaluate(
+        self, ranked: RankedLists, labels: Sequence[Sequence[int]], external_labels: bool = True,
+        print2console: bool = False, logger=None,
+    ) -> dict:
+        preds = self.to_external_ids(ranked) if external_labels else ranked.id_lists()
+        return run_evaluation(preds, labels, print2console=print2console, logger=logger)

@@ -89,39 +89,34 @@ class BM25Index:
         Host-side pass is O(total tokens); everything else lives on device.
         """
         assert variant in VARIANTS, f"variant must be one of {VARIANTS}"
-        vocab: dict[str, int] = {}
-        term_ids_per_doc: list[np.ndarray] = []
-        doc_len = np.zeros(len(corpus), dtype=np.float32)
-        for i, doc in enumerate(corpus):
-            toks = doc.split()
-            doc_len[i] = len(toks)
-            ids = np.fromiter(
-                (vocab.setdefault(t, len(vocab)) for t in toks), dtype=np.int64, count=len(toks)
-            )
-            term_ids_per_doc.append(ids)
-
-        v = len(vocab)
         n = len(corpus)
-        # unique (doc, term, tf) triples, doc-major
-        terms_list, docs_list, tfs_list = [], [], []
-        df = np.zeros(v, dtype=np.int64)
-        for i, ids in enumerate(term_ids_per_doc):
-            if ids.size == 0:
-                continue
-            uniq, counts = np.unique(ids, return_counts=True)
-            terms_list.append(uniq)
-            docs_list.append(np.full(uniq.shape, i, dtype=np.int64))
-            tfs_list.append(counts)
-            df[uniq] += 1
-
-        if terms_list:
-            entry_term = np.concatenate(terms_list)
-            entry_doc = np.concatenate(docs_list)
-            entry_tf = np.concatenate(tfs_list).astype(np.float32)
+        # vectorized host build: one global string-unique instead of
+        # per-document dict loops (O(total tokens log V))
+        tokens_per_doc = [doc.split() for doc in corpus]
+        doc_len = np.array([len(t) for t in tokens_per_doc], dtype=np.float32)
+        total = int(doc_len.sum())
+        if total:
+            vocab: dict[str, int] = {}
+            setdefault = vocab.setdefault
+            inv = np.fromiter(
+                (setdefault(t, len(vocab)) for toks in tokens_per_doc for t in toks),
+                dtype=np.int64,
+                count=total,
+            )
+            v = len(vocab)
+            doc_ids = np.repeat(np.arange(n, dtype=np.int64), doc_len.astype(np.int64))
+            # (doc, term) pair counts; sorted int keys give doc-major COO order
+            pair_keys = doc_ids * v + inv
+            uniq_pairs, counts = np.unique(pair_keys, return_counts=True)
+            entry_doc = uniq_pairs // v
+            entry_term = uniq_pairs % v
+            entry_tf = counts.astype(np.float32)
         else:
+            vocab, v = {}, 0
             entry_term = np.zeros(0, dtype=np.int64)
             entry_doc = np.zeros(0, dtype=np.int64)
             entry_tf = np.zeros(0, dtype=np.float32)
+        df = np.bincount(entry_term, minlength=v) if v else np.zeros(0, dtype=np.int64)
 
         nnz = entry_term.shape[0]
         nnz_pad = max(pad_multiple, -(-nnz // pad_multiple) * pad_multiple)
@@ -258,6 +253,48 @@ class BM25Index:
 
         all_scores = jax.lax.map(lambda bi: block_scores(bi)[0], jnp.arange(num_blocks))
         return jnp.moveaxis(all_scores, 0, 1).reshape(q, num_blocks * doc_block)[:, : self.n_docs]
+
+    def build_dense_impacts(self, dtype=jnp.bfloat16) -> jax.Array:
+        """Materialize the [V+1, N] impact matrix for the current (k1, b).
+
+        For corpora that fit (LLeQA: ~30k terms × 28k docs ≈ 1.7 GB bf16)
+        this is the speed-of-light BM25 path on TPU: scoring a query batch
+        is ONE [Q, V] × [V, N] MXU matmul over HBM-resident impacts —
+        the eager-scoring design (cf. BM25S) instead of per-query postings
+        traversal.  Built host-side (vectorized numpy scatter), shipped once.
+        """
+        term = np.asarray(self.entry_term)[: self.nnz]
+        doc = np.asarray(self.entry_doc)[: self.nnz]
+        tf = np.asarray(self.entry_tf)[: self.nnz].astype(np.float64)
+        idf = np.asarray(self.idf, dtype=np.float64)[term]
+        if self.variant == "tfidf":
+            impacts = idf * tf
+        else:
+            dl = np.asarray(self.doc_len, dtype=np.float64)[doc]
+            impacts = idf * tf * (self.k1 + 1.0) / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        w = np.zeros((self.vocab_size + 1, self.n_docs), dtype=np.float32)
+        w[term, doc] = impacts
+        return jnp.asarray(w, dtype=dtype)
+
+    def search_dense(
+        self, queries: Sequence[str], impacts: jax.Array, top_k: int = 1000
+    ) -> RankedLists:
+        """Score against a prebuilt dense impact matrix (one matmul)."""
+        q_terms, q_weights = self.encode_queries(list(queries))
+        key = ("dense", top_k)
+        if key not in self._query_cache:
+
+            def fn(q_terms, q_weights, w):
+                q = q_terms.shape[0]
+                qmat = jnp.zeros((q, w.shape[0]), dtype=w.dtype)
+                qmat = jax.vmap(lambda row, t, x: row.at[t].add(x.astype(w.dtype)))(
+                    qmat, q_terms, q_weights
+                )
+                scores = jnp.dot(qmat, w, preferred_element_type=jnp.float32)
+                return ranked_from_scores(scores, min(top_k, self.n_docs))
+
+            self._query_cache[key] = jax.jit(fn)
+        return self._query_cache[key](q_terms, q_weights, impacts)
 
     # ------------------------------------------------------------------
     # public search
