@@ -1,0 +1,513 @@
+"""Command-line entry points.
+
+One typed CLI replaces the reference's six argparse programs + bash config
+scripts (L5/L6 of SURVEY §1).  Subcommands mirror the reference surface:
+
+  fusion-tpu bm25     --task {evaluate,tune,negatives}   (bm25.py:176-291)
+  fusion-tpu dpr      --task {train,test}                (single_dense_biencoder.py)
+  fusion-tpu splade   --task {train,test}                (single_sparse_biencoder.py)
+  fusion-tpu colbert  --task {train,index,search,test}   (multi_dense_biencoder.py)
+  fusion-tpu monobert --task {train,test}                (crossencoder.py)
+  fusion-tpu hybrid   [--fusion ...] [--normalization ...] (hybrid.py:310-488)
+
+Datasets come from the HF/ir_datasets loaders when available or from a
+``--fixture`` JSON (offline: {"corpus": [...], "questions": {...},
+"negatives": {...}}) — zero-egress environments run the full pipeline on
+fixtures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_lleqa(args):
+    from fusion_tpu.data.lleqa import LLeQALoader
+
+    if args.fixture:
+        with open(args.fixture) as f:
+            raw = json.load(f)
+        neg = raw.get("negatives")
+        if neg:
+            neg = {int(k): v for k, v in neg.items()}
+        return LLeQALoader.from_records(raw["corpus"], raw["questions"], neg)
+    return LLeQALoader()
+
+
+def _encoder_config(args):
+    import jax.numpy as jnp
+
+    from fusion_tpu.models.encoder import EncoderConfig
+
+    if args.tiny:
+        return EncoderConfig.tiny(vocab_size=2048)
+    return EncoderConfig(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+
+def _split_queries(data, split):
+    qids = list(data.queries[split].keys())
+    texts = [data.queries[split][q] for q in qids]
+    labels = [data.qrels[split].get(q, []) for q in qids]
+    return qids, texts, labels
+
+
+def cmd_bm25(args):
+    from fusion_tpu.cli.presets import BM25_PRESETS, BM25_TUNING_GRID
+    from fusion_tpu.data.preprocessor import TextPreprocessor
+    from fusion_tpu.eval.metrics import Metrics
+    from fusion_tpu.hybrid import HybridPipeline, run_evaluation
+    from fusion_tpu.utils.loggers import write_metrics_csv
+
+    loader = _load_lleqa(args)
+    data = loader.load()
+    pipeline = HybridPipeline(data.corpus)
+    preset = BM25_PRESETS.get(args.dataset.split("-")[0], BM25_PRESETS["lleqa"])
+    k1 = args.k1 if args.k1 is not None else preset.k1
+    b = args.b if args.b is not None else preset.b
+    split = "train" if args.task == "negatives" else ("dev" if args.task == "tune" else args.split)
+    qids, queries, labels = _split_queries(data, split)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    if args.task == "tune":
+        evaluator = Metrics(recall_at_k=[10, 100, 200, 500, 1000])
+        rows = []
+        for k1_v in BM25_TUNING_GRID["k1"]:
+            for b_v in BM25_TUNING_GRID["b"]:
+                res = pipeline.bm25_search(
+                    queries, do_preprocessing=args.do_preprocessing, k1=k1_v, b=b_v,
+                    return_topk=1000,
+                )
+                preds = pipeline.to_external_ids(res.ranked)
+                scores = evaluator.compute_all_metrics(labels, preds)
+                rows.append({"k1": k1_v, "b": b_v, **scores})
+                write_metrics_csv(os.path.join(args.output_dir, "bm25_tuning_results.csv"), rows)
+        best = max(rows, key=lambda r: r["recall@100"])
+        print(json.dumps({"best": best}))
+        return
+
+    res = pipeline.bm25_search(
+        queries, do_preprocessing=args.do_preprocessing, k1=k1, b=b, return_topk=1000
+    )
+    preds_ext = pipeline.to_external_ids(res.ranked)
+
+    if args.task == "negatives":
+        negatives = {}
+        for qid, pred, gold in zip(qids, preds_ext, labels):
+            negatives[qid] = [p for p in pred if p not in set(gold)][: args.num_negatives]
+        with open(os.path.join(args.output_dir, "negatives_bm25.json"), "w") as f:
+            json.dump(dict(sorted(negatives.items())), f, indent=2)
+        print(json.dumps({"num_queries": len(negatives)}))
+        return
+
+    scores = run_evaluation(preds_ext, labels, print2console=True)
+    scores["latency (ms/query)"] = res.latency_ms_per_query
+    with open(
+        os.path.join(args.output_dir, f"performance_bm25_{args.dataset}_{split}.json"), "w"
+    ) as f:
+        json.dump(scores, f, indent=2)
+
+
+def _make_biencoder(args, head):
+    from fusion_tpu.cli.presets import TRAIN_PRESETS
+    from fusion_tpu.models.biencoder import BiEncoder
+
+    preset = TRAIN_PRESETS[(("dpr" if head == "dense" else "splade"), args.dataset.split("-")[0])]
+    cfg = _encoder_config(args)
+    return (
+        BiEncoder(
+            cfg,
+            head=head,
+            max_query_length=min(preset.max_query_length, 64 if args.tiny else 10_000),
+            max_doc_length=min(preset.max_doc_length, 128 if args.tiny else 10_000),
+            seed=args.seed,
+        ),
+        preset,
+    )
+
+
+def _train_biencoder(args, model, preset, rank_loss, reg_loss):
+    from fusion_tpu.data.datasets import batch_iterator, collate_biencoder
+    from fusion_tpu.train.trainer import (
+        FitConfig,
+        fit,
+        init_train_state,
+        make_biencoder_train_step,
+    )
+    from fusion_tpu.utils.loggers import WandbLogger
+
+    loader = _load_lleqa(args)
+    sampler = loader.biencoder_sampler(negs_per_query=args.negs_per_query, seed=args.seed)
+    steps = args.steps or preset.steps or (
+        (preset.epochs or 1) * max(len(sampler) // min(preset.batch_size, len(sampler)), 1)
+    )
+    batch_size = min(preset.batch_size, max(len(sampler), 2))
+    logger = WandbLogger(args.dataset, f"{args.model_name}-{args.seed}", log_dir=os.path.join(args.output_dir, "logs"))
+    cfg = FitConfig(
+        steps=steps,
+        batch_size=batch_size,
+        optimizer_name=args.optimizer,
+        learning_rate=args.lr or preset.learning_rate,
+        scheduler=preset.scheduler,
+        warmup_ratio=preset.warmup_ratio,
+        log_every_n_steps=args.log_every,
+        log_callback=lambda e, spe, step, lr, v, name: logger.log_training(e, spe, step, lr, v, name),
+        ckpt_path=os.path.join(args.output_dir, "checkpoints"),
+        ckpt_save_steps=args.ckpt_save_steps,
+        seed=args.seed,
+    )
+    state, tx, schedule = init_train_state(model, cfg)
+    step_fn = make_biencoder_train_step(model, tx, rank_loss, reg_loss, total_steps=steps)
+    batches = batch_iterator(
+        sampler.epochs(), lambda s: collate_biencoder(model.text_encoder, s, args.negs_per_query),
+        batch_size,
+    )
+    fit(model, step_fn, batches, cfg, schedule=schedule, state=state)
+    model.save(os.path.join(args.output_dir, "final"))
+    print(json.dumps({"trained_steps": steps, "saved": os.path.join(args.output_dir, "final")}))
+
+
+def _test_biencoder(args, model):
+    from fusion_tpu.eval.evaluators import InformationRetrievalEvaluator
+
+    loader = _load_lleqa(args)
+    data = loader.load()
+    ks = [k for k in (5, 10, 20, 50, 100, 200, 500, 1000) if k <= len(data.corpus)]
+    ev = InformationRetrievalEvaluator(
+        data.queries[args.split], data.corpus, data.qrels[args.split],
+        recall_at_k=ks, map_at_k=[10, 100], mrr_at_k=[10, 100], ndcg_at_k=[10, 100],
+        batch_size=args.batch_size,
+    )
+    ev(model, output_path=args.output_dir)
+    print(json.dumps({k: v for k, v in ev.last_scores.items()}, default=float))
+
+
+def cmd_dpr(args):
+    model, preset = _make_biencoder(args, "dense")
+    if args.model_path:
+        from fusion_tpu.models.biencoder import BiEncoder
+
+        model = BiEncoder.load(args.model_path)
+    if args.task == "train":
+        _train_biencoder(args, model, preset, {"name": "MNRLoss", "scale": 20.0}, None)
+    else:
+        _test_biencoder(args, model)
+
+
+def cmd_splade(args):
+    from fusion_tpu.models.biencoder import SPLADE_PRESETS
+
+    model, preset = _make_biencoder(args, "splade")
+    if args.model_path:
+        from fusion_tpu.models.biencoder import BiEncoder
+
+        model = BiEncoder.load(args.model_path)
+    variant = SPLADE_PRESETS[args.splade_variant]
+    if args.task == "train":
+        _train_biencoder(args, model, preset, variant["rank_loss"], variant["reg_loss"])
+    else:
+        _test_biencoder(args, model)
+
+
+def cmd_colbert(args):
+    from fusion_tpu.cli.presets import TRAIN_PRESETS
+    from fusion_tpu.models.colbert import ColBERT, TokenIndex
+
+    preset = TRAIN_PRESETS[("colbert", args.dataset.split("-")[0])]
+    cfg = _encoder_config(args)
+    model = (
+        ColBERT.load(args.model_path)
+        if args.model_path
+        else ColBERT(
+            cfg,
+            dim=16 if args.tiny else preset.extra.get("dim", 128),
+            max_query_length=min(preset.max_query_length, 32 if args.tiny else 10_000),
+            max_doc_length=min(preset.max_doc_length, 64 if args.tiny else 10_000),
+            seed=args.seed,
+        )
+    )
+    loader = _load_lleqa(args)
+    data = loader.load()
+    index_dir = os.path.join(args.output_dir, "index")
+
+    if args.task == "train":
+        from fusion_tpu.data.datasets import batch_iterator
+        from fusion_tpu.train.trainer import FitConfig, fit, init_train_state, make_colbert_train_step
+
+        sampler = loader.biencoder_sampler(negs_per_query=args.negs_per_query, seed=args.seed)
+        steps = args.steps or 100
+        batch_size = min(preset.batch_size, max(len(sampler), 2))
+        cfg_fit = FitConfig(steps=steps, batch_size=batch_size, learning_rate=args.lr or preset.learning_rate)
+        state, tx, schedule = init_train_state(model, cfg_fit)
+        step_fn = make_colbert_train_step(model, tx, loss_name=args.colbert_loss)
+
+        def collate(samples):
+            from fusion_tpu.data.datasets import collate_biencoder
+
+            b = collate_biencoder(model.text_encoder, samples, args.negs_per_query)
+            for k in ("query_mask", "pos_mask", "neg_mask"):
+                b[k] = b[k].astype(np.float32)
+            return b
+
+        batches = batch_iterator(sampler.epochs(), collate, batch_size)
+        fit(model, step_fn, batches, cfg_fit, schedule=schedule, state=state)
+        model.save(os.path.join(args.output_dir, "final"))
+        print(json.dumps({"trained_steps": steps}))
+        return
+
+    if args.task == "index":
+        index = model.index(list(data.corpus.values()), batch_size=args.batch_size)
+        index.save(index_dir)
+        print(json.dumps({"indexed_docs": len(data.corpus), "dir": index_dir}))
+        return
+
+    # search / test reuse or rebuild the index (overwrite='reuse' semantics)
+    if os.path.exists(os.path.join(index_dir, "token_index.npz")):
+        index = TokenIndex.load(index_dir)
+    else:
+        index = model.index(list(data.corpus.values()), batch_size=args.batch_size)
+    qids, queries, labels = _split_queries(data, args.split)
+    import jax
+
+    use_pallas = jax.default_backend() == "tpu"
+    ranked = model.search(queries, index, k=min(1000, len(data.corpus)), batch_size=args.batch_size, use_pallas=use_pallas)
+    from fusion_tpu.hybrid import run_evaluation
+
+    idx2id = np.asarray(list(data.corpus.keys()))
+    preds = ranked.remap_ids(idx2id).id_lists()
+    if args.task == "test":
+        scores = run_evaluation(preds, labels, print2console=True)
+        with open(os.path.join(args.output_dir, "performance_colbert.json"), "w") as f:
+            json.dump(scores, f, indent=2, default=float)
+    else:
+        with open(os.path.join(args.output_dir, "ranking.json"), "w") as f:
+            json.dump({str(q): p[:100] for q, p in zip(qids, preds)}, f)
+        print(json.dumps({"searched": len(queries)}))
+
+
+def cmd_monobert(args):
+    from fusion_tpu.cli.presets import TRAIN_PRESETS
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    preset = TRAIN_PRESETS[("monobert", args.dataset.split("-")[0])]
+    cfg = _encoder_config(args)
+    model = (
+        CrossEncoder.load(args.model_path)
+        if args.model_path
+        else CrossEncoder(cfg, max_length=32 if args.tiny else preset.max_doc_length, seed=args.seed)
+    )
+    loader = _load_lleqa(args)
+    data = loader.load()
+
+    if args.task == "train":
+        from fusion_tpu.data.datasets import batch_iterator, collate_crossencoder
+        from fusion_tpu.train.trainer import FitConfig, fit, init_train_state, make_crossencoder_train_step
+
+        pairs = loader.crossencoder_pairs(neg_per_pos=args.neg_per_pos, seed=args.seed)
+        steps = args.steps or max(len(pairs) // 4, 1)
+        batch_size = min(preset.batch_size, max(len(pairs), 2))
+        cfg_fit = FitConfig(steps=steps, batch_size=batch_size, learning_rate=args.lr or preset.learning_rate)
+        state, tx, schedule = init_train_state(model, cfg_fit)
+        step_fn = make_crossencoder_train_step(model, tx)
+
+        def sample_stream():
+            while True:
+                yield from pairs
+
+        batches = batch_iterator(
+            sample_stream(),
+            lambda s: collate_crossencoder(
+                model.tokenizer, [(q, d) for q, d, _ in s], [l for _, _, l in s], model.max_length
+            ),
+            batch_size,
+        )
+        fit(model, step_fn, batches, cfg_fit, schedule=schedule, state=state)
+        model.save(os.path.join(args.output_dir, "final"))
+        print(json.dumps({"trained_steps": steps}))
+        return
+
+    from fusion_tpu.eval.evaluators import RerankingEvaluator
+
+    samples = []
+    rng = np.random.default_rng(args.seed)
+    all_ids = list(data.corpus.keys())
+    for qid, text in data.queries[args.split].items():
+        pos = [data.corpus[p] for p in data.qrels[args.split].get(qid, []) if p in data.corpus]
+        neg_ids = rng.choice(all_ids, size=min(10, len(all_ids)), replace=False)
+        neg = [data.corpus[n] for n in neg_ids if n not in data.qrels[args.split].get(qid, [])]
+        if pos:
+            samples.append({"query": text, "positive": pos, "negative": neg})
+    ev = RerankingEvaluator(samples, batch_size=args.batch_size)
+    ev(model, output_path=args.output_dir)
+    print(json.dumps(ev.last_scores, default=float))
+
+
+def cmd_hybrid(args):
+    from fusion_tpu.fusion.aggregator import build_percentile_distribution, tune_fusion_weights
+    from fusion_tpu.hybrid import HybridPipeline, run_evaluation
+    from fusion_tpu.models.biencoder import BiEncoder
+    from fusion_tpu.models.colbert import ColBERT
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    loader = _load_lleqa(args)
+    data = loader.load()
+    pipeline = HybridPipeline(data.corpus)
+    qids, queries, labels = _split_queries(data, args.split)
+    topk = min(1000, len(data.corpus))
+
+    results = {}
+    if args.run_bm25:
+        results["bm25"] = pipeline.bm25_search(queries, k1=2.5, b=0.2, return_topk=topk).ranked
+    cfg = _encoder_config(args)
+    if args.run_dpr:
+        model = BiEncoder.load(args.dpr_path) if args.dpr_path else BiEncoder(
+            cfg, head="dense", max_query_length=32, max_doc_length=128
+        )
+        results["dpr"] = pipeline.single_vector_search(queries, model, return_topk=topk).ranked
+    if args.run_splade:
+        model = BiEncoder.load(args.splade_path) if args.splade_path else BiEncoder(
+            cfg, head="splade", max_query_length=32, max_doc_length=128
+        )
+        results["splade"] = pipeline.single_vector_search(queries, model, return_topk=topk).ranked
+    if args.run_colbert:
+        model = ColBERT.load(args.colbert_path) if args.colbert_path else ColBERT(
+            cfg, dim=16 if args.tiny else 128, max_query_length=32, max_doc_length=64
+        )
+        import jax
+
+        results["colbert"] = pipeline.multi_vector_search(
+            queries, model, return_topk=topk, use_pallas=jax.default_backend() == "tpu"
+        ).ranked
+    assert results, "enable at least one retrieval system"
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    distributions = None
+    if args.normalization in ("percentile-rank", "normal-curve-equivalent"):
+        distributions = {
+            name: build_percentile_distribution(np.asarray(rl.scores), num_points=10_000)
+            for name, rl in results.items()
+        }
+
+    if args.tune_linear_fusion_weight:
+        from fusion_tpu.eval.metrics import Metrics
+        from fusion_tpu.utils.loggers import write_metrics_csv
+
+        ev = Metrics(recall_at_k=[10, 100, 500])
+        best, rows = tune_fusion_weights(
+            results, labels,
+            evaluate=lambda fused: ev.compute_all_metrics(labels, pipeline.to_external_ids(fused)),
+            normalization=args.normalization or "min-max",
+            percentile_distributions=distributions,
+            step=args.weight_step,
+            select_by="recall@100",
+        )
+        write_metrics_csv(
+            os.path.join(args.output_dir, f"nsf_{args.normalization}_tuning.csv"), rows
+        )
+        print(json.dumps({"best_weights": best}))
+        return
+
+    fused = pipeline.fuse(
+        results, method=args.fusion, normalization=args.normalization,
+        percentile_distributions=distributions, return_topk=topk,
+    )
+
+    if args.run_monobert:
+        ce = CrossEncoder.load(args.monobert_path) if args.monobert_path else CrossEncoder(
+            cfg, max_length=32 if args.tiny else 256
+        )
+        fused = pipeline.cross_encoder_search(queries, fused, ce, return_topk=min(100, topk)).ranked
+
+    scores = pipeline.evaluate(fused, labels, print2console=True)
+    with open(os.path.join(args.output_dir, "performance_hybrid.json"), "w") as f:
+        json.dump(scores, f, indent=2, default=float)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fusion-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--dataset", default="lleqa")
+        sp.add_argument("--split", default="dev", choices=["train", "dev", "test"])
+        sp.add_argument("--fixture", default=None, help="offline dataset JSON")
+        sp.add_argument("--output_dir", default="output")
+        sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--tiny", action="store_true", help="tiny encoder for smoke tests")
+        sp.add_argument("--bf16", action="store_true", default=True)
+        sp.add_argument("--batch_size", type=int, default=32)
+        sp.add_argument("--model_path", default=None)
+        sp.add_argument("--steps", type=int, default=None)
+        sp.add_argument("--lr", type=float, default=None)
+        sp.add_argument("--optimizer", default="AdamW", choices=["AdamW", "Adafactor", "Shampoo"])
+        sp.add_argument("--negs_per_query", type=int, default=1)
+        sp.add_argument("--log_every", type=int, default=10)
+        sp.add_argument("--ckpt_save_steps", type=int, default=None)
+
+    sp = sub.add_parser("bm25")
+    common(sp)
+    sp.add_argument("--task", default="evaluate", choices=["evaluate", "tune", "negatives"])
+    sp.add_argument("--k1", type=float, default=None)
+    sp.add_argument("--b", type=float, default=None)
+    sp.add_argument("--do_preprocessing", action="store_true", default=False)
+    sp.add_argument("--num_negatives", type=int, default=10)
+    sp.set_defaults(fn=cmd_bm25)
+
+    sp = sub.add_parser("dpr")
+    common(sp)
+    sp.add_argument("--task", default="test", choices=["train", "test"])
+    sp.set_defaults(fn=cmd_dpr)
+
+    sp = sub.add_parser("splade")
+    common(sp)
+    sp.add_argument("--task", default="test", choices=["train", "test"])
+    sp.add_argument("--splade_variant", default="spladev2", choices=[
+        "spladev1", "spladev2", "spladeplus", "spladeplus_ensemble", "spladeeff", "spladev3",
+    ])
+    sp.set_defaults(fn=cmd_splade)
+
+    sp = sub.add_parser("colbert")
+    common(sp)
+    sp.add_argument("--task", default="test", choices=["train", "index", "search", "test"])
+    sp.add_argument("--colbert_loss", default="ce", choices=["ce", "kld"])
+    sp.set_defaults(fn=cmd_colbert)
+
+    sp = sub.add_parser("monobert")
+    common(sp)
+    sp.add_argument("--task", default="test", choices=["train", "test"])
+    sp.add_argument("--neg_per_pos", type=int, default=4)
+    sp.set_defaults(fn=cmd_monobert)
+
+    sp = sub.add_parser("hybrid")
+    common(sp)
+    sp.add_argument("--run_bm25", action="store_true")
+    sp.add_argument("--run_dpr", action="store_true")
+    sp.add_argument("--run_splade", action="store_true")
+    sp.add_argument("--run_colbert", action="store_true")
+    sp.add_argument("--run_monobert", action="store_true")
+    sp.add_argument("--fusion", default="rrf", choices=["bcf", "rrf", "nsf"])
+    sp.add_argument("--normalization", default=None, choices=[
+        None, "none", "min-max", "z-score", "arctan", "percentile-rank", "normal-curve-equivalent",
+    ])
+    sp.add_argument("--tune_linear_fusion_weight", action="store_true")
+    sp.add_argument("--weight_step", type=float, default=0.05)
+    sp.add_argument("--dpr_path", default=None)
+    sp.add_argument("--splade_path", default=None)
+    sp.add_argument("--colbert_path", default=None)
+    sp.add_argument("--monobert_path", default=None)
+    sp.set_defaults(fn=cmd_hybrid)
+    return p
+
+
+def main(argv=None):
+    args, _ = build_parser().parse_known_args(argv)
+    args.model_name = args.command
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""CLI smoke tests against an offline fixture, tiny models."""
+
+import json
+import os
+
+import pytest
+
+from fusion_tpu.cli.main import main
+from fusion_tpu.cli.presets import (
+    BM25_PRESETS,
+    HYBRID_COMBOS,
+    TRAIN_PRESETS,
+    hybrid_sweep,
+)
+
+FIXTURE = {
+    "corpus": [
+        {"id": 10, "article": "le chat noir dort sur le tapis", "description": ""},
+        {"id": 20, "article": "le chien aboie dans le jardin", "description": ""},
+        {"id": 30, "article": "le tribunal rend un jugement", "description": ""},
+        {"id": 40, "article": "un contrat de travail est signé", "description": ""},
+        {"id": 50, "article": "la loi protège les consommateurs", "description": ""},
+        {"id": 60, "article": "le chat gris mange une souris", "description": ""},
+    ],
+    "questions": {
+        "train": [
+            {"id": 1, "question": "où dort le chat noir ?", "article_ids": [10]},
+            {"id": 2, "question": "qui rend le jugement ?", "article_ids": [30]},
+            {"id": 3, "question": "que protège la loi ?", "article_ids": [50]},
+        ],
+        "dev": [
+            {"id": 4, "question": "chat tapis", "article_ids": [10]},
+            {"id": 5, "question": "contrat travail", "article_ids": [40]},
+        ],
+        "test": [],
+    },
+    "negatives": {"1": {"bm25": [20, 30]}, "2": {"bm25": [40]}, "3": {"bm25": [60]}},
+}
+
+
+@pytest.fixture(scope="module")
+def fixture_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("fixture") / "lleqa.json"
+    p.write_text(json.dumps(FIXTURE))
+    return str(p)
+
+
+def run(argv, tmp_path, fixture_path, extra=()):
+    main(argv + ["--fixture", fixture_path, "--output_dir", str(tmp_path), "--tiny"] + list(extra))
+
+
+def test_presets_tables():
+    assert BM25_PRESETS["lleqa"].k1 == 2.5 and BM25_PRESETS["lleqa"].b == 0.2
+    assert BM25_PRESETS["mmarco"].k1 == 0.9 and BM25_PRESETS["mmarco"].b == 0.4
+    assert TRAIN_PRESETS[("colbert", "mmarco")].extra["dim"] == 128
+    assert TRAIN_PRESETS[("splade", "mmarco")].steps == 100_000
+    assert len(HYBRID_COMBOS) == 11
+    sweep = list(hybrid_sweep())
+    assert len(sweep) == 11 * (2 + 3)
+
+
+def test_cli_bm25_evaluate(tmp_path, fixture_path):
+    run(["bm25", "--task", "evaluate"], tmp_path, fixture_path)
+    perf = json.load(open(tmp_path / "performance_bm25_lleqa_dev.json"))
+    assert perf["recall@5"] == 1.0  # lexical queries hit their articles
+
+
+def test_cli_bm25_negatives(tmp_path, fixture_path):
+    run(["bm25", "--task", "negatives", "--num_negatives", "2"], tmp_path, fixture_path)
+    negs = json.load(open(tmp_path / "negatives_bm25.json"))
+    assert set(negs) == {"1", "2", "3"}
+    assert 10 not in negs["1"]
+
+
+def test_cli_dpr_train_and_test(tmp_path, fixture_path):
+    run(["dpr", "--task", "train", "--steps", "3", "--log_every", "1"], tmp_path, fixture_path)
+    assert os.path.isdir(tmp_path / "final")
+    run(
+        ["dpr", "--task", "test", "--model_path", str(tmp_path / "final")],
+        tmp_path, fixture_path,
+    )
+
+
+def test_cli_splade_train(tmp_path, fixture_path):
+    run(
+        ["splade", "--task", "train", "--steps", "3", "--splade_variant", "spladev2"],
+        tmp_path, fixture_path,
+    )
+    assert os.path.isdir(tmp_path / "final")
+
+
+def test_cli_colbert_index_and_test(tmp_path, fixture_path):
+    run(["colbert", "--task", "index"], tmp_path, fixture_path)
+    assert os.path.exists(tmp_path / "index" / "token_index.npz")
+    run(["colbert", "--task", "test"], tmp_path, fixture_path)
+    assert os.path.exists(tmp_path / "performance_colbert.json")
+
+
+def test_cli_colbert_train(tmp_path, fixture_path):
+    run(["colbert", "--task", "train", "--steps", "2"], tmp_path, fixture_path)
+    assert os.path.isdir(tmp_path / "final")
+
+
+def test_cli_monobert_train_test(tmp_path, fixture_path):
+    run(["monobert", "--task", "train", "--steps", "2"], tmp_path, fixture_path)
+    run(["monobert", "--task", "test", "--model_path", str(tmp_path / "final")], tmp_path, fixture_path)
+
+
+def test_cli_hybrid_full(tmp_path, fixture_path):
+    run(
+        ["hybrid", "--run_bm25", "--run_dpr", "--run_splade", "--fusion", "rrf"],
+        tmp_path, fixture_path,
+    )
+    perf = json.load(open(tmp_path / "performance_hybrid.json"))
+    assert "recall@100" in perf
+
+
+def test_cli_hybrid_nsf_tuning(tmp_path, fixture_path):
+    run(
+        [
+            "hybrid", "--run_bm25", "--run_dpr", "--fusion", "nsf",
+            "--normalization", "min-max", "--tune_linear_fusion_weight",
+            "--weight_step", "0.5",
+        ],
+        tmp_path, fixture_path,
+    )
+    assert os.path.exists(tmp_path / "nsf_min-max_tuning.csv")
