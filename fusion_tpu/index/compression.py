@@ -1,0 +1,285 @@
+"""Residual-compressed ColBERT token index.
+
+TPU-native equivalent of colbert-ai's compressed index (the reference
+builds it through faiss k-means + CUDA residual codecs: nbits=2,
+kmeans_niters=4 — scripts/run_colbert.sh:34-36, SURVEY §2.4):
+
+  * ``kmeans``     — Lloyd iterations entirely on device: assignment is an
+                     argmax over an MXU matmul, the update a segment-sum
+                     (replaces faiss);
+  * compression    — every token vector is stored as its nearest centroid id
+                     plus a per-dimension residual quantized to ``nbits``
+                     against global quantile cutoffs (colbert-ai's scheme),
+                     bit-packed into uint8;
+  * decompression  — gather centroid + unpack codes + bucket-weight lookup,
+                     fused by XLA into the MaxSim scoring pass so full
+                     vectors never materialize in HBM.
+
+Memory at D=128, nbits=2: 32 B residual + 4 B centroid id + mask ≈ 37 B
+per token vs 256 B bf16 uncompressed (~7×), matching the reference's
+"equal index memory" knob.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusion_tpu.core.ranked import RankedLists
+from fusion_tpu.ops.topk import blockwise_topk
+
+
+# ----------------------------------------------------------------------
+# k-means (Lloyd) on device
+# ----------------------------------------------------------------------
+def _kmeanspp_init(x: jax.Array, k: int, key: jax.Array) -> jax.Array:
+    """k-means++ seeding: each next centroid sampled ∝ squared distance to
+    the nearest already-chosen one (avoids Lloyd's duplicate-init minima)."""
+    n, d = x.shape
+    key0, key_rest = jax.random.split(key)
+    first = x[jax.random.randint(key0, (), 0, n)]
+    buf = jnp.zeros((k, d), x.dtype).at[0].set(first)
+    mindist = ((x - first) ** 2).sum(-1)
+
+    def body(carry, inp):
+        buf, mindist = carry
+        i, key_i = inp
+        idx = jax.random.categorical(key_i, jnp.log(jnp.maximum(mindist, 1e-30)))
+        c = x[idx]
+        buf = jax.lax.dynamic_update_index_in_dim(buf, c, i, axis=0)
+        mindist = jnp.minimum(mindist, ((x - c) ** 2).sum(-1))
+        return (buf, mindist), None
+
+    keys = jax.random.split(key_rest, max(k - 1, 1))
+    (buf, _), _ = jax.lax.scan(body, (buf, mindist), (jnp.arange(1, k), keys[: k - 1]))
+    return buf
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans(x: jax.Array, k: int, iters: int = 4, seed: int = 0) -> jax.Array:
+    """Lloyd k-means over rows of x [N, D] → centroids [k, D].
+
+    Init: random sample of points. Assignment via one [N, D] × [D, k]
+    matmul per iteration (argmin ||x-c||² = argmax x·c − ||c||²/2); update
+    via segment-sum. Empty clusters keep their previous centroid.
+    """
+    n = x.shape[0]
+    key = jax.random.PRNGKey(seed)
+    centroids = _kmeanspp_init(x, k, key)
+
+    def step(centroids, _):
+        logits = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
+        logits = logits - 0.5 * (centroids * centroids).sum(-1)[None, :]
+        assign = jnp.argmax(logits, axis=-1)
+        sums = jax.ops.segment_sum(x, assign, num_segments=k)
+        counts = jax.ops.segment_sum(jnp.ones((n,), x.dtype), assign, num_segments=k)
+        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centroids)
+        # re-seed empty clusters with the points farthest from their
+        # assigned centroid (prevents Lloyd stalls from duplicate inits)
+        dists = (x * x).sum(-1) - 2.0 * jnp.take_along_axis(logits, assign[:, None], axis=-1)[:, 0]
+        far_order = jnp.argsort(-dists)
+        empty = counts == 0
+        slot = jnp.clip(jnp.cumsum(empty) - 1, 0, n - 1)
+        repl = x[far_order[slot]]
+        new = jnp.where(empty[:, None], repl, new)
+        return new, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    return centroids
+
+
+def assign_centroids(x: jax.Array, centroids: jax.Array) -> jax.Array:
+    logits = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
+    logits = logits - 0.5 * (centroids * centroids).sum(-1)[None, :]
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+# ----------------------------------------------------------------------
+# residual codec
+# ----------------------------------------------------------------------
+def _pack_codes(codes: np.ndarray, nbits: int) -> np.ndarray:
+    """[..., D] small ints → [..., D*nbits/8] uint8."""
+    per_byte = 8 // nbits
+    shape = codes.shape
+    flat = codes.reshape(-1, shape[-1]).astype(np.uint8)
+    packed = np.zeros((flat.shape[0], shape[-1] // per_byte), dtype=np.uint8)
+    for j in range(per_byte):
+        packed |= flat[:, j::per_byte] << (j * nbits)
+    return packed.reshape(*shape[:-1], shape[-1] // per_byte)
+
+
+def _unpack_codes_jnp(packed: jax.Array, nbits: int, d: int) -> jax.Array:
+    """uint8 [..., D*nbits/8] → int32 codes [..., D] (jit-safe)."""
+    per_byte = 8 // nbits
+    mask = (1 << nbits) - 1
+    parts = [
+        ((packed >> (j * nbits)) & mask).astype(jnp.int32) for j in range(per_byte)
+    ]
+    # interleave back: packed[:, i] held codes for dims i*per_byte + j
+    stacked = jnp.stack(parts, axis=-1)  # [..., D/per_byte, per_byte]
+    return stacked.reshape(*packed.shape[:-1], d)
+
+
+class CompressedTokenIndex(NamedTuple):
+    centroids: jax.Array  # [C, D] f32
+    centroid_ids: jax.Array  # [N, Ld] int32
+    codes: jax.Array  # [N, Ld, D*nbits/8] uint8
+    mask: jax.Array  # [N, Ld] f32
+    bucket_weights: jax.Array  # [2^nbits] f32 (reconstruction values)
+    nbits: int
+
+    @property
+    def num_docs(self) -> int:
+        return self.centroid_ids.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.centroids.shape[-1]
+
+    def nbytes(self) -> int:
+        return sum(
+            np.asarray(a).nbytes
+            for a in (self.centroids, self.centroid_ids, self.codes, self.bucket_weights)
+        )
+
+    def decompress(self, doc_slice: jax.Array, code_slice: jax.Array) -> jax.Array:
+        """(centroid_ids [B, Ld], codes [B, Ld, D/p]) → tokens [B, Ld, D]."""
+        base = self.centroids[doc_slice]  # [B, Ld, D]
+        codes = _unpack_codes_jnp(code_slice, self.nbits, self.dim)
+        return base + self.bucket_weights[codes]
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(path, "compressed_index.npz"),
+            centroids=np.asarray(self.centroids, dtype=np.float16),
+            centroid_ids=np.asarray(self.centroid_ids),
+            codes=np.asarray(self.codes),
+            mask=np.asarray(self.mask, dtype=np.int8),
+            bucket_weights=np.asarray(self.bucket_weights),
+            nbits=np.array([self.nbits]),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "CompressedTokenIndex":
+        z = np.load(os.path.join(path, "compressed_index.npz"))
+        return cls(
+            centroids=jnp.asarray(z["centroids"], dtype=jnp.float32),
+            centroid_ids=jnp.asarray(z["centroid_ids"]),
+            codes=jnp.asarray(z["codes"]),
+            mask=jnp.asarray(z["mask"], dtype=jnp.float32),
+            bucket_weights=jnp.asarray(z["bucket_weights"]),
+            nbits=int(z["nbits"][0]),
+        )
+
+
+def compress_token_index(
+    tokens: jax.Array,  # [N, Ld, D] (normalized token embeddings)
+    mask: jax.Array,  # [N, Ld]
+    num_centroids: int | None = None,
+    nbits: int = 2,
+    kmeans_iters: int = 4,
+    sample_size: int = 262_144,
+    seed: int = 0,
+) -> CompressedTokenIndex:
+    """Build the residual-compressed index from a raw token matrix.
+
+    ``num_centroids`` defaults to colbert-ai's heuristic
+    16·sqrt(#tokens) rounded to a power of two.
+    """
+    n, ld, d = tokens.shape
+    assert 8 % nbits == 0
+    flat = tokens.reshape(-1, d).astype(jnp.float32)
+    valid = np.asarray(mask).reshape(-1) > 0
+    valid_idx = np.nonzero(valid)[0]
+    n_tokens = max(len(valid_idx), 1)
+
+    if num_centroids is None:
+        num_centroids = int(2 ** np.ceil(np.log2(max(16 * np.sqrt(n_tokens), 2))))
+        num_centroids = min(num_centroids, n_tokens)
+
+    rng = np.random.default_rng(seed)
+    sample_idx = rng.choice(valid_idx, size=min(sample_size, n_tokens), replace=False)
+    sample = flat[jnp.asarray(sample_idx)]
+    centroids = kmeans(sample, k=num_centroids, iters=kmeans_iters, seed=seed)
+
+    # assign + residuals in chunks to bound memory
+    chunk = 1 << 18
+    assigns, residual_chunks = [], []
+    for start in range(0, flat.shape[0], chunk):
+        xs = flat[start : start + chunk]
+        a = assign_centroids(xs, centroids)
+        assigns.append(np.asarray(a))
+        residual_chunks.append(np.asarray(xs - centroids[a]))
+    assign = np.concatenate(assigns)
+    residuals = np.concatenate(residual_chunks)
+
+    # global quantile cutoffs over valid residual values (colbert-ai scheme:
+    # 2^nbits buckets with quantile boundaries, reconstruction = bucket mean)
+    levels = 1 << nbits
+    vals = residuals[valid].ravel()
+    if vals.size == 0:
+        vals = np.zeros(1, dtype=np.float32)
+    cutoffs = np.quantile(vals, np.linspace(0, 1, levels + 1)[1:-1])
+    codes = np.searchsorted(cutoffs, residuals).astype(np.uint8)
+    bucket_weights = np.zeros(levels, dtype=np.float32)
+    flat_codes = codes.ravel()
+    vals_all = residuals.ravel()
+    for b in range(levels):
+        sel = flat_codes == b
+        bucket_weights[b] = vals_all[sel].mean() if sel.any() else 0.0
+
+    packed = _pack_codes(codes.reshape(n, ld, d), nbits)
+    return CompressedTokenIndex(
+        centroids=centroids,
+        centroid_ids=jnp.asarray(assign.reshape(n, ld), dtype=jnp.int32),
+        codes=jnp.asarray(packed),
+        mask=jnp.asarray(mask, dtype=jnp.float32),
+        bucket_weights=jnp.asarray(bucket_weights),
+        nbits=nbits,
+    )
+
+
+# ----------------------------------------------------------------------
+# search over the compressed index
+# ----------------------------------------------------------------------
+def maxsim_search_compressed(
+    q_tokens: jax.Array,
+    q_mask: jax.Array,
+    index: CompressedTokenIndex,
+    k: int = 1000,
+    doc_block: int = 512,
+) -> RankedLists:
+    """Streaming MaxSim with on-the-fly block decompression.
+
+    Per block: gather centroid ids + packed codes, reconstruct [B, Ld, D]
+    in registers/VMEM (XLA fuses the gather+unpack+add into the einsum
+    producers), score, merge top-k. The full token matrix never exists.
+    """
+    from fusion_tpu.ops.maxsim import maxsim_scores
+
+    n = index.num_docs
+    q = q_tokens.shape[0]
+    doc_block = min(doc_block, n)
+    num_blocks = -(-n // doc_block)
+    k = min(k, n)
+
+    def block_scores(bi):
+        start = bi * doc_block
+        real_start = jnp.minimum(start, n - doc_block)
+        cid = jax.lax.dynamic_slice_in_dim(index.centroid_ids, real_start, doc_block, axis=0)
+        codes = jax.lax.dynamic_slice_in_dim(index.codes, real_start, doc_block, axis=0)
+        m_blk = jax.lax.dynamic_slice_in_dim(index.mask, real_start, doc_block, axis=0)
+        d_blk = index.decompress(cid, codes)
+        scores = maxsim_scores(q_tokens, q_mask, d_blk, m_blk)
+        ids = real_start + jnp.arange(doc_block, dtype=jnp.int32)
+        fresh = ids >= start
+        scores = jnp.where(fresh[None, :], scores, -jnp.inf)
+        return scores, jnp.broadcast_to(ids, (q, doc_block))
+
+    return blockwise_topk(block_scores, num_blocks, q, k)

@@ -188,19 +188,49 @@ class ColBERT:
             mask=jnp.asarray(masks, dtype=jnp.float32),
         )
 
+    def index_compressed(
+        self,
+        documents: Sequence[str],
+        batch_size: int = 32,
+        pad_docs_to: int = 128,
+        nbits: int = 2,
+        kmeans_iters: int = 4,
+        num_centroids: int | None = None,
+    ):
+        """Residual-compressed index (reference nbits=2, kmeans_niters=4,
+        run_colbert.sh:34-36) — ~7x smaller than the bf16 token matrix."""
+        from fusion_tpu.index.compression import compress_token_index
+
+        raw = self.index(documents, batch_size=batch_size, pad_docs_to=pad_docs_to)
+        return compress_token_index(
+            raw.tokens.astype(jnp.float32),
+            raw.mask,
+            nbits=nbits,
+            kmeans_iters=kmeans_iters,
+            num_centroids=num_centroids,
+        )
+
     def search(
         self,
         queries: Sequence[str],
-        index: TokenIndex,
+        index,
         k: int = 1000,
         batch_size: int = 32,
         doc_block: int = 1024,
         use_pallas: bool = True,
     ) -> RankedLists:
         q_tok, q_mask = self.encode_queries(queries, batch_size=batch_size)
+        q_tok = jnp.asarray(q_tok)
+        q_mask = jnp.asarray(q_mask.astype(np.float32))
+        if not isinstance(index, TokenIndex):  # CompressedTokenIndex
+            from fusion_tpu.index.compression import maxsim_search_compressed
+
+            return maxsim_search_compressed(
+                q_tok, q_mask, index, k=k, doc_block=min(doc_block, 512)
+            )
         return maxsim_search(
-            jnp.asarray(q_tok),
-            jnp.asarray(q_mask.astype(np.float32)),
+            q_tok,
+            q_mask,
             index.tokens.astype(jnp.float32) if not use_pallas else index.tokens,
             index.mask,
             k=k,
