@@ -83,40 +83,55 @@ class BM25Index:
         b: float = 0.75,
         variant: str = "bm25",
         pad_multiple: int = 1024,
+        use_native: str | bool = "auto",
     ) -> "BM25Index":
         """Build from preprocessed documents (whitespace-token strings).
 
-        Host-side pass is O(total tokens); everything else lives on device.
+        Host-side pass is O(total tokens): the C++ builder
+        (fusion_tpu/native/bm25_builder.cpp) when available, a vectorized
+        numpy path otherwise. Everything downstream lives on device.
         """
         assert variant in VARIANTS, f"variant must be one of {VARIANTS}"
         n = len(corpus)
-        # vectorized host build: one global string-unique instead of
-        # per-document dict loops (O(total tokens log V))
-        tokens_per_doc = [doc.split() for doc in corpus]
-        doc_len = np.array([len(t) for t in tokens_per_doc], dtype=np.float32)
-        total = int(doc_len.sum())
-        if total:
-            vocab: dict[str, int] = {}
-            setdefault = vocab.setdefault
-            inv = np.fromiter(
-                (setdefault(t, len(vocab)) for toks in tokens_per_doc for t in toks),
-                dtype=np.int64,
-                count=total,
-            )
+
+        native_out = None
+        if use_native in ("auto", True) and n and not any("\n" in d for d in corpus):
+            from fusion_tpu import native as native_mod
+
+            native_out = native_mod.build_bm25_postings(list(corpus))
+            if native_out is None and use_native is True:
+                raise RuntimeError("native BM25 builder unavailable")
+
+        if native_out is not None:
+            vocab, entry_term, entry_doc, entry_tf, doc_len, df = native_out
             v = len(vocab)
-            doc_ids = np.repeat(np.arange(n, dtype=np.int64), doc_len.astype(np.int64))
-            # (doc, term) pair counts; sorted int keys give doc-major COO order
-            pair_keys = doc_ids * v + inv
-            uniq_pairs, counts = np.unique(pair_keys, return_counts=True)
-            entry_doc = uniq_pairs // v
-            entry_term = uniq_pairs % v
-            entry_tf = counts.astype(np.float32)
         else:
-            vocab, v = {}, 0
-            entry_term = np.zeros(0, dtype=np.int64)
-            entry_doc = np.zeros(0, dtype=np.int64)
-            entry_tf = np.zeros(0, dtype=np.float32)
-        df = np.bincount(entry_term, minlength=v) if v else np.zeros(0, dtype=np.int64)
+            # vectorized numpy fallback: dict vocab + one integer pair-unique
+            tokens_per_doc = [doc.split() for doc in corpus]
+            doc_len = np.array([len(t) for t in tokens_per_doc], dtype=np.float32)
+            total = int(doc_len.sum())
+            if total:
+                vocab: dict[str, int] = {}
+                setdefault = vocab.setdefault
+                inv = np.fromiter(
+                    (setdefault(t, len(vocab)) for toks in tokens_per_doc for t in toks),
+                    dtype=np.int64,
+                    count=total,
+                )
+                v = len(vocab)
+                doc_ids = np.repeat(np.arange(n, dtype=np.int64), doc_len.astype(np.int64))
+                # (doc, term) pair counts; sorted int keys → doc-major COO
+                pair_keys = doc_ids * v + inv
+                uniq_pairs, counts = np.unique(pair_keys, return_counts=True)
+                entry_doc = uniq_pairs // v
+                entry_term = uniq_pairs % v
+                entry_tf = counts.astype(np.float32)
+            else:
+                vocab, v = {}, 0
+                entry_term = np.zeros(0, dtype=np.int64)
+                entry_doc = np.zeros(0, dtype=np.int64)
+                entry_tf = np.zeros(0, dtype=np.float32)
+            df = np.bincount(entry_term, minlength=v) if v else np.zeros(0, dtype=np.int64)
 
         nnz = entry_term.shape[0]
         nnz_pad = max(pad_multiple, -(-nnz // pad_multiple) * pad_multiple)
