@@ -172,6 +172,91 @@ class HybridPipeline:
         )
 
     # ------------------------------------------------------------------
+    def analyze_score_distributions(
+        self,
+        results: Mapping[str, RankedLists],
+        labels: Sequence[Sequence[int]] | None = None,
+        normalization: str | None = None,
+        num_points: tuple[int, ...] = (1000, 10_000, 100_000),
+        output_dir: str | None = None,
+        tag: str = "indomain",
+        seed: int = 42,
+    ) -> dict:
+        """Per-system score distribution analysis (reference hybrid.py:363-402).
+
+        Builds (a) the pooled transformed-score sample per system, (b)
+        percentile quantile tables at several resolutions (plus one at
+        |corpus|), and (c) positive/negative labeled score rows for
+        visualization. Zero scores and the two smallest distinct values are
+        excluded from the quantile tables (hybrid.py:392).
+        """
+        import random as pyrandom
+
+        from fusion_tpu.fusion.aggregator import build_percentile_distribution, transform_scores
+
+        all_scores: dict[str, np.ndarray] = {}
+        transformed: dict[str, RankedLists] = {}
+        for system, rl in results.items():
+            t = transform_scores(rl, normalization or "none")
+            transformed[system] = t
+            valid = np.asarray(t.ids) != -1
+            all_scores[system] = np.asarray(t.scores)[valid]
+
+        distributions = {}
+        sizes = tuple(num_points) + (len(self.corpus),)
+        for n_pts in sizes:
+            distributions[n_pts] = {
+                system: build_percentile_distribution(scores, num_points=n_pts)
+                for system, scores in all_scores.items()
+            }
+
+        labeled = []
+        if labels is not None:
+            pyrandom.seed(seed)
+            all_ids = list(self.corpus.keys())
+            for qi, pos in enumerate(labels):
+                pos_set = set(pos)
+                negs = pyrandom.sample(
+                    [p for p in all_ids if p not in pos_set], k=min(len(pos), len(all_ids))
+                )
+                for label, pids in (("positive", pos), ("negative", negs)):
+                    for pid in pids:
+                        if pid not in self.id2idx:
+                            continue
+                        internal = self.id2idx[pid]
+                        row = {"label": label}
+                        for system, t in transformed.items():
+                            ids_row = np.asarray(t.ids[qi])
+                            hits = np.nonzero(ids_row == internal)[0]
+                            row[system] = float(t.scores[qi, hits[0]]) if len(hits) else 0.0
+                        labeled.append(row)
+
+        if output_dir is not None:
+            import os
+
+            from fusion_tpu.utils.loggers import write_metrics_csv
+
+            os.makedirs(output_dir, exist_ok=True)
+            for n_pts, tables in distributions.items():
+                rows = [
+                    {s: tables[s][i] for s in tables}
+                    for i in range(len(next(iter(tables.values()))))
+                ]
+                write_metrics_csv(
+                    os.path.join(
+                        output_dir,
+                        f"score_distributions_{normalization or 'raw'}_{tag}_{round(n_pts/1e3)}k.csv",
+                    ),
+                    rows,
+                )
+            if labeled:
+                write_metrics_csv(
+                    os.path.join(output_dir, f"labeled_scores_{normalization or 'raw'}_{tag}.csv"),
+                    labeled,
+                )
+        return {"all_scores": all_scores, "distributions": distributions, "labeled": labeled}
+
+    # ------------------------------------------------------------------
     def to_external_ids(self, ranked: RankedLists) -> list[list[int]]:
         return ranked.remap_ids(self.idx2id).id_lists()
 

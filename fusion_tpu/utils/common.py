@@ -11,6 +11,7 @@ reference's DeepSpeed profiler (common.py:198-218).
 from __future__ import annotations
 
 import functools
+import os
 import random
 import time
 from contextlib import contextmanager
@@ -77,3 +78,64 @@ def batchify(items, batch_size: int):
     """Yield successive fixed-size slices (last may be short)."""
     for i in range(0, len(items), batch_size):
         yield items[i : i + batch_size]
+
+
+def tsv_to_jsonl(tsv_path: str, jsonl_path: str, columns: list[str] | None = None) -> int:
+    """Convert a TSV to JSONL rows (reference common.py:143-154)."""
+    import csv
+    import json
+
+    n = 0
+    with open(tsv_path) as fin, open(jsonl_path, "w") as fout:
+        reader = csv.reader(fin, delimiter="\t")
+        for row in reader:
+            record = dict(zip(columns, row)) if columns else row
+            fout.write(json.dumps(record) + "\n")
+            n += 1
+    return n
+
+
+def convert_colbert_results_to_negatives(
+    ranking: dict[int, list[int]] | str,
+    qrels: dict[int, list[int]],
+    num_negatives: int = 10,
+) -> dict[int, list[int]]:
+    """Top-ranked non-positives per query from a ranking run — the
+    ColBERT-results → negatives converter (reference common.py:157-182).
+    Accepts an in-memory {qid: [pid,...]} dict or a ranking TSV path
+    (qid \t pid \t rank [\t score])."""
+    if isinstance(ranking, str):
+        parsed: dict[int, list[int]] = {}
+        with open(ranking) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                parsed.setdefault(int(parts[0]), []).append(int(parts[1]))
+        ranking = parsed
+    out = {}
+    for qid, preds in ranking.items():
+        pos = set(qrels.get(qid, ()))
+        out[qid] = [p for p in preds if p not in pos][:num_negatives]
+    return out
+
+
+def get_training_filepath(data_dir: str, prefix: str) -> str | None:
+    """Find an existing cached training file by prefix (common.py:185-195)."""
+    import glob
+
+    matches = sorted(glob.glob(os.path.join(data_dir, f"{prefix}*")))
+    return matches[0] if matches else None
+
+
+def push_to_hub(model_path: str, repo_id: str, token: str | None = None):  # pragma: no cover
+    """Upload a saved model directory to the HF hub (common.py:101-128).
+    No-op placeholder in zero-egress environments."""
+    try:
+        from huggingface_hub import HfApi
+
+        api = HfApi(token=token or os.getenv("HF"))
+        api.create_repo(repo_id, exist_ok=True)
+        api.upload_folder(folder_path=model_path, repo_id=repo_id)
+        return True
+    except Exception as e:
+        print(f"push_to_hub unavailable: {e}")
+        return False
