@@ -1,0 +1,299 @@
+"""Encoder-only (m)T5 for sequence classification / reranking.
+
+Flax counterpart of reference src/utils/t5.py: the reference wraps HF's
+``T5EncoderModel`` with a pooling layer (first/mean/max with mask handling,
+t5.py:30-67) and ``T5ClassificationHead`` (t5.py:70-129), and the custom
+cross-encoder constructs it for (m)T5 checkpoints
+(sentence_transformers.py:525-534).
+
+The T5 encoder here is implemented from scratch in linen: RMSNorm,
+bias-free projections, unscaled attention with shared bucketed
+relative-position bias, and either the ReLU FFN (t5 v1.0) or gated-GELU
+(v1.1/mT5). HF checkpoint import supported for locally cached weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 512
+    d_kv: int = 64
+    d_ff: int = 2048
+    num_layers: int = 6
+    num_heads: int = 8
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+    gated_ffn: bool = False  # True for t5-v1.1 / mT5
+    num_labels: int = 1
+    pooling_mode: str = "mean"  # 'first' | 'mean' | 'max' (t5.py:36-38)
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def tiny(cls, **kw) -> "T5Config":
+        defaults = dict(vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4)
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale
+
+
+def relative_position_bucket(
+    relative_position: jax.Array, num_buckets: int = 32, max_distance: int = 128
+) -> jax.Array:
+    """T5's bidirectional relative-position bucketing."""
+    num_buckets //= 2
+    ret = (relative_position > 0).astype(jnp.int32) * num_buckets
+    n = jnp.abs(relative_position)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-9)
+        / np.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class T5SelfAttention(nn.Module):
+    cfg: T5Config
+    has_relative_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, attention_mask, position_bias=None):
+        c = self.cfg
+        inner = c.num_heads * c.d_kv
+        q = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="v")(x)
+        b, t, _ = x.shape
+        q = q.reshape(b, t, c.num_heads, c.d_kv)
+        k = k.reshape(b, t, c.num_heads, c.d_kv)
+        v = v.reshape(b, t, c.num_heads, c.d_kv)
+        # T5 uses UNSCALED dot-product attention
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+
+        if self.has_relative_bias:
+            pos = jnp.arange(t)
+            rel = pos[None, :] - pos[:, None]  # memory - query
+            buckets = relative_position_bucket(
+                rel, c.relative_attention_num_buckets, c.relative_attention_max_distance
+            )
+            bias_table = self.param(
+                "relative_attention_bias",
+                nn.initializers.normal(1.0),
+                (c.relative_attention_num_buckets, c.num_heads),
+            )
+            position_bias = bias_table[buckets].transpose(2, 0, 1)[None]  # [1, H, T, T]
+        if position_bias is not None:
+            logits = logits + position_bias.astype(jnp.float32)
+
+        logits = logits + jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+        probs = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, inner)
+        out = nn.Dense(c.d_model, use_bias=False, dtype=c.dtype, name="o")(ctx)
+        return out, position_bias
+
+
+class T5Block(nn.Module):
+    cfg: T5Config
+    has_relative_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, attention_mask, position_bias=None):
+        c = self.cfg
+        h = RMSNorm(c.layer_norm_eps, name="attn_norm")(x)
+        attn, position_bias = T5SelfAttention(
+            c, has_relative_bias=self.has_relative_bias, name="attention"
+        )(h, attention_mask, position_bias)
+        x = x + attn
+        h = RMSNorm(c.layer_norm_eps, name="ffn_norm")(x)
+        if c.gated_ffn:
+            wi0 = nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi_0")(h)
+            wi1 = nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi_1")(h)
+            h = nn.gelu(wi0, approximate=True) * wi1
+        else:
+            h = nn.relu(nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi")(h))
+        h = nn.Dense(c.d_model, use_bias=False, dtype=c.dtype, name="wo")(h)
+        return x + h, position_bias
+
+
+class T5Encoder(nn.Module):
+    cfg: T5Config
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        c = self.cfg
+        x = nn.Embed(c.vocab_size, c.d_model, dtype=c.dtype, name="embed")(input_ids)
+        position_bias = None
+        for i in range(c.num_layers):
+            x, position_bias = T5Block(
+                c, has_relative_bias=(i == 0), name=f"block_{i}"
+            )(x, attention_mask, position_bias)
+        x = RMSNorm(c.layer_norm_eps, name="final_norm")(x)
+        return x
+
+
+def pool_tokens(hidden: jax.Array, attention_mask: jax.Array, mode: str) -> jax.Array:
+    """first/mean/max pooling with pad masking (reference PoolLayer,
+    t5.py:41-67)."""
+    m = attention_mask[..., None].astype(hidden.dtype)
+    if mode == "first":
+        return hidden[:, 0, :]
+    if mode == "max":
+        return jnp.where(m > 0, hidden, -1e9).max(axis=1)
+    if mode == "mean":
+        return (hidden * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1e-7)
+    raise ValueError(f"unknown pooling mode {mode!r}")
+
+
+class T5EncoderForSequenceClassification(nn.Module):
+    """Encoder → pool → (dense, tanh, out_proj) classification head —
+    HF T5ClassificationHead structure (t5.py:84-86)."""
+
+    cfg: T5Config
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, deterministic=True):
+        hidden = T5Encoder(self.cfg, name="encoder")(input_ids, attention_mask)
+        pooled = pool_tokens(hidden, attention_mask, self.cfg.pooling_mode)
+        h = nn.Dense(self.cfg.d_model, dtype=self.cfg.dtype, name="head_dense")(pooled)
+        h = jnp.tanh(h)
+        h = nn.Dropout(self.cfg.dropout)(h, deterministic=deterministic)
+        logits = nn.Dense(self.cfg.num_labels, dtype=jnp.float32, name="head_out")(
+            h.astype(jnp.float32)
+        )
+        return logits
+
+
+# MT5 shares the architecture with gated FFN
+def mt5_config(**kw) -> T5Config:
+    kw.setdefault("gated_ffn", True)
+    return T5Config(**kw)
+
+
+class T5CrossEncoder:
+    """monoT5-style pointwise reranker over (query, doc) pairs.
+
+    Drop-in alternative backbone for the cross-encoder stage (the reference
+    constructs T5EncoderForSequenceClassification inside CrossEncoderCustom
+    when given a T5/mT5 checkpoint, sentence_transformers.py:525-534).
+    """
+
+    def __init__(self, cfg: T5Config, params=None, tokenizer=None, max_length: int = 256, seed: int = 0):
+        from fusion_tpu.data.tokenization import WordHashTokenizer
+
+        self.cfg = cfg
+        self.max_length = max_length
+        self.module = T5EncoderForSequenceClassification(cfg)
+        if params is None:
+            dummy = jnp.ones((1, 4), jnp.int32)
+            params = self.module.init(jax.random.PRNGKey(seed), dummy, jnp.ones((1, 4), jnp.int32))
+        self.params = params
+        self.tokenizer = tokenizer or WordHashTokenizer(vocab_size=cfg.vocab_size)
+        self._score_jit = None
+
+    def score_tokens(self, params, input_ids, attention_mask, train: bool = False):
+        logits = self.module.apply(params, input_ids, attention_mask, deterministic=not train)
+        return logits[..., 0]
+
+    def predict(self, pairs, batch_size: int = 64, apply_sigmoid: bool = True):
+        from fusion_tpu.data.tokenization import pair_encode_simple
+
+        if self._score_jit is None:
+            self._score_jit = jax.jit(
+                lambda p, i, m: self.score_tokens(p, i, m, train=False)
+            )
+        out = []
+        for start in range(0, len(pairs), batch_size):
+            chunk = list(pairs[start : start + batch_size])
+            if hasattr(self.tokenizer, "pair"):
+                ids, mask = self.tokenizer.pair([q for q, _ in chunk], [d for _, d in chunk], self.max_length)
+            else:
+                ids, mask = pair_encode_simple(
+                    self.tokenizer, [q for q, _ in chunk], [d for _, d in chunk], self.max_length
+                )
+            logits = np.asarray(self._score_jit(self.params, jnp.asarray(ids), jnp.asarray(mask)))
+            out.append(logits)
+        logits = np.concatenate(out) if out else np.zeros(0, np.float32)
+        return 1.0 / (1.0 + np.exp(-logits)) if apply_sigmoid else logits
+
+
+def load_hf_t5_encoder_params(model_name_or_path: str, pooling_mode: str = "mean", num_labels: int = 1):
+    """Convert a locally cached HF (m)T5 checkpoint into (T5Config, params).
+
+    Classification-head params are freshly initialized (the reference also
+    trains them from scratch on top of pretrained encoders)."""
+    from transformers import AutoConfig, AutoModel
+
+    hf_cfg = AutoConfig.from_pretrained(model_name_or_path)
+    model = AutoModel.from_pretrained(model_name_or_path)
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    gated = getattr(hf_cfg, "feed_forward_proj", "relu").startswith("gated")
+    cfg = T5Config(
+        vocab_size=hf_cfg.vocab_size,
+        d_model=hf_cfg.d_model,
+        d_kv=hf_cfg.d_kv,
+        d_ff=hf_cfg.d_ff,
+        num_layers=hf_cfg.num_layers,
+        num_heads=hf_cfg.num_heads,
+        relative_attention_num_buckets=hf_cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=getattr(hf_cfg, "relative_attention_max_distance", 128),
+        gated_ffn=gated,
+        pooling_mode=pooling_mode,
+        num_labels=num_labels,
+    )
+
+    def g(k):
+        return jnp.asarray(sd[k], dtype=jnp.float32)
+
+    enc: dict = {"embed": {"embedding": g("shared.weight")}}
+    for i in range(cfg.num_layers):
+        p = f"encoder.block.{i}.layer"
+        blk = {
+            "attn_norm": {"scale": g(f"{p}.0.layer_norm.weight")},
+            "attention": {
+                "q": {"kernel": g(f"{p}.0.SelfAttention.q.weight").T},
+                "k": {"kernel": g(f"{p}.0.SelfAttention.k.weight").T},
+                "v": {"kernel": g(f"{p}.0.SelfAttention.v.weight").T},
+                "o": {"kernel": g(f"{p}.0.SelfAttention.o.weight").T},
+            },
+            "ffn_norm": {"scale": g(f"{p}.1.layer_norm.weight")},
+        }
+        if i == 0:
+            blk["attention"]["relative_attention_bias"] = g(
+                f"{p}.0.SelfAttention.relative_attention_bias.weight"
+            )
+        if gated:
+            blk["wi_0"] = {"kernel": g(f"{p}.1.DenseReluDense.wi_0.weight").T}
+            blk["wi_1"] = {"kernel": g(f"{p}.1.DenseReluDense.wi_1.weight").T}
+        else:
+            blk["wi"] = {"kernel": g(f"{p}.1.DenseReluDense.wi.weight").T}
+        blk["wo"] = {"kernel": g(f"{p}.1.DenseReluDense.wo.weight").T}
+        enc[f"block_{i}"] = blk
+    enc["final_norm"] = {"scale": g("encoder.final_layer_norm.weight")}
+
+    module = T5EncoderForSequenceClassification(cfg)
+    fresh = module.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))
+    params = {"params": {**fresh["params"], "encoder": enc}}
+    return cfg, params
