@@ -215,6 +215,39 @@ class BiEncoder:
         return dense_search(q_embs, d_embs, k=topk, similarity=self.similarity, doc_block=doc_block)
 
     # ------------------------------------------------------------------
+    # learned-sparse index (SPLADE memory parity: pruned COO, not |V|-dense)
+    # ------------------------------------------------------------------
+    def build_sparse_index(
+        self, documents: Sequence[str], prune_topk: int = 128, batch_size: int = 32
+    ):
+        """Prune each doc's activations to top-k and store COO on device."""
+        assert self.head == "splade", "sparse index is for SPLADE models"
+        from fusion_tpu.index.sparse import build_sparse_index
+
+        def batches():
+            for start in range(0, len(documents), batch_size):
+                embs = self.encode(
+                    documents[start : start + batch_size], query_mode=False, batch_size=batch_size
+                )
+                if self.similarity == "cos_sim":
+                    norms = np.linalg.norm(embs, axis=-1, keepdims=True)
+                    embs = embs / np.maximum(norms, 1e-12)
+                yield embs
+
+        return build_sparse_index(batches(), vocab_size=self.cfg.vocab_size, prune_topk=prune_topk)
+
+    def search_sparse(
+        self, queries: Sequence[str], index, topk: int = 1000, batch_size: int = 32
+    ) -> RankedLists:
+        from fusion_tpu.index.sparse import sparse_search
+        from fusion_tpu.models.heads import l2_normalize
+
+        q_embs = jnp.asarray(self.encode(queries, query_mode=True, batch_size=batch_size))
+        if self.similarity == "cos_sim":
+            q_embs = l2_normalize(q_embs)
+        return sparse_search(q_embs, index, k=topk)
+
+    # ------------------------------------------------------------------
     # persistence: config json (with version stamps, like the reference's
     # config_sparse_retrievers.json, base.py:331-342) + flax msgpack params
     # ------------------------------------------------------------------
