@@ -176,7 +176,13 @@ def make_biencoder_train_step(
     rank_loss_config: dict,
     reg_loss_config: dict | None,
     total_steps: int,
+    mesh=None,
 ):
+    """Jitted optimizer step; with ``mesh`` the batch is annotated as sharded
+    over the ``data`` axis and params follow the tensor-parallel rules —
+    XLA inserts the gradient psum (the reference runs DDP+NCCL for this,
+    colbert_ir.py:87-92)."""
+
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params):
             return biencoder_loss(
@@ -188,7 +194,32 @@ def make_biencoder_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fusion_tpu.parallel.sharding import DATA_AXIS, encoder_param_spec
+
+    def place_batch(batch: dict) -> dict:
+        shard = NamedSharding(mesh, P(DATA_AXIS, None))
+        return {k: jax.device_put(jnp.asarray(v), shard) for k, v in batch.items()}
+
+    step = jax.jit(train_step, donate_argnums=(0,))
+
+    def sharded_step(state: TrainState, batch: dict):
+        return step(state, place_batch(batch))
+
+    sharded_step.place_state = lambda state: TrainState(
+        params=jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            state.params,
+            encoder_param_spec(state.params),
+        ),
+        opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())),
+        step=state.step,
+    )
+    return sharded_step
 
 
 # ----------------------------------------------------------------------
