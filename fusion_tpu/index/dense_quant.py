@@ -1,0 +1,118 @@
+"""Int8-quantized dense corpus index.
+
+Memory/bandwidth optimization for the DPR leg (beyond the reference, which
+keeps fp16/fp32 corpus embeddings): per-row symmetric int8 quantization
+cuts the corpus matrix 4× vs f32 / 2× vs bf16, and the MXU multiplies int8
+natively. For exact-search parity the top-k candidates can be rescored
+against a small f32 reranking cache; at 768-d CamemBERT embeddings, int8
+recall@1000 loss is negligible (validated in tests on random + clustered
+data).
+
+    q ∈ f32[Q, H]  ×  C_int8[N, H] (row scales s[N])
+    scores = (q ⋅ C_int8ᵀ) * s            — one int8 matmul + row scaling
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusion_tpu.core.ranked import RankedLists
+from fusion_tpu.models.heads import l2_normalize
+from fusion_tpu.ops.topk import blockwise_topk
+
+
+class QuantizedDenseIndex(NamedTuple):
+    values: jax.Array  # int8[N, H]
+    scales: jax.Array  # f32[N] per-row dequant scale
+    normalized: bool  # True when rows were L2-normalized before quantization
+
+    @property
+    def num_docs(self) -> int:
+        return self.values.shape[0]
+
+    def nbytes(self) -> int:
+        return np.asarray(self.values).nbytes + np.asarray(self.scales).nbytes
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(path, "dense_int8.npz"),
+            values=np.asarray(self.values),
+            scales=np.asarray(self.scales),
+            normalized=np.array([self.normalized]),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "QuantizedDenseIndex":
+        z = np.load(os.path.join(path, "dense_int8.npz"))
+        return cls(
+            values=jnp.asarray(z["values"]),
+            scales=jnp.asarray(z["scales"]),
+            normalized=bool(z["normalized"][0]),
+        )
+
+
+def quantize_dense_index(
+    corpus_embs: jax.Array, similarity: str = "cos_sim"
+) -> QuantizedDenseIndex:
+    """Per-row symmetric int8: v_int8 = round(v / s), s = max|v| / 127."""
+    x = jnp.asarray(corpus_embs, dtype=jnp.float32)
+    normalized = similarity == "cos_sim"
+    if normalized:
+        x = l2_normalize(x)
+    s = jnp.abs(x).max(axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8)
+    return QuantizedDenseIndex(values=q, scales=s, normalized=normalized)
+
+
+def quantized_dense_search(
+    query_embs: jax.Array,
+    index: QuantizedDenseIndex,
+    k: int = 1000,
+    doc_block: int = 8192,
+) -> RankedLists:
+    """Blockwise exact search over the int8 corpus with streaming top-k."""
+    return _quantized_search(
+        query_embs, index.values, index.scales, bool(index.normalized), k, doc_block
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("normalized", "k", "doc_block"))
+def _quantized_search(
+    query_embs: jax.Array,
+    values: jax.Array,
+    scales: jax.Array,
+    normalized: bool,
+    k: int,
+    doc_block: int,
+) -> RankedLists:
+    n = values.shape[0]
+    q = query_embs.shape[0]
+    k = min(k, n)
+    doc_block = min(doc_block, n)
+    num_blocks = -(-n // doc_block)
+    qf = jnp.asarray(query_embs, jnp.float32)
+    if normalized:
+        qf = l2_normalize(qf)
+
+    def block_scores(bi):
+        start = bi * doc_block
+        real_start = jnp.minimum(start, n - doc_block)
+        vals = jax.lax.dynamic_slice_in_dim(values, real_start, doc_block, axis=0)
+        scales_b = jax.lax.dynamic_slice_in_dim(scales, real_start, doc_block, axis=0)
+        # dequantize-in-matmul: (q · int8ᵀ) then row scale
+        raw = jnp.dot(qf, vals.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        scores = raw * scales_b[None, :]
+        ids = real_start + jnp.arange(doc_block, dtype=jnp.int32)
+        fresh = ids >= start
+        scores = jnp.where(fresh[None, :], scores, -jnp.inf)
+        return scores, jnp.broadcast_to(ids, (q, doc_block))
+
+    return blockwise_topk(block_scores, num_blocks, q, k)
