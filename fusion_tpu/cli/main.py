@@ -159,6 +159,7 @@ def _train_biencoder(args, model, preset, rank_loss, reg_loss):
         ckpt_path=os.path.join(args.output_dir, "checkpoints"),
         ckpt_save_steps=args.ckpt_save_steps,
         seed=args.seed,
+        freeze_layers_except_last_n=getattr(args, "freeze_layers_except_last_n", None),
     )
     state, tx, schedule = init_train_state(model, cfg)
     step_fn = make_biencoder_train_step(model, tx, rank_loss, reg_loss, total_steps=steps)
@@ -186,30 +187,52 @@ def _test_biencoder(args, model):
     print(json.dumps({k: v for k, v in ev.last_scores.items()}, default=float))
 
 
-def cmd_dpr(args):
-    model, preset = _make_biencoder(args, "dense")
-    if args.model_path:
-        from fusion_tpu.models.biencoder import BiEncoder
+def _seed_loop(args, train_one):
+    """Multi-seed reruns (reference SEEDS=(42..46), run_dpr.sh:64): train
+    once per seed into a per-seed output dir."""
+    seeds = [int(s) for s in args.seeds.split(",")] if args.seeds else [args.seed]
+    base_dir = args.output_dir
+    for seed in seeds:
+        args.seed = seed
+        args.output_dir = os.path.join(base_dir, f"seed{seed}") if len(seeds) > 1 else base_dir
+        train_one()
+    args.output_dir = base_dir
 
-        model = BiEncoder.load(args.model_path)
+
+def cmd_dpr(args):
     if args.task == "train":
-        _train_biencoder(args, model, preset, {"name": "MNRLoss", "scale": 20.0}, None)
+
+        def one():
+            model, preset = _make_biencoder(args, "dense")
+            _train_biencoder(args, model, preset, {"name": "MNRLoss", "scale": 20.0}, None)
+
+        _seed_loop(args, one)
     else:
+        model, _ = _make_biencoder(args, "dense")
+        if args.model_path:
+            from fusion_tpu.models.biencoder import BiEncoder
+
+            model = BiEncoder.load(args.model_path)
         _test_biencoder(args, model)
 
 
 def cmd_splade(args):
     from fusion_tpu.models.biencoder import SPLADE_PRESETS
 
-    model, preset = _make_biencoder(args, "splade")
-    if args.model_path:
-        from fusion_tpu.models.biencoder import BiEncoder
-
-        model = BiEncoder.load(args.model_path)
     variant = SPLADE_PRESETS[args.splade_variant]
     if args.task == "train":
-        _train_biencoder(args, model, preset, variant["rank_loss"], variant["reg_loss"])
+
+        def one():
+            model, preset = _make_biencoder(args, "splade")
+            _train_biencoder(args, model, preset, variant["rank_loss"], variant["reg_loss"])
+
+        _seed_loop(args, one)
     else:
+        model, _ = _make_biencoder(args, "splade")
+        if args.model_path:
+            from fusion_tpu.models.biencoder import BiEncoder
+
+            model = BiEncoder.load(args.model_path)
         _test_biencoder(args, model)
 
 
@@ -447,6 +470,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--negs_per_query", type=int, default=1)
         sp.add_argument("--log_every", type=int, default=10)
         sp.add_argument("--ckpt_save_steps", type=int, default=None)
+        sp.add_argument("--seeds", default=None, help="comma list for multi-seed reruns")
+        sp.add_argument("--freeze_layers_except_last_n", type=int, default=None)
 
     sp = sub.add_parser("bm25")
     common(sp)

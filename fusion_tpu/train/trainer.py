@@ -64,6 +64,35 @@ class FitConfig:
     seed: int = 42
     eval_every_n_steps: int = 0
     eval_callback: Callable | None = None
+    freeze_layers_except_last_n: int | None = None
+
+
+def freeze_labels(params, num_trainable_top_layers: int) -> Any:
+    """'train'/'freeze' labels: encoder layers below the top N freeze;
+    embeddings freeze; heads stay trainable (reference freezes all but the
+    trailing parameters, splade/base.py:306-318)."""
+    import re
+
+    # find the max layer index present
+    max_layer = -1
+    for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
+        for p in path:
+            m = re.fullmatch(r"layer_(\d+)", str(getattr(p, "key", p)))
+            if m:
+                max_layer = max(max_layer, int(m.group(1)))
+    cutoff = max_layer - num_trainable_top_layers + 1
+
+    def label(path, _):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        for k in keys:
+            m = re.fullmatch(r"layer_(\d+)", k)
+            if m:
+                return "train" if int(m.group(1)) >= cutoff else "freeze"
+        if any(k == "embeddings" for k in keys):
+            return "freeze"
+        return "train"  # heads (mlm/colbert/pooler/classifier) stay live
+
+    return jax.tree_util.tree_map_with_path(label, params)
 
 
 def build_optimizer(cfg: FitConfig, params):
@@ -77,6 +106,9 @@ def build_optimizer(cfg: FitConfig, params):
         max_grad_norm=cfg.max_grad_norm,
         params=params,
     )
+    if cfg.freeze_layers_except_last_n is not None:
+        labels = freeze_labels(params, cfg.freeze_layers_except_last_n)
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx, schedule
 
 
