@@ -130,6 +130,100 @@ def maxsim_scores_pallas(
     return out
 
 
+# ----------------------------------------------------------------------
+# Pallas kernel v2: one large matmul per step, doc block reused across
+# query chunks (colbert-ai mask semantics: masked doc tokens are zero
+# vectors that legitimately participate in the max)
+# ----------------------------------------------------------------------
+def _maxsim_v2_kernel_3d(q_ref, d_ref, out_ref):
+    """q_ref [QC, D] query-token chunk; d_ref [Ld, B, D] token-major doc
+    block (masked tokens zeroed); out_ref [QC, B] per-query-token maxima.
+
+    One [QC, D] × [D, Ld·B] MXU matmul per step, then a max-reduction over
+    the token groups via static lane-aligned slices."""
+    ld, b, dd = d_ref.shape
+    dflat = d_ref[:].reshape(ld * b, dd)
+    s = jnp.dot(q_ref[:], dflat.T, preferred_element_type=jnp.float32)  # [QC, Ld*B]
+    # static tree reduction over token groups (Mosaic: no value dynamic_slice)
+    qc = s.shape[0]
+    out_ref[:] = s.reshape(qc, ld, b).max(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_docs", "q_chunk", "interpret"))
+def maxsim_token_maxima_pallas(
+    q_tokens_flat: jax.Array,  # [QL, D] (pad rows with zeros)
+    d_tokens_flat: jax.Array,  # [Ld, N, D] token-major, masked tokens zeroed
+    block_docs: int = 128,
+    q_chunk: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-(query-token, doc) maxima M [QL, N]; the caller applies the
+    query-mask sum (one [Q, QL] × [QL, N] matmul)."""
+    ql, d = q_tokens_flat.shape
+    ld, n, _ = d_tokens_flat.shape
+    assert n % block_docs == 0 and ql % q_chunk == 0
+
+    # grid order: doc block outer, query chunk inner — the doc block's VMEM
+    # copy is reused across all query chunks (pallas skips the DMA when the
+    # block index is unchanged)
+    grid = (n // block_docs, ql // q_chunk)
+    out = pl.pallas_call(
+        _maxsim_v2_kernel_3d,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_chunk, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ld, block_docs, d), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((q_chunk, block_docs), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ql, n), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ql * n * ld * d,
+            bytes_accessed=(ql * d + n * ld * d) * 2 + ql * n * 4,
+            transcendentals=0,
+        ),
+    )(q_tokens_flat, d_tokens_flat)
+    return out
+
+
+def maxsim_scores_pallas_v2(
+    q_tokens: jax.Array,  # [Q, Lq, D]
+    q_mask: jax.Array,  # [Q, Lq]
+    d_tokens: jax.Array,  # [N, Ld, D] masked tokens zeroed
+    block_docs: int = 128,
+    q_chunk: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """[Q, N] MaxSim with zeroed-mask semantics (colbert-ai: masked doc
+    tokens are zero vectors, so their similarity 0 participates in the max)."""
+    q, lq, d = q_tokens.shape
+    ql = q * lq
+    token_dtype = jnp.float32 if interpret else jnp.bfloat16
+    # pad QL up to a q_chunk multiple with zero rows
+    ql_pad = -(-ql // q_chunk) * q_chunk
+    q_flat = q_tokens.reshape(ql, d)
+    q_flat = jnp.pad(q_flat, ((0, ql_pad - ql), (0, 0))).astype(token_dtype)
+    d_tm = jnp.transpose(d_tokens, (1, 0, 2)).astype(token_dtype)  # [Ld, N, D]
+
+    maxima = maxsim_token_maxima_pallas(
+        q_flat, d_tm, block_docs=block_docs, q_chunk=q_chunk, interpret=interpret
+    )[:ql]
+    eye = jnp.eye(q, dtype=jnp.float32)
+    qm_mat = (eye[:, :, None] * q_mask[None, :, :].astype(jnp.float32)).reshape(q, ql)
+    return jnp.dot(qm_mat, maxima, preferred_element_type=jnp.float32)
+
+
+def maxsim_scores_zeromask(
+    q_tokens: jax.Array, q_mask: jax.Array, d_tokens: jax.Array
+) -> jax.Array:
+    """XLA reference for the zeroed-mask semantics (d pads are zero rows)."""
+    sim = jnp.einsum("qid,njd->qnij", q_tokens, d_tokens, preferred_element_type=jnp.float32)
+    best = sim.max(axis=-1) * q_mask[:, None, :]
+    return best.sum(axis=-1)
+
+
 def maxsim_search(
     q_tokens: jax.Array,
     q_mask: jax.Array,
@@ -138,23 +232,65 @@ def maxsim_search(
     k: int = 1000,
     doc_block: int = 1024,
     use_pallas: bool = False,
+    pallas_inner_block: int = 128,
+    pallas_outer_block: int = 65536,
 ) -> RankedLists:
-    """Streaming MaxSim top-k over the whole token corpus (jittable)."""
+    """Streaming MaxSim top-k over the whole token corpus (jittable).
+
+    Pallas path: each scan step issues ONE ``pallas_call`` whose grid streams
+    ``pallas_inner_block``-doc tiles through VMEM over a large outer block —
+    per-call overhead is amortized over ~16k docs, and only the running
+    top-k state persists between scan steps.
+    """
     n = corpus_tokens.shape[0]
     q = q_tokens.shape[0]
+    k = min(k, n)
+
+    if use_pallas:
+        # v2 kernel path: zeroed-mask semantics (colbert-ai: masked doc
+        # tokens are zero vectors). Fully-masked pad docs are demoted to
+        # -inf after scoring so corpus tail padding never ranks.
+        assert n % pallas_inner_block == 0, "pad corpus to the inner block"
+        zeroed = corpus_tokens * corpus_mask[..., None].astype(corpus_tokens.dtype)
+        doc_valid = corpus_mask.max(axis=1) > 0
+
+        outer = min(pallas_outer_block, n)
+        outer = max(outer - outer % pallas_inner_block, pallas_inner_block)
+        if n <= outer:
+            scores = maxsim_scores_pallas_v2(
+                q_tokens, q_mask, zeroed, block_docs=pallas_inner_block
+            )
+            scores = jnp.where(doc_valid[None, :], scores, -jnp.inf)
+            from fusion_tpu.core.ranked import ranked_from_scores
+
+            return ranked_from_scores(scores, k)
+
+        num_blocks = -(-n // outer)
+
+        def block_scores(bi):
+            start = bi * outer
+            real_start = jnp.minimum(start, n - outer)
+            d_blk = jax.lax.dynamic_slice_in_dim(zeroed, real_start, outer, axis=0)
+            v_blk = jax.lax.dynamic_slice_in_dim(doc_valid, real_start, outer, axis=0)
+            scores = maxsim_scores_pallas_v2(
+                q_tokens, q_mask, d_blk, block_docs=pallas_inner_block
+            )
+            ids = real_start + jnp.arange(outer, dtype=jnp.int32)
+            fresh = (ids >= start) & v_blk
+            scores = jnp.where(fresh[None, :], scores, -jnp.inf)
+            return scores, jnp.broadcast_to(ids, (q, outer))
+
+        return blockwise_topk(block_scores, num_blocks, q, k)
+
     doc_block = min(doc_block, n)
     num_blocks = -(-n // doc_block)
-    k = min(k, n)
 
     def block_scores(bi):
         start = bi * doc_block
         real_start = jnp.minimum(start, n - doc_block)
         d_blk = jax.lax.dynamic_slice_in_dim(corpus_tokens, real_start, doc_block, axis=0)
         m_blk = jax.lax.dynamic_slice_in_dim(corpus_mask, real_start, doc_block, axis=0)
-        if use_pallas:
-            scores = maxsim_scores_pallas(q_tokens, q_mask, d_blk, m_blk, block_docs=doc_block)
-        else:
-            scores = maxsim_scores(q_tokens, q_mask, d_blk, m_blk)
+        scores = maxsim_scores(q_tokens, q_mask, d_blk, m_blk)
         ids = real_start + jnp.arange(doc_block, dtype=jnp.int32)
         fresh = ids >= start
         scores = jnp.where(fresh[None, :], scores, -jnp.inf)

@@ -144,3 +144,23 @@ def test_empty_query_and_padding():
     ranked = idx.search_all([""], top_k=2)
     assert ranked.ids.shape == (1, 2)
     assert (np.asarray(ranked.ids) != PAD_ID).all()  # zero scores still rank docs
+
+
+def test_dense_impacts_device_matches_host():
+    import jax.numpy as jnp
+
+    idx = BM25Index.build(CORPUS, k1=2.5, b=0.2)
+    w_dev = np.asarray(idx.build_dense_impacts(dtype=jnp.float32, on_device=True))
+    w_host = np.asarray(idx.build_dense_impacts(dtype=jnp.float32, on_device=False))
+    np.testing.assert_allclose(w_dev, w_host, rtol=1e-5, atol=1e-6)
+
+    ranked = idx.search_dense(QUERIES, jnp.asarray(w_dev))
+    full = np.asarray(
+        idx.score_gather(*idx.encode_queries(QUERIES), jnp.float32(2.5), jnp.float32(0.2))
+    )
+    for qi in range(len(QUERIES)):
+        np.testing.assert_allclose(
+            np.asarray(ranked.scores[qi]),
+            np.sort(full[qi])[::-1][: ranked.depth],
+            rtol=1e-4, atol=1e-5,
+        )

@@ -82,3 +82,33 @@ def test_query_mask_zeroes_contribution(token_data):
     qm2[:, 0] = 0
     s2 = np.asarray(maxsim_scores(jnp.asarray(qt), jnp.asarray(qm2), jnp.asarray(dt), jnp.asarray(dm)))
     assert (s1 != s2).any()
+
+
+def test_pallas_v2_zeromask_matches_reference(token_data):
+    from fusion_tpu.ops.maxsim import maxsim_scores_pallas_v2, maxsim_scores_zeromask
+
+    qt, qm, dt, dm = token_data
+    dt_zeroed = dt * dm[..., None]
+    ref = np.asarray(
+        maxsim_scores_zeromask(jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt_zeroed))
+    )
+    got = np.asarray(
+        maxsim_scores_pallas_v2(
+            jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt_zeroed),
+            block_docs=4, q_chunk=4, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_maxsim_search_pallas_path_on_cpu_interpret(token_data):
+    # the pallas search path requires TPU for compiled mode; validate the
+    # fallback agreement between zero-mask and neg-mask semantics when all
+    # tokens are valid
+    qt, qm, dt, dm = token_data
+    full_mask = np.ones_like(dm)
+    from fusion_tpu.ops.maxsim import maxsim_scores, maxsim_scores_zeromask
+
+    a = np.asarray(maxsim_scores(jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt), jnp.asarray(full_mask)))
+    b = np.asarray(maxsim_scores_zeromask(jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt)))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
