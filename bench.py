@@ -136,18 +136,28 @@ def main():
         impacts, d_corpus, s_corpus, c_tokens, c_mask,
     )
 
+    def fetch(out):
+        # a host transfer is the only reliable completion fence on tunneled
+        # accelerators (block_until_ready may return early there)
+        return np.asarray(out[0])
+
     # warmup/compile
     t0 = time.perf_counter()
-    out = hybrid_jit(*args)
-    jax.block_until_ready(out)
+    fetch(hybrid_jit(*args))
     print(f"# hybrid compile+first run: {time.perf_counter()-t0:.1f}s")
 
-    iters = 5
+    # timing: N chained dispatches + one fetch, minus the single-call fetch
+    # baseline, to exclude the transfer round-trip from the per-call time
     t0 = time.perf_counter()
+    fetch(hybrid_jit(*args))
+    t_single = time.perf_counter() - t0
+    iters = 20
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = hybrid_jit(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    fetch(out)
+    dt = max((time.perf_counter() - t0 - t_single) / (iters - 1), 1e-9)
     qps = B / dt
 
     # ------------------------------------------------------------------
@@ -183,10 +193,10 @@ def main():
             ["dpr", "splade", "colbert"], legs, leg_params, leg_corpora
         ):
             r = leg(p, q_ids, q_mask, corp, msk)
-            jax.block_until_ready(r)  # host sync between systems, as the reference does
+            np.asarray(r.ids)  # host sync between systems, as the reference does
             results[name] = r
         fused = Aggregator.fuse(results, method="rrf", return_topk=TOPK)
-        jax.block_until_ready(fused.ids)
+        np.asarray(fused.ids)
         return fused
 
     t0 = time.perf_counter()
@@ -196,7 +206,20 @@ def main():
     for _ in range(3):
         baseline_once()
     dt_base = (time.perf_counter() - t0) / 3
-    qps_base = B / dt_base
+
+    # correct for the tunnel round-trip on this testbed: the baseline's
+    # per-system host syncs are inherent to its structure, but on local
+    # hardware they cost ~0.1 ms, not the tunnel RTT. Measure the RTT with
+    # a tiny fetch and refund it for the 6 host round-trips per batch.
+    tiny = jnp.zeros((32, 1000), jnp.float32)
+    bump = jax.jit(lambda x, i: x + i)
+    np.asarray(bump(tiny, 1))  # compile + warm the transfer path
+    t0 = time.perf_counter()
+    for i in range(8):
+        np.asarray(bump(tiny, i))
+    t_rt = (time.perf_counter() - t0) / 8
+    dt_base_adj = max(dt_base - 6 * t_rt, dt)
+    qps_base = B / dt_base_adj
 
     print(json.dumps({
         "metric": "hybrid_queries_per_sec_per_chip",
@@ -206,7 +229,9 @@ def main():
         "detail": {
             "corpus_docs": N, "batch": B, "topk": TOPK,
             "ms_per_batch_fused": round(dt * 1000, 2),
-            "ms_per_batch_reference_structure": round(dt_base * 1000, 2),
+            "ms_per_batch_reference_structure": round(dt_base_adj * 1000, 2),
+            "ms_per_batch_reference_structure_raw": round(dt_base * 1000, 2),
+            "host_roundtrip_ms": round(t_rt * 1000, 2),
             "backend": jax.default_backend(),
         },
     }))
