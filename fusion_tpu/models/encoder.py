@@ -48,6 +48,9 @@ class EncoderConfig:
     position_offset: int = 2
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    # rematerialize each transformer layer in the backward pass (trades
+    # FLOPs for activation memory — jax.checkpoint)
+    remat: bool = False
 
     @classmethod
     def tiny(cls, vocab_size: int = 128, **kw) -> "EncoderConfig":
@@ -148,10 +151,11 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, input_ids, attention_mask, deterministic=True):
         x = Embeddings(self.cfg, name="embeddings")(input_ids, attention_mask, deterministic)
+        layer_cls = (
+            nn.remat(TransformerLayer, static_argnums=(3,)) if self.cfg.remat else TransformerLayer
+        )
         for i in range(self.cfg.num_layers):
-            x = TransformerLayer(self.cfg, name=f"layer_{i}")(
-                x, attention_mask, deterministic
-            )
+            x = layer_cls(self.cfg, name=f"layer_{i}")(x, attention_mask, deterministic)
         return x
 
 
