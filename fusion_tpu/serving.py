@@ -1,0 +1,227 @@
+"""Production serving: one device-resident hybrid searcher.
+
+``HybridSearcher`` owns prebuilt indexes for any subset of the five systems
+and answers query batches with ONE jitted device program: encode (dense /
+SPLADE / ColBERT query forwards) → score all legs → fuse → top-k. The host
+only tokenizes queries and reads back [Q, k] results — this is the
+end-state of the BASELINE.json north star ("index build and query serving
+are both TPU-resident, with host only doing text I/O").
+
+The offline ``build()`` encodes the corpus once per system; indexes are
+persistable and individually optional.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusion_tpu.core.ranked import RankedLists, ranked_from_scores
+from fusion_tpu.fusion.aggregator import Aggregator
+from fusion_tpu.models.bm25 import BM25Index
+from fusion_tpu.ops.maxsim import maxsim_search
+from fusion_tpu.ops.mips import dense_search
+
+
+@dataclass
+class HybridSearcher:
+    """Serve hybrid retrieval over device-resident indexes.
+
+    systems: any of
+      'bm25'    — BM25Index (+ dense impact matrix, built on device)
+      'dpr'     — BiEncoder(head='dense') + corpus embedding matrix
+      'splade'  — BiEncoder(head='splade') + corpus activation matrix
+      'colbert' — ColBERT + TokenIndex
+    """
+
+    corpus_ids: np.ndarray
+    bm25: BM25Index | None = None
+    bm25_impacts: jax.Array | None = None
+    dense_model: object | None = None
+    dense_corpus: jax.Array | None = None
+    splade_model: object | None = None
+    splade_corpus: jax.Array | None = None
+    colbert_model: object | None = None
+    colbert_index: object | None = None
+    fusion_method: str = "rrf"
+    normalization: str | None = None
+    linear_weights: Mapping[str, float] | None = None
+    topk: int = 1000
+    # applied to queries for the lexical leg only (the neural legs take the
+    # raw text; reference preprocesses BM25 queries, hybrid.py:68-71)
+    bm25_preprocess: object | None = None
+    _jitted: dict = field(default_factory=dict, repr=False)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        corpus: Mapping[int, str],
+        bm25_docs: Sequence[str] | None = None,
+        dense_model=None,
+        splade_model=None,
+        colbert_model=None,
+        batch_size: int = 64,
+        k1: float = 2.5,
+        b: float = 0.2,
+        fusion_method: str = "rrf",
+        normalization: str | None = None,
+        linear_weights: Mapping[str, float] | None = None,
+        topk: int = 1000,
+        bm25_preprocess=None,
+    ) -> "HybridSearcher":
+        """Encode/build every requested index once (offline)."""
+        documents = list(corpus.values())
+        out = cls(
+            corpus_ids=np.asarray(list(corpus.keys()), dtype=np.int64),
+            dense_model=dense_model,
+            splade_model=splade_model,
+            colbert_model=colbert_model,
+            fusion_method=fusion_method,
+            normalization=normalization,
+            linear_weights=linear_weights,
+            topk=topk,
+            bm25_preprocess=bm25_preprocess,
+        )
+        if bm25_docs is not None:
+            out.bm25 = BM25Index.build(bm25_docs, k1=k1, b=b)
+            out.bm25_impacts = out.bm25.build_dense_impacts()
+        if dense_model is not None:
+            out.dense_corpus = jnp.asarray(
+                dense_model.encode(documents, query_mode=False, batch_size=batch_size),
+                dtype=jnp.bfloat16,
+            )
+        if splade_model is not None:
+            out.splade_corpus = jnp.asarray(
+                splade_model.encode(documents, query_mode=False, batch_size=batch_size),
+                dtype=jnp.bfloat16,
+            )
+        if colbert_model is not None:
+            out.colbert_index = colbert_model.index(documents, batch_size=batch_size)
+        return out
+
+    @property
+    def active_systems(self) -> list[str]:
+        systems = []
+        if self.bm25 is not None:
+            systems.append("bm25")
+        if self.dense_corpus is not None:
+            systems.append("dpr")
+        if self.splade_corpus is not None:
+            systems.append("splade")
+        if self.colbert_index is not None:
+            systems.append("colbert")
+        return systems
+
+    # ------------------------------------------------------------------
+    def _device_program(self, batch: int, use_pallas: bool):
+        """The fused per-batch executable (traced once per batch size)."""
+        key = (batch, use_pallas)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        topk = self.topk
+
+        def program(inputs: dict) -> tuple[jax.Array, jax.Array]:
+            results: dict[str, RankedLists] = {}
+            if self.bm25 is not None:
+                qmat = jnp.zeros(
+                    (batch, self.bm25_impacts.shape[0]), dtype=self.bm25_impacts.dtype
+                )
+                qmat = jax.vmap(lambda row, t, w: row.at[t].add(w.astype(qmat.dtype)))(
+                    qmat, inputs["bm25_terms"], inputs["bm25_weights"]
+                )
+                scores = jnp.dot(qmat, self.bm25_impacts, preferred_element_type=jnp.float32)
+                results["bm25"] = ranked_from_scores(scores, min(topk, self.bm25.n_docs))
+            if self.dense_corpus is not None:
+                q = self.dense_model.embed_tokens(
+                    self.dense_model.params, inputs["q_ids"], inputs["q_mask"]
+                )
+                results["dpr"] = dense_search(
+                    q.astype(jnp.bfloat16), self.dense_corpus, k=topk,
+                    similarity=self.dense_model.similarity,
+                )
+            if self.splade_corpus is not None:
+                q = self.splade_model.embed_tokens(
+                    self.splade_model.params, inputs["q_ids"], inputs["q_mask"]
+                )
+                results["splade"] = dense_search(
+                    q.astype(jnp.bfloat16), self.splade_corpus, k=topk,
+                    similarity=self.splade_model.similarity,
+                )
+            if self.colbert_index is not None:
+                q_tok = self.colbert_model.embed_tokens(
+                    self.colbert_model.params, inputs["cb_ids"], inputs["cb_mask"]
+                )
+                results["colbert"] = maxsim_search(
+                    q_tok.astype(jnp.bfloat16),
+                    inputs["cb_mask"].astype(jnp.float32),
+                    self.colbert_index.tokens,
+                    self.colbert_index.mask,
+                    k=topk,
+                    use_pallas=use_pallas,
+                )
+            if len(results) == 1:
+                fused = next(iter(results.values()))
+            else:
+                weights = self.linear_weights or {s: 1.0 / len(results) for s in results}
+                fused = Aggregator.fuse(
+                    results,
+                    method=self.fusion_method,
+                    normalization=self.normalization,
+                    linear_weights=weights if self.fusion_method == "nsf" else None,
+                    return_topk=topk,
+                )
+            return fused.ids, fused.scores
+
+        self._jitted[key] = jax.jit(program)
+        return self._jitted[key]
+
+    def search(
+        self,
+        queries: Sequence[str],
+        batch_size: int = 32,
+        use_pallas: bool | None = None,
+        external_ids: bool = True,
+    ) -> tuple[RankedLists, float]:
+        """Batched hybrid search. Returns (ranked lists, ms/query)."""
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        out_ids, out_scores = [], []
+        t0 = time.perf_counter()
+        for start in range(0, len(queries), batch_size):
+            chunk = list(queries[start : start + batch_size])
+            real = len(chunk)
+            while len(chunk) < batch_size and len(queries) > batch_size:
+                chunk.append("")
+            inputs = {}
+            if self.bm25 is not None:
+                bm25_chunk = (
+                    self.bm25_preprocess(chunk) if self.bm25_preprocess is not None else chunk
+                )
+                terms, weights = self.bm25.encode_queries(bm25_chunk)
+                inputs["bm25_terms"], inputs["bm25_weights"] = terms, weights
+            if self.dense_corpus is not None or self.splade_corpus is not None:
+                te = (self.dense_model or self.splade_model).text_encoder
+                ids, mask = te.encode(chunk, query_mode=True)
+                inputs["q_ids"], inputs["q_mask"] = jnp.asarray(ids), jnp.asarray(mask)
+            if self.colbert_index is not None:
+                ids, mask = self.colbert_model.text_encoder.encode(chunk, query_mode=True)
+                inputs["cb_ids"], inputs["cb_mask"] = jnp.asarray(ids), jnp.asarray(mask)
+            program = self._device_program(len(chunk), use_pallas)
+            ids, scores = program(inputs)
+            out_ids.append(np.asarray(ids)[:real])
+            out_scores.append(np.asarray(scores)[:real])
+        elapsed = time.perf_counter() - t0
+        ranked = RankedLists(
+            ids=jnp.asarray(np.concatenate(out_ids, axis=0)),
+            scores=jnp.asarray(np.concatenate(out_scores, axis=0)),
+        )
+        if external_ids:
+            ranked = ranked.remap_ids(self.corpus_ids)
+        return ranked, elapsed / max(len(queries), 1) * 1000

@@ -21,9 +21,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: repeated test runs skip recompiles
+# (XLA sub-caches stay off — their AOT results embed host CPU features and
+# spam warnings when the cache is reused on a different core type)
 jax.config.update("jax_compilation_cache_dir", "/tmp/fusion_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402,F401
 import pytest  # noqa: E402

@@ -1,0 +1,91 @@
+"""HybridSearcher serving layer: fused program vs per-system pipeline."""
+
+import numpy as np
+import pytest
+
+from fusion_tpu.data.preprocessor import TextPreprocessor
+from fusion_tpu.hybrid import HybridPipeline
+from fusion_tpu.models.biencoder import BiEncoder
+from fusion_tpu.models.colbert import ColBERT
+from fusion_tpu.models.encoder import EncoderConfig
+from fusion_tpu.serving import HybridSearcher
+
+CORPUS = {
+    11: "le chat noir dort sur le tapis du salon",
+    22: "le chien aboie fort dans le jardin",
+    33: "la voiture rouge roule sur la route",
+    44: "le tribunal rend un jugement important",
+    55: "un contrat de travail est signé",
+    66: "la loi protège les consommateurs",
+    77: "le chat gris mange une souris",
+    88: "les oiseaux chantent dans la forêt",
+}
+QUERIES = ["chat tapis", "jugement tribunal", "contrat travail"]
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = EncoderConfig.tiny(vocab_size=512)
+    return (
+        BiEncoder(cfg, head="dense", max_query_length=8, max_doc_length=16),
+        BiEncoder(cfg, head="splade", max_query_length=8, max_doc_length=16),
+        ColBERT(cfg, dim=16, max_query_length=8, max_doc_length=16),
+    )
+
+
+def test_fused_searcher_matches_pipeline(models):
+    dense, splade, colbert = models
+    prep = TextPreprocessor(spacy_model=None)
+    bm25_docs = prep.preprocess(list(CORPUS.values()))
+
+    searcher = HybridSearcher.build(
+        CORPUS,
+        bm25_docs=bm25_docs,
+        dense_model=dense,
+        splade_model=splade,
+        colbert_model=colbert,
+        batch_size=4,
+        topk=8,
+        bm25_preprocess=lambda texts: prep.preprocess(list(texts)),
+    )
+    assert searcher.active_systems == ["bm25", "dpr", "splade", "colbert"]
+    fused, latency = searcher.search(QUERIES, batch_size=4, use_pallas=False)
+    assert fused.ids.shape == (3, 8)
+    assert latency > 0
+
+    # against the step-by-step pipeline with the same inputs
+    pipeline = HybridPipeline(CORPUS, preprocessor=prep)
+    results = {
+        "bm25": pipeline.bm25_search(QUERIES, return_topk=8).ranked,
+        "dpr": pipeline.single_vector_search(QUERIES, dense, return_topk=8, batch_size=4).ranked,
+        "splade": pipeline.single_vector_search(QUERIES, splade, return_topk=8, batch_size=4).ranked,
+        "colbert": pipeline.multi_vector_search(
+            QUERIES, colbert, return_topk=8, batch_size=4, use_pallas=False
+        ).ranked,
+    }
+    expected = pipeline.fuse(results, method="rrf", return_topk=8)
+    exp_ext = pipeline.to_external_ids(expected)
+    got_ext = fused.id_lists()
+    for qi in range(3):
+        # the searcher stores bf16 indexes (serving memory layout) while the
+        # pipeline encodes f32, so near-tie ranks may swap: require the same
+        # top-1 and top-4 set
+        assert got_ext[qi][0] == exp_ext[qi][0], (qi, got_ext[qi], exp_ext[qi])
+        assert set(got_ext[qi][:4]) == set(exp_ext[qi][:4]), (qi, got_ext[qi], exp_ext[qi])
+
+
+def test_single_system_searcher(models):
+    dense, _, _ = models
+    searcher = HybridSearcher.build(CORPUS, dense_model=dense, batch_size=4, topk=5)
+    ranked, _ = searcher.search(QUERIES, batch_size=4)
+    assert ranked.ids.shape == (3, 5)
+    assert set(np.asarray(ranked.ids).ravel().tolist()) <= set(CORPUS.keys())
+
+
+def test_bm25_only_searcher():
+    prep = TextPreprocessor(spacy_model=None)
+    docs = prep.preprocess(list(CORPUS.values()))
+    searcher = HybridSearcher.build(CORPUS, bm25_docs=docs, topk=4)
+    queries = prep.preprocess(["chat tapis salon"])
+    ranked, _ = searcher.search(queries, batch_size=1)
+    assert int(np.asarray(ranked.ids)[0, 0]) == 11
