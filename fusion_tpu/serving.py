@@ -182,6 +182,45 @@ class HybridSearcher:
         self._jitted[key] = jax.jit(program)
         return self._jitted[key]
 
+    # ------------------------------------------------------------------
+    # index persistence: one directory holds every system's artifacts
+    # ------------------------------------------------------------------
+    def save_indexes(self, path: str) -> None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "corpus_ids.npy"), self.corpus_ids)
+        if self.bm25 is not None:
+            self.bm25.save(os.path.join(path, "bm25"))
+        if self.dense_corpus is not None:
+            np.save(os.path.join(path, "dense_corpus.npy"), np.asarray(self.dense_corpus, dtype=np.float16))
+        if self.splade_corpus is not None:
+            np.save(os.path.join(path, "splade_corpus.npy"), np.asarray(self.splade_corpus, dtype=np.float16))
+        if self.colbert_index is not None:
+            self.colbert_index.save(os.path.join(path, "colbert"))
+
+    def load_indexes(self, path: str) -> "HybridSearcher":
+        import os
+
+        from fusion_tpu.models.colbert import TokenIndex
+
+        self.corpus_ids = np.load(os.path.join(path, "corpus_ids.npy"))
+        if os.path.isdir(os.path.join(path, "bm25")):
+            self.bm25 = BM25Index.load(os.path.join(path, "bm25"))
+            self.bm25_impacts = self.bm25.build_dense_impacts()
+        if os.path.exists(os.path.join(path, "dense_corpus.npy")):
+            self.dense_corpus = jnp.asarray(
+                np.load(os.path.join(path, "dense_corpus.npy")), dtype=jnp.bfloat16
+            )
+        if os.path.exists(os.path.join(path, "splade_corpus.npy")):
+            self.splade_corpus = jnp.asarray(
+                np.load(os.path.join(path, "splade_corpus.npy")), dtype=jnp.bfloat16
+            )
+        if os.path.exists(os.path.join(path, "colbert", "token_index.npz")):
+            self.colbert_index = TokenIndex.load(os.path.join(path, "colbert"))
+        self._jitted.clear()
+        return self
+
     def search(
         self,
         queries: Sequence[str],

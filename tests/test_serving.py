@@ -89,3 +89,27 @@ def test_bm25_only_searcher():
     queries = prep.preprocess(["chat tapis salon"])
     ranked, _ = searcher.search(queries, batch_size=1)
     assert int(np.asarray(ranked.ids)[0, 0]) == 11
+
+
+def test_searcher_index_persistence(models, tmp_path):
+    dense, splade, colbert = models
+    prep = TextPreprocessor(spacy_model=None)
+    docs = prep.preprocess(list(CORPUS.values()))
+    searcher = HybridSearcher.build(
+        CORPUS, bm25_docs=docs, dense_model=dense, splade_model=splade,
+        colbert_model=colbert, batch_size=4, topk=5,
+        bm25_preprocess=lambda t: prep.preprocess(list(t)),
+    )
+    r1, _ = searcher.search(QUERIES, batch_size=4, use_pallas=False)
+    searcher.save_indexes(str(tmp_path))
+
+    fresh = HybridSearcher(
+        corpus_ids=np.zeros(0), dense_model=dense, splade_model=splade,
+        colbert_model=colbert, topk=5,
+        bm25_preprocess=lambda t: prep.preprocess(list(t)),
+    )
+    fresh.load_indexes(str(tmp_path))
+    assert fresh.active_systems == ["bm25", "dpr", "splade", "colbert"]
+    r2, _ = fresh.search(QUERIES, batch_size=4, use_pallas=False)
+    # fp16 round-trip of the bf16 matrices is lossless
+    np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
