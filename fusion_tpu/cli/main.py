@@ -27,6 +27,21 @@ import numpy as np
 
 
 def _load_lleqa(args):
+    """Dataset loader dispatch: LLeQA (default) or mMARCO-<lang>.
+
+    Both loaders expose load()/biencoder_sampler()/crossencoder_pairs()/
+    hard_negatives(), so every subcommand works across datasets.
+    """
+    if args.dataset.startswith("mmarco"):
+        from fusion_tpu.data.mmarco import MmarcoLoader
+
+        lang = args.dataset.split("-")[-1] if "-" in args.dataset else "fr"
+        raw = None
+        if args.fixture:
+            with open(args.fixture) as f:
+                raw = json.load(f)
+        return MmarcoLoader(lang=lang, raw=raw)
+
     from fusion_tpu.data.lleqa import LLeQALoader
 
     if args.fixture:

@@ -260,6 +260,83 @@ class MmarcoReader:
         )
 
 
+class MmarcoLoader:
+    """CLI-facing mMARCO loader with the same surface as ``LLeQALoader``.
+
+    ``raw`` fixture schema (all ids ints; JSON string keys are coerced):
+      {"corpus": {pid: text}, "train_queries": {qid: text},
+       "train_qrels": {qid: [pid]}, "dev_queries": {...}, "dev_qrels": {...},
+       "negatives": {qid: [pid, ...]}  (optional hard-negative pools)}
+    Without a fixture it falls back to ir_datasets (network / local cache).
+    """
+
+    def __init__(self, lang: str = "fr", raw: dict | None = None):
+        assert lang in MMARCO_LANGUAGES
+        self.lang = lang
+        if raw is None:  # pragma: no cover - needs network
+            corpus, dev_q, dev_r = load_mmarco_ir_datasets(lang)
+            raw = {"corpus": corpus, "dev_queries": dev_q, "dev_qrels": dev_r}
+        self.raw = raw
+
+    @staticmethod
+    def _int_keys(d):
+        return {int(k): v for k, v in (d or {}).items()}
+
+    def corpus(self) -> dict[int, str]:
+        return self._int_keys(self.raw["corpus"])
+
+    def hard_negatives(self) -> dict[int, list[int]]:
+        return {
+            qid: [int(p) for p in pids]
+            for qid, pids in self._int_keys(self.raw.get("negatives")).items()
+        }
+
+    def load(self) -> RetrievalData:
+        queries = {
+            "train": self._int_keys(self.raw.get("train_queries")),
+            "dev": self._int_keys(self.raw.get("dev_queries")),
+            "test": {},
+        }
+        qrels = {
+            "train": {
+                int(q): [int(p) for p in pids]
+                for q, pids in self._int_keys(self.raw.get("train_qrels")).items()
+            },
+            "dev": {
+                int(q): [int(p) for p in pids]
+                for q, pids in self._int_keys(self.raw.get("dev_qrels")).items()
+            },
+            "test": {},
+        }
+        return RetrievalData(corpus=self.corpus(), queries=queries, qrels=qrels)
+
+    def biencoder_sampler(self, negs_per_query: int = 1, seed: int = 42):
+        from fusion_tpu.data.datasets import TripletSampler
+
+        data = self.load()
+        return TripletSampler(
+            corpus=data.corpus,
+            queries=data.queries["train"],
+            qrels=data.qrels["train"],
+            hard_negatives=self.hard_negatives(),
+            negs_per_query=negs_per_query,
+            seed=seed,
+        )
+
+    def crossencoder_pairs(self, neg_per_pos: int = 4, seed: int = 42):
+        from fusion_tpu.data.datasets import crossencoder_pairs
+
+        data = self.load()
+        return crossencoder_pairs(
+            corpus=data.corpus,
+            queries=data.queries["train"],
+            qrels=data.qrels["train"],
+            negatives=self.hard_negatives(),
+            neg_per_pos=neg_per_pos,
+            seed=seed,
+        )
+
+
 def load_mmarco_ir_datasets(lang: str):  # pragma: no cover - needs network
     """Load corpus/dev split via ir_datasets when available (the reference's
     source, splade/mmarco.py:104-124)."""

@@ -125,3 +125,37 @@ def test_cli_hybrid_nsf_tuning(tmp_path, fixture_path):
         tmp_path, fixture_path,
     )
     assert os.path.exists(tmp_path / "nsf_min-max_tuning.csv")
+
+
+MMARCO_FIXTURE = {
+    "corpus": {str(i): f"passage t{i} t{i+1} t{i+2}" for i in range(12)},
+    "train_queries": {"0": "t0 t1", "1": "t4 t5"},
+    "train_qrels": {"0": [0], "1": [4]},
+    "dev_queries": {"2": "t8 t9", "3": "t2 t3"},
+    "dev_qrels": {"2": [8], "3": [2]},
+    "negatives": {"0": [6, 7], "1": [9]},
+}
+
+
+@pytest.fixture(scope="module")
+def mmarco_fixture_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("mm") / "mmarco.json"
+    p.write_text(json.dumps(MMARCO_FIXTURE))
+    return str(p)
+
+
+def test_cli_bm25_mmarco(tmp_path, mmarco_fixture_path):
+    main([
+        "bm25", "--task", "evaluate", "--dataset", "mmarco-fr",
+        "--fixture", mmarco_fixture_path, "--output_dir", str(tmp_path), "--tiny",
+    ])
+    perf = json.load(open(tmp_path / "performance_bm25_mmarco-fr_dev.json"))
+    assert perf["recall@5"] == 1.0  # lexical overlap is perfect by design
+
+
+def test_cli_splade_train_mmarco(tmp_path, mmarco_fixture_path):
+    main([
+        "splade", "--task", "train", "--dataset", "mmarco-fr", "--steps", "2",
+        "--fixture", mmarco_fixture_path, "--output_dir", str(tmp_path), "--tiny",
+    ])
+    assert os.path.isdir(tmp_path / "final")
