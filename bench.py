@@ -26,6 +26,7 @@ translation.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -70,7 +71,7 @@ def main():
     bm25 = BM25Index.build(docs_tokens, k1=2.5, b=0.2)
     impacts = bm25.build_dense_impacts()
     q_terms, q_weights = bm25.encode_queries(queries_tokens)
-    print(f"# bm25 index build: {time.perf_counter()-t0:.1f}s nnz={bm25.nnz}")
+    print(f"# bm25 index build: {time.perf_counter()-t0:.1f}s nnz={bm25.nnz}", file=sys.stderr)
 
     # ------------------------------------------------------------------
     # neural systems: base-shaped encoders, random weights
@@ -144,7 +145,7 @@ def main():
     # warmup/compile
     t0 = time.perf_counter()
     fetch(hybrid_jit(*args))
-    print(f"# hybrid compile+first run: {time.perf_counter()-t0:.1f}s")
+    print(f"# hybrid compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # timing: N chained dispatches + one fetch, minus the single-call fetch
     # baseline, to exclude the transfer round-trip from the per-call time
@@ -201,7 +202,7 @@ def main():
 
     t0 = time.perf_counter()
     baseline_once()
-    print(f"# baseline compile+first run: {time.perf_counter()-t0:.1f}s")
+    print(f"# baseline compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     for _ in range(3):
         baseline_once()

@@ -423,6 +423,22 @@ def cmd_hybrid(args):
     assert results, "enable at least one retrieval system"
 
     os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.analyze_score_distributions:
+        out = pipeline.analyze_score_distributions(
+            results,
+            labels=labels,
+            normalization=args.normalization,
+            output_dir=args.output_dir,
+            seed=args.seed,
+        )
+        print(json.dumps({
+            "systems": list(out["all_scores"].keys()),
+            "distribution_sizes": sorted(out["distributions"].keys()),
+            "labeled_rows": len(out["labeled"]),
+        }))
+        return
+
     distributions = None
     if args.normalization in ("percentile-rank", "normal-curve-equivalent"):
         distributions = {
@@ -534,6 +550,7 @@ def build_parser() -> argparse.ArgumentParser:
         None, "none", "min-max", "z-score", "arctan", "percentile-rank", "normal-curve-equivalent",
     ])
     sp.add_argument("--tune_linear_fusion_weight", action="store_true")
+    sp.add_argument("--analyze_score_distributions", action="store_true")
     sp.add_argument("--weight_step", type=float, default=0.05)
     sp.add_argument("--dpr_path", default=None)
     sp.add_argument("--splade_path", default=None)

@@ -159,3 +159,16 @@ def test_cli_splade_train_mmarco(tmp_path, mmarco_fixture_path):
         "--fixture", mmarco_fixture_path, "--output_dir", str(tmp_path), "--tiny",
     ])
     assert os.path.isdir(tmp_path / "final")
+
+
+def test_cli_hybrid_analyze_distributions(tmp_path, fixture_path):
+    run(
+        [
+            "hybrid", "--run_bm25", "--run_dpr",
+            "--analyze_score_distributions", "--normalization", "min-max",
+        ],
+        tmp_path, fixture_path,
+    )
+    import glob
+
+    assert glob.glob(str(tmp_path / "score_distributions_min-max_*")), os.listdir(tmp_path)
