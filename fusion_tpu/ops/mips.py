@@ -27,7 +27,7 @@ from jax import shard_map
 
 from fusion_tpu.core.ranked import RankedLists
 from fusion_tpu.models.heads import l2_normalize
-from fusion_tpu.ops.topk import blockwise_topk, merge_topk
+from fusion_tpu.ops.topk import blockwise_topk
 from fusion_tpu.parallel.sharding import INDEX_AXIS
 
 

@@ -22,7 +22,7 @@ Axes:
 from __future__ import annotations
 
 import re
-from typing import Mapping, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

@@ -27,7 +27,7 @@ grouping (splade.py:179-190).
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, NamedTuple
 
 import jax
