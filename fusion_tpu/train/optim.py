@@ -92,15 +92,36 @@ class ShampooState(NamedTuple):
     per_param: Any
 
 
-def _as_matrix(x: jax.Array) -> tuple[jax.Array, tuple]:
-    """View a param as 2-D: vectors become [1, n], rank>2 collapses tails."""
-    if x.ndim == 0:
-        return x.reshape(1, 1), x.shape
-    if x.ndim == 1:
-        return x.reshape(1, -1), x.shape
-    if x.ndim == 2:
-        return x, x.shape
-    return x.reshape(x.shape[0], -1), x.shape
+def merge_small_dims(shape: tuple[int, ...], max_dim: int) -> tuple[int, ...]:
+    """Greedily merge adjacent dims whose running product stays ≤ max_dim.
+
+    The reference's best-effort shape interpretation (optim.py:309-334):
+    e.g. (8, 8, 64) with max 128 → (64, 64); (1, 768) → (768,).
+    """
+    dims = [d for d in shape if d != 1]
+    if not dims:
+        return (1,)
+    merged = [dims[0]]
+    for d in dims[1:]:
+        if merged[-1] * d <= max_dim:
+            merged[-1] *= d
+        else:
+            merged.append(d)
+    return tuple(merged)
+
+
+def _as_matrix(x: jax.Array, max_dim: int = 128) -> tuple[jax.Array, tuple]:
+    """View a param as 2-D after small-dim merging: vectors become [1, n],
+    remaining rank>2 collapses tails."""
+    m = merge_small_dims(x.shape, max_dim)
+    xr = x.reshape(m)
+    if xr.ndim == 0:
+        return xr.reshape(1, 1), x.shape
+    if xr.ndim == 1:
+        return xr.reshape(1, -1), x.shape
+    if xr.ndim == 2:
+        return xr, x.shape
+    return xr.reshape(xr.shape[0], -1), x.shape
 
 
 def _block_pad(m: jax.Array, bs: int) -> tuple[jax.Array, tuple[int, int]]:
@@ -151,6 +172,7 @@ def shampoo(
     precondition_every: int = 10,
     start_preconditioning_step: int = 1,
     nesterov: bool = True,
+    graft_type: str = "adagrad",
 ) -> optax.GradientTransformation:
     """Blocked second-order Shampoo with AdaGrad grafting.
 
@@ -161,7 +183,7 @@ def shampoo(
 
     def init_fn(params):
         def per_param(x):
-            m, _ = _as_matrix(x)
+            m, _ = _as_matrix(x, block_size)
             mp, _ = _block_pad(m, block_size)
             nb = (mp.shape[0] // block_size) * (mp.shape[1] // block_size)
             eye = jnp.zeros((nb, block_size, block_size), dtype=jnp.float32)
@@ -187,7 +209,7 @@ def shampoo(
 
         def per_param(g, s, p):
             g32 = g.astype(jnp.float32)
-            m, orig_shape = _as_matrix(g32)
+            m, orig_shape = _as_matrix(g32, block_size)
             mp, (r0, c0) = _block_pad(m, block_size)
             gb = _to_blocks(mp, block_size)  # [nb, bs, bs]
 
@@ -211,9 +233,15 @@ def shampoo(
             pre = jnp.einsum("nab,nbc,ncd->nad", root_l, gb, root_r)
             pre_m = _from_blocks(pre, mp.shape, block_size)[:r0, :c0].reshape(orig_shape)
 
-            # adagrad grafting: magnitude from diagonal adagrad
+            # grafting: step magnitude from a first-order method
+            # (reference Graft/SGDGraft/AdagradGraft, optim.py:193-239)
             new_acc = s.adagrad + g32 * g32
-            graft = g32 / (jnp.sqrt(new_acc) + diagonal_eps)
+            if graft_type == "adagrad":
+                graft = g32 / (jnp.sqrt(new_acc) + diagonal_eps)
+            elif graft_type == "sgd":
+                graft = g32
+            else:
+                raise ValueError(f"unknown graft_type {graft_type!r}")
             graft_norm = jnp.linalg.norm(graft.ravel())
             pre_norm = jnp.linalg.norm(pre_m.ravel())
             direction = pre_m * (graft_norm / jnp.maximum(pre_norm, 1e-30))

@@ -95,3 +95,36 @@ def test_no_decay_mask():
     assert mask["layer"]["kernel"] is True
     assert mask["layer"]["bias"] is False
     assert mask["ln"]["scale"] is False
+
+
+def test_merge_small_dims():
+    from fusion_tpu.train.optim import merge_small_dims
+
+    assert merge_small_dims((8, 8, 64), 128) == (64, 64)
+    assert merge_small_dims((1, 768), 128) == (768,)
+    # 12*64 = 768 exceeds the 128 cap, so nothing merges
+    assert merge_small_dims((768, 12, 64), 128) == (768, 12, 64)
+    assert merge_small_dims((768, 12, 64), 768) == (768, 768)
+    assert merge_small_dims((2, 2, 2, 2), 16) == (16,)
+    assert merge_small_dims((), 128) == (1,)
+
+
+def test_shampoo_sgd_graft_and_merged_dims(rng):
+    # rank-3 param exercises dim merging; sgd grafting must still descend
+    w = jnp.asarray(rng.normal(size=(4, 4, 8)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(4, 4, 8)).astype(np.float32))
+    params = {"w": w}
+    tx = shampoo(0.3, block_size=16, precondition_every=2, graft_type="sgd")
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state):
+        loss, grads = jax.value_and_grad(lambda p: ((p["w"] - target) ** 2).mean())(params)
+        updates, state = tx.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    first = None
+    for _ in range(80):
+        params, state, loss = step(params, state)
+        first = first if first is not None else float(loss)
+    assert float(loss) < 0.3 * first
