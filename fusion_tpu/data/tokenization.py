@@ -176,13 +176,19 @@ class TextEncoder:
         self.do_lowercase = do_lowercase
         self.add_special_tokens = add_special_tokens
 
-    def encode(self, texts: Sequence[str], query_mode: bool) -> tuple[np.ndarray, np.ndarray]:
+    def encode(
+        self, texts: Sequence[str], query_mode: bool, pad_to: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Tokenize a batch; ``pad_to`` overrides the static max length
+        (used by length-bucketed encoding — always ≤ the mode's max)."""
         prefix = self.query_prefix if query_mode else self.doc_prefix
         if prefix:
             texts = [prefix + t for t in texts]
         if self.do_lowercase:
             texts = [t.lower() for t in texts]
         max_len = self.max_query_length if query_mode else self.max_doc_length
+        if pad_to is not None:
+            max_len = min(pad_to, max_len)
         ids, mask = self.tokenizer(
             texts, max_length=max_len, add_special_tokens=self.add_special_tokens
         )

@@ -182,19 +182,48 @@ class BiEncoder:
         query_mode: bool = True,
         batch_size: int = 32,
         convert_to_numpy: bool = True,
+        sort_by_length: bool = False,
     ):
-        """Encode texts in fixed-size batches (tail padded, then trimmed)."""
+        """Encode texts in fixed-size batches (tail padded, then trimmed).
+
+        ``sort_by_length=True`` groups inputs by approximate token length and
+        pads each batch to the smallest power-of-two bucket, cutting encoder
+        FLOPs on natural-length corpora (short docs stop paying for the full
+        max_doc_length); output order is restored.
+        """
         fn = self._get_encode_fn()
+        n = len(sentences)
+        if sort_by_length and n > batch_size:
+            order = np.argsort([len(s.split()) for s in sentences], kind="stable")
+        else:
+            order = np.arange(n)
+        max_len = (
+            self.text_encoder.max_query_length
+            if query_mode
+            else self.text_encoder.max_doc_length
+        )
+
         out = []
-        for start in range(0, len(sentences), batch_size):
-            chunk = list(sentences[start : start + batch_size])
+        for start in range(0, n, batch_size):
+            sel = order[start : start + batch_size]
+            chunk = [sentences[i] for i in sel]
             real = len(chunk)
-            while len(chunk) < batch_size and len(sentences) > batch_size:
+            while len(chunk) < batch_size and n > batch_size:
                 chunk.append("")
-            ids, mask = self.text_encoder.encode(chunk, query_mode=query_mode)
+            pad_to = None
+            if sort_by_length:
+                longest = max((len(s.split()) + 2 for s in chunk), default=1)
+                pad_to = 16
+                while pad_to < min(longest, max_len):
+                    pad_to *= 2
+            ids, mask = self.text_encoder.encode(chunk, query_mode=query_mode, pad_to=pad_to)
             embs = fn(self.params, jnp.asarray(ids), jnp.asarray(mask))
             out.append(np.asarray(embs)[:real])
         embs = np.concatenate(out, axis=0) if out else np.zeros((0, 1), np.float32)
+        if sort_by_length and n > batch_size:
+            unsort = np.empty(n, dtype=np.int64)
+            unsort[order] = np.arange(n)
+            embs = embs[unsort]
         return embs if convert_to_numpy else jnp.asarray(embs)
 
     def search(

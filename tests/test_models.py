@@ -266,3 +266,11 @@ def test_crossencoder_save_load(tiny_cfg, tmp_path):
     model2 = CrossEncoder.load(str(tmp_path / "ce"))
     s2 = model2.predict([("a", "b c d")], batch_size=1)
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_length_bucketed_encode_matches_full(tiny_cfg, rng):
+    model = BiEncoder(tiny_cfg, head="dense", max_query_length=8, max_doc_length=32)
+    docs = [" ".join(["mot"] * int(n)) for n in rng.integers(1, 28, size=17)]
+    full = model.encode(docs, query_mode=False, batch_size=4)
+    bucketed = model.encode(docs, query_mode=False, batch_size=4, sort_by_length=True)
+    np.testing.assert_allclose(bucketed, full, rtol=2e-4, atol=1e-5)
