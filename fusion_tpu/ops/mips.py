@@ -113,6 +113,53 @@ def sharded_dense_search(
     return RankedLists(ids=ids, scores=scores)
 
 
+def sharded_maxsim_search(
+    q_tokens: jax.Array,  # [Q, Lq, D]
+    q_mask: jax.Array,  # [Q, Lq]
+    corpus_tokens: jax.Array,  # [N, Ld, D] sharded over 'index'
+    corpus_mask: jax.Array,  # [N, Ld]
+    mesh: Mesh,
+    k: int = 1000,
+    doc_block: int = 1024,
+) -> RankedLists:
+    """Index-parallel ColBERT search: the token-matrix index shards over the
+    mesh ``index`` axis; each device runs the local MaxSim scan and the tiny
+    per-shard top-k lists are all-gathered and merged (the multi-chip form
+    of the reference's single-GPU IndexScorer, colbert_ir.py:211-255)."""
+    from fusion_tpu.ops.maxsim import maxsim_search
+
+    n = corpus_tokens.shape[0]
+    n_shards = mesh.shape[INDEX_AXIS]
+    assert n % n_shards == 0, "pad the token index to a multiple of the index axis"
+    shard_n = n // n_shards
+    k = min(k, shard_n)
+
+    def local(q_ref, qm_ref, c_ref, cm_ref):
+        shard_idx = jax.lax.axis_index(INDEX_AXIS)
+        local_ranked = maxsim_search(
+            q_ref, qm_ref, c_ref, cm_ref, k=k, doc_block=doc_block, use_pallas=False
+        )
+        global_ids = local_ranked.ids + shard_idx * shard_n
+        all_scores = jax.lax.all_gather(local_ranked.scores, INDEX_AXIS)
+        all_ids = jax.lax.all_gather(global_ids, INDEX_AXIS)
+        q = q_ref.shape[0]
+        merged_scores = all_scores.transpose(1, 0, 2).reshape(q, -1)
+        merged_ids = all_ids.transpose(1, 0, 2).reshape(q, -1)
+        top_scores, pos = jax.lax.top_k(merged_scores, k)
+        top_ids = jnp.take_along_axis(merged_ids, pos, axis=-1)
+        return top_ids.astype(jnp.int32), top_scores
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(INDEX_AXIS, None, None), P(INDEX_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    ids, scores = jax.jit(fn)(q_tokens, q_mask, corpus_tokens, corpus_mask)
+    return RankedLists(ids=ids, scores=scores)
+
+
 def chunked_encode_search(
     encode_fn,
     query_batches,

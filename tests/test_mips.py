@@ -74,3 +74,55 @@ def test_mesh_and_param_specs():
     sharded = shard_params(params, mesh)
     leaf = jax.tree_util.tree_leaves(sharded)[0]
     assert hasattr(leaf, "sharding")
+
+
+def test_sharded_maxsim_matches_single(rng):
+    from fusion_tpu.ops.maxsim import maxsim_search
+    from fusion_tpu.ops.mips import sharded_maxsim_search
+
+    mesh = make_mesh(data=1, model=1, index=8)
+    n, ld, d = 8 * 8, 5, 16
+    qt = rng.normal(size=(3, 4, d)).astype(np.float32)
+    ct = rng.normal(size=(n, ld, d)).astype(np.float32)
+    cm = np.ones((n, ld), dtype=np.float32)
+    cm[3, -2:] = 0
+    single = maxsim_search(
+        jnp.asarray(qt), jnp.ones((3, 4), jnp.float32), jnp.asarray(ct), jnp.asarray(cm),
+        k=6, doc_block=8,
+    )
+    sharded = sharded_maxsim_search(
+        jnp.asarray(qt), jnp.ones((3, 4), jnp.float32), jnp.asarray(ct), jnp.asarray(cm),
+        mesh, k=6, doc_block=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.scores), np.asarray(single.scores), rtol=1e-4, atol=1e-5
+    )
+    for qi in range(3):
+        assert set(np.asarray(sharded.ids)[qi].tolist()) == set(np.asarray(single.ids)[qi].tolist())
+
+
+def test_sharded_bm25_via_dense_search(rng):
+    # BM25 over the mesh: the dense impact matrix [V+1, N] transposes into
+    # the corpus matrix of sharded_dense_search with dot_score similarity
+    from fusion_tpu.models.bm25 import BM25Index
+
+    corpus = [" ".join(f"t{t}" for t in rng.integers(0, 50, size=12)) for _ in range(64)]
+    idx = BM25Index.build(corpus, k1=1.2, b=0.6)
+    impacts = idx.build_dense_impacts(dtype=jnp.float32, on_device=False)
+    queries = [" ".join(f"t{t}" for t in rng.integers(0, 50, size=4)) for _ in range(5)]
+    q_terms, q_weights = idx.encode_queries(queries)
+    qmat = np.zeros((5, impacts.shape[0]), dtype=np.float32)
+    np.add.at(
+        qmat,
+        (np.repeat(np.arange(5), q_terms.shape[1]), np.asarray(q_terms).ravel()),
+        np.asarray(q_weights).ravel(),
+    )
+
+    single = dense_search(jnp.asarray(qmat), impacts.T, k=8, similarity="dot_score", doc_block=16)
+    mesh = make_mesh(data=1, model=1, index=8)
+    sharded = sharded_dense_search(
+        jnp.asarray(qmat), impacts.T, mesh, k=8, similarity="dot_score", doc_block=8
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.scores), np.asarray(single.scores), rtol=1e-4, atol=1e-5
+    )
