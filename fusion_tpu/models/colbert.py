@@ -259,6 +259,27 @@ class ColBERT:
             f.write(serialization.to_bytes(self.params))
 
     @classmethod
+    def from_pretrained_hf(
+        cls, model_name_or_path: str, dim: int = 128, seed: int = 42, **kw
+    ) -> "ColBERT":
+        """Trunk weights from a locally cached HF checkpoint; the projection
+        head is freshly initialized (as when starting ColBERT training from
+        a plain LM checkpoint)."""
+        from fusion_tpu.data.tokenization import HFTokenizer
+        from fusion_tpu.models.encoder import load_hf_encoder_params
+
+        cfg, hf_params = load_hf_encoder_params(model_name_or_path)
+        try:
+            tokenizer = HFTokenizer(model_name_or_path)
+        except Exception:  # checkpoint without tokenizer files
+            tokenizer = None
+        model = cls(cfg, tokenizer=tokenizer, dim=dim, seed=seed, **kw)
+        params = jax.tree_util.tree_map(lambda x: x, model.params)  # copy structure
+        params["params"]["encoder"] = hf_params["params"]["encoder"]
+        model.params = params
+        return model
+
+    @classmethod
     def load(cls, path: str, tokenizer=None) -> "ColBERT":
         from flax import serialization
 

@@ -154,6 +154,27 @@ class CrossEncoder:
             f.write(serialization.to_bytes(self.params))
 
     @classmethod
+    def from_pretrained_hf(
+        cls, model_name_or_path: str, max_length: int = 256, seed: int = 42
+    ) -> "CrossEncoder":
+        """Trunk weights from a locally cached HF checkpoint; the relevance
+        head starts fresh (the reference also trains it from scratch,
+        sentence_transformers.py:550-557)."""
+        from fusion_tpu.data.tokenization import HFTokenizer
+        from fusion_tpu.models.encoder import load_hf_encoder_params
+
+        cfg, hf_params = load_hf_encoder_params(model_name_or_path)
+        try:
+            tokenizer = HFTokenizer(model_name_or_path)
+        except Exception:  # checkpoint without tokenizer files
+            tokenizer = None
+        model = cls(cfg, tokenizer=tokenizer, max_length=max_length, seed=seed)
+        params = jax.tree_util.tree_map(lambda x: x, model.params)
+        params["params"]["encoder"] = hf_params["params"]["encoder"]
+        model.params = params
+        return model
+
+    @classmethod
     def load(cls, path: str, tokenizer=None) -> "CrossEncoder":
         from flax import serialization
 

@@ -146,3 +146,17 @@ def test_t5_import_forward_parity(tiny_hf_t5):
     )
     valid = mask.astype(bool)
     np.testing.assert_allclose(out[valid], th[valid], rtol=2e-3, atol=2e-3)
+
+
+def test_colbert_and_crossencoder_hf_constructors(tiny_hf_roberta):
+    from fusion_tpu.models.colbert import ColBERT
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    path, _ = tiny_hf_roberta
+    cb = ColBERT.from_pretrained_hf(path, dim=16, max_query_length=8, max_doc_length=12)
+    toks, mask = cb.encode_queries(["une question"], batch_size=1)
+    assert toks.shape[-1] == 16
+
+    ce = CrossEncoder.from_pretrained_hf(path, max_length=16)
+    scores = ce.predict([("q", "un document")], batch_size=1)
+    assert scores.shape == (1,)
