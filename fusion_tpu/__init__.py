@@ -23,4 +23,29 @@ __version__ = "0.1.0"
 
 from fusion_tpu.core.ranked import RankedLists, PAD_ID
 
-__all__ = ["RankedLists", "PAD_ID", "__version__"]
+# Heavier public classes resolve lazily so `import fusion_tpu` stays cheap.
+_LAZY = {
+    "BM25Index": "fusion_tpu.models.bm25",
+    "BiEncoder": "fusion_tpu.models.biencoder",
+    "ColBERT": "fusion_tpu.models.colbert",
+    "CrossEncoder": "fusion_tpu.models.crossencoder",
+    "T5CrossEncoder": "fusion_tpu.models.t5",
+    "EncoderConfig": "fusion_tpu.models.encoder",
+    "Aggregator": "fusion_tpu.fusion.aggregator",
+    "HybridPipeline": "fusion_tpu.hybrid",
+    "HybridSearcher": "fusion_tpu.serving",
+    "Metrics": "fusion_tpu.eval.metrics",
+    "InformationRetrievalEvaluator": "fusion_tpu.eval.evaluators",
+    "RerankingEvaluator": "fusion_tpu.eval.evaluators",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["RankedLists", "PAD_ID", "__version__", *sorted(_LAZY)]
