@@ -113,3 +113,9 @@ def test_searcher_index_persistence(models, tmp_path):
     r2, _ = fresh.search(QUERIES, batch_size=4, use_pallas=False)
     # fp16 round-trip of the bf16 matrices is lossless
     np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
+
+
+def test_quickstart_example_runs():
+    import runpy
+
+    runpy.run_path("examples/quickstart.py", run_name="__main__")
