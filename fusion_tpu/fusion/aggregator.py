@@ -133,17 +133,46 @@ def transform_scores(
 # ----------------------------------------------------------------------
 # union aggregation: defaultdict-sum → sort + segment-sum + top-k
 # ----------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("return_topk",))
+@functools.partial(jax.jit, static_argnames=("return_topk", "max_duplicates"))
 def aggregate_scores(
-    ids_cat: jax.Array, scores_cat: jax.Array, return_topk: int
+    ids_cat: jax.Array, scores_cat: jax.Array, return_topk: int, max_duplicates: int = 0
 ) -> RankedLists:
     """Sum scores per document id across systems and rank (hybrid.py:293-307).
 
     ids_cat/scores_cat: [Q, M] concatenation over systems (pads: _ID_SENTINEL
-    / 0.0).  For each row: sort by id, segment-sum runs of equal ids, then
-    top-k over run totals.
+    / 0.0).  For each row: sort by id, sum runs of equal ids, top-k the run
+    totals.
+
+    ``max_duplicates`` = the number of systems S: every doc id occurs at most
+    once per ranked list, so after sorting each run of equal ids has length
+    ≤ S and the run sum is a fixed (S−1)-step shifted window — no scatter /
+    segment-sum (TPU scatters serialize; the window is pure VPU). Pass 0 to
+    fall back to the general segment-sum.
     """
     m = ids_cat.shape[-1]
+
+    if max_duplicates and max_duplicates >= 1:
+        order = jnp.argsort(ids_cat, axis=-1)
+        sid = jnp.take_along_axis(ids_cat, order, axis=-1)
+        ssc = jnp.take_along_axis(scores_cat, order, axis=-1)
+        total = ssc
+        for j in range(1, max_duplicates):
+            nid = jnp.concatenate(
+                [sid[:, j:], jnp.full((sid.shape[0], j), _ID_SENTINEL - 1, sid.dtype)], axis=-1
+            )
+            nsc = jnp.concatenate(
+                [ssc[:, j:], jnp.zeros((ssc.shape[0], j), ssc.dtype)], axis=-1
+            )
+            total = total + jnp.where(nid == sid, nsc, 0.0)
+        is_first = jnp.concatenate(
+            [jnp.ones((sid.shape[0], 1), bool), sid[:, 1:] != sid[:, :-1]], axis=-1
+        )
+        valid = is_first & (sid != _ID_SENTINEL)
+        final = jnp.where(valid, total, -jnp.inf)
+        top_scores, pos = jax.lax.top_k(final, return_topk)
+        top_ids = jnp.take_along_axis(sid, pos, axis=-1)
+        top_ids = jnp.where(jnp.isneginf(top_scores), PAD_ID, top_ids)
+        return RankedLists(top_ids.astype(jnp.int32), top_scores.astype(jnp.float32))
 
     def one_row(ids_row, scores_row):
         order = jnp.argsort(ids_row)
@@ -206,7 +235,8 @@ class Aggregator:
         ids_cat = jnp.where(pad, _ID_SENTINEL, ids_cat)
         scores_cat = jnp.where(pad, 0.0, scores_cat)
         k = min(return_topk, ids_cat.shape[-1])
-        return aggregate_scores(ids_cat, scores_cat, k)
+        # each doc appears at most once per system → run length ≤ #systems
+        return aggregate_scores(ids_cat, scores_cat, k, max_duplicates=len(transformed))
 
     transform_scores = staticmethod(transform_scores)
 
