@@ -76,7 +76,7 @@ def quantized_dense_search(
     query_embs: jax.Array,
     index: QuantizedDenseIndex,
     k: int = 1000,
-    doc_block: int = 8192,
+    doc_block: int = 65536,
 ) -> RankedLists:
     """Blockwise exact search over the int8 corpus with streaming top-k."""
     return _quantized_search(

@@ -232,7 +232,7 @@ class BiEncoder:
         documents: Sequence[str] | jax.Array,
         topk: int = 10,
         batch_size: int = 32,
-        doc_block: int = 8192,
+        doc_block: int = 65536,
     ) -> RankedLists:
         """Brute-force exact search (reference splade/base.py:199-251), on
         device end-to-end."""

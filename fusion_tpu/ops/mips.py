@@ -37,7 +37,7 @@ def dense_search(
     corpus_embs: jax.Array,
     k: int = 1000,
     similarity: str = "cos_sim",
-    doc_block: int = 8192,
+    doc_block: int = 65536,
 ) -> RankedLists:
     """Blockwise exact search on one device. [Q,H] × [N,H] → top-k."""
     n = corpus_embs.shape[0]
@@ -70,7 +70,7 @@ def sharded_dense_search(
     mesh: Mesh,
     k: int = 1000,
     similarity: str = "cos_sim",
-    doc_block: int = 8192,
+    doc_block: int = 65536,
 ) -> RankedLists:
     """Index-parallel exact search: corpus sharded over the ``index`` axis.
 
