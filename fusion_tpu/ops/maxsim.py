@@ -4,20 +4,26 @@ score(q, d) = Σ_{i ∈ query tokens} max_{j ∈ doc tokens} ⟨q_i, d_j⟩
 
 The reference delegates this to colbert-ai's C++/CUDA extensions
 (segmented_maxsim.cpp; SURVEY §2.4) — the main native-parity component.
-Here it is a TPU kernel:
+Here it is a TPU kernel family:
 
-  * ``maxsim_scores`` — XLA einsum reference (also the CPU/test path);
-  * ``maxsim_scores_pallas`` — Pallas TPU kernel: query token matrix stays
-    resident in VMEM, doc-token blocks stream through; the doc-token axis is
-    reduced with an MXU matmul per token-slice and a running max, and the
-    query-token sum collapses through a block-diagonal mask matmul (so both
-    reductions run on the MXU, not the VPU);
-  * ``maxsim_search`` — blockwise corpus scan with streaming top-k.
+  * ``maxsim_scores`` — XLA einsum reference with strict -1e9 masking (the
+    CPU/test path; materializes the [Q, N, Lq, Ld] similarity tensor);
+  * ``maxsim_scores_pallas`` (v1) — Pallas kernel with strict masking: a
+    small MXU matmul + running max per doc-token slice;
+  * ``maxsim_scores_pallas_v2`` — the production kernel: ONE large
+    [QC, D] × [D, Ld·B] MXU matmul per grid step, the doc-token max as a
+    reshape-reduce, the doc block's VMEM copy reused across query chunks,
+    and the query-token sum as a block-diagonal mask matmul outside the
+    kernel. Mask semantics match colbert-ai exactly: masked doc tokens are
+    ZERO vectors whose similarity 0 participates in the max (colbert-ai
+    multiplies D by the mask); fully-padded corpus-tail docs are demoted to
+    -inf by the caller;
+  * ``maxsim_search`` — corpus scan with streaming top-k (v2 on TPU, XLA
+    reference elsewhere).
 
-Token matrices are padded to static shapes [*, L, D] with 0/1 masks — doc
-pads contribute -1e9 before the max (never selected), query pads multiply by
-0 in the sum. Matches colbert-ai semantics of cosine MaxSim over normalized
-token embeddings with query mask-augmentation counted in the sum.
+Token matrices are padded to static shapes [*, L, D] with 0/1 masks; query
+pads multiply by 0 in the sum (query mask-augmentation tokens count, as in
+colbert-ai).
 """
 
 from __future__ import annotations
