@@ -1,50 +1,51 @@
-"""Sparse (SPLADE) corpus index: pruned activations in COO form on device.
+"""Sparse (SPLADE) corpus index: pruned activations, fixed-K per doc.
 
 The reference keeps SPLADE document vectors dense (|V| ≈ 32k floats per
 doc, base.py:199-251 scores them with the dense matmul path), which costs
-128 KB/doc — untenable at mMARCO scale.  Here the corpus side stores only
-the top-k pruned activations (SURVEY §7.3: pruning is required for "equal
-index memory"):
+128 KB/doc — untenable at mMARCO scale.  Here the corpus side stores each
+document's top-K pruned activations (SURVEY §7.3: pruning is required for
+"equal index memory") in a FIXED-K layout:
 
-    entry_term[nnz], entry_doc[nnz], entry_weight[nnz]   (doc-major COO)
+    entry_term[N, K] int32 (pad = vocab_size), entry_weight[N, K] f32
 
-and scoring a query batch reuses the same gather + segment-sum / blocked
-MXU-matmul machinery as BM25 — queries are themselves sparse activation
-vectors.  At topk=128, a doc costs ~1 KB (vs 128 KB dense, 64 KB bf16).
+Fixed K makes scoring scatter-free on TPU (scatters serialize; gathers
+vectorize): for a dense query-activation matrix QV [Q, V+1],
+
+    scores[q, n] = Σ_k QV[q, term[n, k]] · weight[n, k]
+
+is one gather + weighted sum per doc block, streamed with the running
+top-k. At K=128 a doc costs ~1 KB (vs 128 KB dense, 64 KB bf16).
 """
 
 from __future__ import annotations
 
+import functools
 import os
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fusion_tpu.core.ranked import RankedLists, ranked_from_scores
+from fusion_tpu.core.ranked import RankedLists
 from fusion_tpu.ops.topk import blockwise_topk
 
 
 class SparseIndex(NamedTuple):
-    entry_term: jax.Array  # int32[nnz_pad] (pad = vocab_size)
-    entry_doc: jax.Array  # int32[nnz_pad] (pad = n_docs)
-    entry_weight: jax.Array  # float32[nnz_pad] (pad = 0)
+    entry_term: jax.Array  # int32[N, K] (pad = vocab_size)
+    entry_weight: jax.Array  # float32[N, K] (pad = 0)
     n_docs: int
     vocab_size: int
     nnz: int
 
     def nbytes(self) -> int:
-        return sum(
-            np.asarray(a).nbytes for a in (self.entry_term, self.entry_doc, self.entry_weight)
-        )
+        return np.asarray(self.entry_term).nbytes + np.asarray(self.entry_weight).nbytes
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         np.savez_compressed(
             os.path.join(path, "sparse_index.npz"),
             entry_term=np.asarray(self.entry_term),
-            entry_doc=np.asarray(self.entry_doc),
             entry_weight=np.asarray(self.entry_weight, dtype=np.float16),
             meta=np.array([self.n_docs, self.vocab_size, self.nnz], dtype=np.int64),
         )
@@ -55,7 +56,6 @@ class SparseIndex(NamedTuple):
         n, v, nnz = (int(x) for x in z["meta"])
         return cls(
             entry_term=jnp.asarray(z["entry_term"]),
-            entry_doc=jnp.asarray(z["entry_doc"]),
             entry_weight=jnp.asarray(z["entry_weight"], dtype=jnp.float32),
             n_docs=n,
             vocab_size=v,
@@ -67,82 +67,86 @@ def build_sparse_index(
     doc_activations_iter,
     vocab_size: int,
     prune_topk: int = 128,
-    pad_multiple: int = 4096,
+    pad_multiple: int = 4096,  # kept for API compatibility; unused
 ) -> SparseIndex:
     """Build from an iterator of dense activation batches [B, V].
 
-    Each doc keeps its ``prune_topk`` largest activations (zeros dropped),
-    matching the reference's pruning semantics (splade.py:295-306).
+    Each doc keeps its ``prune_topk`` largest positive activations, padded
+    to exactly K slots (term=vocab_size, weight=0) — matching the
+    reference's pruning semantics (splade.py:295-306).
     """
-    terms, docs, weights = [], [], []
-    doc_id = 0
+    del pad_multiple
+    term_rows, weight_rows = [], []
+    nnz = 0
     for batch in doc_activations_iter:
         batch = np.asarray(batch)
         k = min(prune_topk, batch.shape[-1])
         idx = np.argpartition(-batch, k - 1, axis=-1)[:, :k]
         vals = np.take_along_axis(batch, idx, axis=-1)
-        for row_idx, row_vals in zip(idx, vals):
-            keep = row_vals > 0
-            order = np.argsort(row_idx[keep])
-            terms.append(row_idx[keep][order])
-            weights.append(row_vals[keep][order])
-            docs.append(np.full(keep.sum(), doc_id, dtype=np.int64))
-            doc_id += 1
-    n = doc_id
-    entry_term = np.concatenate(terms) if terms else np.zeros(0, np.int64)
-    entry_doc = np.concatenate(docs) if docs else np.zeros(0, np.int64)
-    entry_weight = (
-        np.concatenate(weights).astype(np.float32) if weights else np.zeros(0, np.float32)
-    )
-    nnz = entry_term.shape[0]
-    nnz_pad = max(pad_multiple, -(-max(nnz, 1) // pad_multiple) * pad_multiple)
-    pad = nnz_pad - nnz
-    entry_term = np.concatenate([entry_term, np.full(pad, vocab_size, np.int64)])
-    entry_doc = np.concatenate([entry_doc, np.full(pad, n, np.int64)])
-    entry_weight = np.concatenate([entry_weight, np.zeros(pad, np.float32)])
+        keep = vals > 0
+        idx = np.where(keep, idx, vocab_size)
+        vals = np.where(keep, vals, 0.0)
+        # sort terms ascending within each row (pads sort last)
+        order = np.argsort(idx, axis=-1)
+        term_rows.append(np.take_along_axis(idx, order, axis=-1))
+        weight_rows.append(np.take_along_axis(vals, order, axis=-1).astype(np.float32))
+        nnz += int(keep.sum())
+    if term_rows:
+        entry_term = np.concatenate(term_rows, axis=0)
+        entry_weight = np.concatenate(weight_rows, axis=0)
+    else:
+        entry_term = np.zeros((0, prune_topk), np.int64)
+        entry_weight = np.zeros((0, prune_topk), np.float32)
     return SparseIndex(
         entry_term=jnp.asarray(entry_term, dtype=jnp.int32),
-        entry_doc=jnp.asarray(entry_doc, dtype=jnp.int32),
         entry_weight=jnp.asarray(entry_weight),
-        n_docs=n,
+        n_docs=entry_term.shape[0],
         vocab_size=vocab_size,
         nnz=nnz,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "doc_block"))
+def _sparse_search(
+    query_activations: jax.Array,
+    entry_term: jax.Array,
+    entry_weight: jax.Array,
+    k: int,
+    doc_block: int,
+) -> RankedLists:
+    q, _ = query_activations.shape
+    n = entry_term.shape[0]
+    qv = jnp.concatenate(
+        [query_activations, jnp.zeros((q, 1), query_activations.dtype)], axis=-1
+    )  # pad column for term = vocab_size
+
+    doc_block = min(doc_block, n)
+    num_blocks = -(-n // doc_block)
+
+    def block_scores(bi):
+        start = bi * doc_block
+        real_start = jnp.minimum(start, n - doc_block)
+        terms = jax.lax.dynamic_slice_in_dim(entry_term, real_start, doc_block, axis=0)
+        weights = jax.lax.dynamic_slice_in_dim(entry_weight, real_start, doc_block, axis=0)
+        # gather: [Q, B, K] query values at each doc's term ids, then the
+        # weighted sum over K — no scatter anywhere
+        gathered = qv[:, terms]  # [Q, B, K]
+        scores = (gathered * weights[None]).sum(axis=-1)
+        ids = real_start + jnp.arange(doc_block, dtype=jnp.int32)
+        fresh = ids >= start
+        scores = jnp.where(fresh[None, :], scores, -jnp.inf)
+        return scores, jnp.broadcast_to(ids, (q, doc_block))
+
+    return blockwise_topk(block_scores, num_blocks, q, min(k, n))
 
 
 def sparse_search(
     query_activations: jax.Array,  # [Q, V] dense query activations
     index: SparseIndex,
     k: int = 1000,
-    query_chunk: int = 32,
+    query_chunk: int = 0,  # kept for API compatibility; unused
+    doc_block: int = 16384,
 ) -> RankedLists:
-    """Dot-product search: gather query values at posting terms, segment-sum
-    by doc (the BM25 gather kernel applied to learned-sparse weights)."""
-    q = query_activations.shape[0]
-    k = min(k, index.n_docs)
-
-    @jax.jit
-    def score_chunk(q_chunk):
-        qpad = jnp.concatenate(
-            [q_chunk, jnp.zeros((q_chunk.shape[0], 1), q_chunk.dtype)], axis=-1
-        )
-
-        def one(qv):
-            contrib = qv[index.entry_term] * index.entry_weight
-            scores = jax.ops.segment_sum(
-                contrib, index.entry_doc, num_segments=index.n_docs + 1
-            )
-            return scores[: index.n_docs]
-
-        scores = jax.lax.map(one, qpad)
-        return ranked_from_scores(scores, k)
-
-    out_ids, out_scores = [], []
-    for start in range(0, q, query_chunk):
-        ranked = score_chunk(query_activations[start : start + query_chunk])
-        out_ids.append(np.asarray(ranked.ids))
-        out_scores.append(np.asarray(ranked.scores))
-    return RankedLists(
-        ids=jnp.asarray(np.concatenate(out_ids, axis=0)),
-        scores=jnp.asarray(np.concatenate(out_scores, axis=0)),
-    )
+    """Dot-product search over the fixed-K pruned index (scatter-free)."""
+    del query_chunk
+    return _sparse_search(query_activations, index.entry_term, index.entry_weight, k, doc_block)
