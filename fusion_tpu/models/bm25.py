@@ -306,6 +306,62 @@ class BM25Index:
         w[term, doc] = impacts
         return jnp.asarray(w, dtype=dtype)
 
+    def to_sparse_index(self, prune_topk: int | None = None):
+        """Doc-major fixed-K impact index for the scatter-free scoring path.
+
+        Converts the COO postings into ``SparseIndex`` rows of (term,
+        impact) pairs per document — the layout that scores with one gather
+        + weighted sum per doc block (fusion_tpu/index/sparse.py). Exact
+        when ``prune_topk`` ≥ the max unique terms per doc (the default);
+        smaller values keep each doc's highest-impact terms (a standard
+        impact-ordered lossy index). Scales to corpora whose dense impact
+        matrix exceeds HBM.
+        """
+        from fusion_tpu.index.sparse import SparseIndex
+
+        term = np.asarray(self.entry_term)[: self.nnz]
+        doc = np.asarray(self.entry_doc)[: self.nnz]
+        impacts = np.asarray(self._impacts(jnp.float32(self.k1), jnp.float32(self.b)))[: self.nnz]
+        counts = np.bincount(doc, minlength=self.n_docs)
+        k = int(counts.max(initial=1)) if prune_topk is None else prune_topk
+
+        entry_term = np.full((self.n_docs, k), self.vocab_size, dtype=np.int64)
+        entry_weight = np.zeros((self.n_docs, k), dtype=np.float32)
+        # entries are doc-major: slot index within each doc via offsets
+        starts = np.zeros(self.n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.arange(self.nnz) - starts[doc]
+        if prune_topk is not None:
+            # keep each doc's top-k impacts: rank within doc by -impact
+            order = np.lexsort((-impacts, doc))
+            ranked_slot = np.empty(self.nnz, dtype=np.int64)
+            ranked_slot[order] = np.arange(self.nnz) - starts[doc[order]]
+            slot = ranked_slot
+        keep = slot < k
+        entry_term[doc[keep], slot[keep]] = term[keep]
+        entry_weight[doc[keep], slot[keep]] = impacts[keep]
+        return SparseIndex(
+            entry_term=jnp.asarray(entry_term, dtype=jnp.int32),
+            entry_weight=jnp.asarray(entry_weight),
+            n_docs=self.n_docs,
+            vocab_size=self.vocab_size,
+            nnz=int(keep.sum()),
+        )
+
+    def search_sparse(
+        self, queries: Sequence[str], sparse_index, top_k: int = 1000, doc_block: int = 16384
+    ) -> RankedLists:
+        """Score against a fixed-K impact index (gather + weighted sum)."""
+        from fusion_tpu.index.sparse import sparse_search
+
+        q_terms, q_weights = self.encode_queries(list(queries))
+        q = q_terms.shape[0]
+        qv = jnp.zeros((q, self.vocab_size), dtype=jnp.float32)
+        qv = jax.vmap(lambda row, t, w: row.at[jnp.clip(t, 0, self.vocab_size - 1)].add(
+            jnp.where(t < self.vocab_size, w, 0.0)
+        ))(qv, q_terms, q_weights)
+        return sparse_search(qv, sparse_index, k=top_k, doc_block=doc_block)
+
     def search_dense(
         self, queries: Sequence[str], impacts: jax.Array, top_k: int = 1000
     ) -> RankedLists:

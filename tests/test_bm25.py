@@ -164,3 +164,25 @@ def test_dense_impacts_device_matches_host():
             np.sort(full[qi])[::-1][: ranked.depth],
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_sparse_impact_index_matches_gather():
+    import jax.numpy as jnp
+
+    idx = BM25Index.build(CORPUS, k1=2.5, b=0.2)
+    sidx = idx.to_sparse_index()
+    ranked = idx.search_sparse(QUERIES, sidx, top_k=6)
+    full = np.asarray(
+        idx.score_gather(*idx.encode_queries(QUERIES), jnp.float32(2.5), jnp.float32(0.2))
+    )
+    for qi in range(len(QUERIES)):
+        np.testing.assert_allclose(
+            np.asarray(ranked.scores[qi]), np.sort(full[qi])[::-1][:6], rtol=1e-4, atol=1e-5
+        )
+
+    # pruned: top-2 impacts per doc — still ranks and scores <= exact
+    pruned = idx.to_sparse_index(prune_topk=2)
+    assert pruned.entry_term.shape[1] == 2
+    r2 = idx.search_sparse(QUERIES, pruned, top_k=3)
+    assert np.isfinite(np.asarray(r2.scores)).all()
+    assert (np.asarray(r2.scores) <= np.asarray(ranked.scores[:, :3]) + 1e-5).all()
