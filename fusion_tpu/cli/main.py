@@ -298,13 +298,26 @@ def cmd_colbert(args):
         return
 
     if args.task == "index":
-        index = model.index(list(data.corpus.values()), batch_size=args.batch_size)
+        if args.compressed:
+            index = model.index_compressed(
+                list(data.corpus.values()), batch_size=args.batch_size,
+                nbits=args.nbits, kmeans_iters=args.kmeans_niters,
+            )
+        else:
+            index = model.index(list(data.corpus.values()), batch_size=args.batch_size)
         index.save(index_dir)
-        print(json.dumps({"indexed_docs": len(data.corpus), "dir": index_dir}))
+        print(json.dumps({
+            "indexed_docs": len(data.corpus), "dir": index_dir,
+            "compressed": bool(args.compressed),
+        }))
         return
 
     # search / test reuse or rebuild the index (overwrite='reuse' semantics)
-    if os.path.exists(os.path.join(index_dir, "token_index.npz")):
+    from fusion_tpu.index.compression import CompressedTokenIndex
+
+    if os.path.exists(os.path.join(index_dir, "compressed_index.npz")):
+        index = CompressedTokenIndex.load(index_dir)
+    elif os.path.exists(os.path.join(index_dir, "token_index.npz")):
         index = TokenIndex.load(index_dir)
     else:
         index = model.index(list(data.corpus.values()), batch_size=args.batch_size)
@@ -530,6 +543,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--task", default="test", choices=["train", "index", "search", "test"])
     sp.add_argument("--colbert_loss", default="ce", choices=["ce", "kld"])
+    # residual compression knobs (reference run_colbert.sh:34-36)
+    sp.add_argument("--compressed", action="store_true")
+    sp.add_argument("--nbits", type=int, default=2)
+    sp.add_argument("--kmeans_niters", type=int, default=4)
     sp.set_defaults(fn=cmd_colbert)
 
     sp = sub.add_parser("monobert")

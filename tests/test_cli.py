@@ -172,3 +172,13 @@ def test_cli_hybrid_analyze_distributions(tmp_path, fixture_path):
     import glob
 
     assert glob.glob(str(tmp_path / "score_distributions_min-max_*")), os.listdir(tmp_path)
+
+
+def test_cli_colbert_compressed_index(tmp_path, fixture_path):
+    run(
+        ["colbert", "--task", "index", "--compressed", "--nbits", "2"],
+        tmp_path, fixture_path,
+    )
+    assert os.path.exists(tmp_path / "index" / "compressed_index.npz")
+    run(["colbert", "--task", "test"], tmp_path, fixture_path)
+    assert os.path.exists(tmp_path / "performance_colbert.json")
