@@ -17,9 +17,10 @@ Numeric parity notes (formulas match reference src/utils/metrics.py):
   * R-precision    = |top-R ∩ gold| / R with R = |gold|            (:112-123)
   * accuracy@k     = 1 if any hit in top-k (IR-evaluator family).
 
-The whole evaluation is one array pass over fixed-shape ``(ids, gold)``
-tensors — no per-query Python loops — and runs under ``jax.jit`` when fed
-device arrays.
+The whole evaluation is one vectorized array pass over fixed-shape
+``(ids, gold)`` tensors — no per-query Python loops. It runs host-side on
+numpy (metrics consume the final [Q, K] id arrays, which are tiny; the
+expensive retrieval/fusion work stays on device).
 """
 
 from __future__ import annotations
