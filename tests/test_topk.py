@@ -20,13 +20,12 @@ def test_blockwise_topk_covers_all_blocks(rng):
     scores = rng.normal(size=(3, 40)).astype(np.float32)
     sj = jnp.asarray(scores)
 
+    import jax
+
     def block(bi):
-        blk = jnp.stack([sj[:, i] for i in range(40)], axis=1)  # noqa - full view
         start = bi * 8
         ids = start + jnp.arange(8, dtype=jnp.int32)
         return jax.lax.dynamic_slice_in_dim(sj, start, 8, axis=1), jnp.broadcast_to(ids, (3, 8))
-
-    import jax
 
     ranked = blockwise_topk(block, num_blocks=5, num_queries=3, k=6)
     for qi in range(3):
