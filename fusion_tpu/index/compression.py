@@ -103,26 +103,31 @@ def assign_centroids(x: jax.Array, centroids: jax.Array) -> jax.Array:
 # residual codec
 # ----------------------------------------------------------------------
 def _pack_codes(codes: np.ndarray, nbits: int) -> np.ndarray:
-    """[..., D] small ints → [..., D*nbits/8] uint8."""
+    """[..., D] small ints → [..., D*nbits/8] uint8, PLANAR layout.
+
+    Byte i carries dim ``j*(D/p) + i`` at bit position ``j*nbits`` — so the
+    device-side unpack is a shift/mask + concat along the minor axis with NO
+    interleaving relayout (TPU reshapes that mix minor dims are slow).
+    """
     per_byte = 8 // nbits
     shape = codes.shape
-    flat = codes.reshape(-1, shape[-1]).astype(np.uint8)
-    packed = np.zeros((flat.shape[0], shape[-1] // per_byte), dtype=np.uint8)
+    d = shape[-1]
+    plane = d // per_byte
+    flat = codes.reshape(-1, d).astype(np.uint8)
+    packed = np.zeros((flat.shape[0], plane), dtype=np.uint8)
     for j in range(per_byte):
-        packed |= flat[:, j::per_byte] << (j * nbits)
-    return packed.reshape(*shape[:-1], shape[-1] // per_byte)
+        packed |= flat[:, j * plane : (j + 1) * plane] << (j * nbits)
+    return packed.reshape(*shape[:-1], plane)
 
 
 def _unpack_codes_jnp(packed: jax.Array, nbits: int, d: int) -> jax.Array:
-    """uint8 [..., D*nbits/8] → int32 codes [..., D] (jit-safe)."""
+    """uint8 [..., D*nbits/8] → int32 codes [..., D] (planar; jit-safe)."""
     per_byte = 8 // nbits
     mask = (1 << nbits) - 1
     parts = [
         ((packed >> (j * nbits)) & mask).astype(jnp.int32) for j in range(per_byte)
     ]
-    # interleave back: packed[:, i] held codes for dims i*per_byte + j
-    stacked = jnp.stack(parts, axis=-1)  # [..., D/per_byte, per_byte]
-    return stacked.reshape(*packed.shape[:-1], d)
+    return jnp.concatenate(parts, axis=-1)
 
 
 class CompressedTokenIndex(NamedTuple):
@@ -147,10 +152,30 @@ class CompressedTokenIndex(NamedTuple):
             for a in (self.centroids, self.centroid_ids, self.codes, self.bucket_weights)
         )
 
-    def decompress(self, doc_slice: jax.Array, code_slice: jax.Array) -> jax.Array:
-        """(centroid_ids [B, Ld], codes [B, Ld, D/p]) → tokens [B, Ld, D]."""
-        base = self.centroids[doc_slice]  # [B, Ld, D]
+    def decompress(
+        self, doc_slice: jax.Array, code_slice: jax.Array, use_onehot: bool = False
+    ) -> jax.Array:
+        """(centroid_ids [B, Ld], codes [B, Ld, D/p]) → tokens [B, Ld, D].
+
+        ``use_onehot=True`` is the TPU fast path: the centroid lookup becomes
+        a one-hot [B·Ld, C] × [C, D] MXU matmul (XLA row-gathers serialize on
+        TPU), and the residual table lookup a 2^nbits select chain on the VPU.
+        """
         codes = _unpack_codes_jnp(code_slice, self.nbits, self.dim)
+        if use_onehot:
+            b, ld = doc_slice.shape
+            onehot = jax.nn.one_hot(
+                doc_slice.reshape(-1), self.centroids.shape[0], dtype=jnp.bfloat16
+            )
+            base = jnp.dot(
+                onehot, self.centroids.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, ld, self.dim)
+            residual = jnp.zeros(codes.shape, jnp.float32)
+            for level in range(1 << self.nbits):
+                residual = jnp.where(codes == level, self.bucket_weights[level], residual)
+            return base + residual
+        base = self.centroids[doc_slice]  # [B, Ld, D]
         return base + self.bucket_weights[codes]
 
     def save(self, path: str) -> None:
@@ -254,15 +279,38 @@ def maxsim_search_compressed(
     index: CompressedTokenIndex,
     k: int = 1000,
     doc_block: int = 512,
+    use_onehot: bool | None = None,
 ) -> RankedLists:
-    """Streaming MaxSim with on-the-fly block decompression.
+    """Streaming MaxSim with on-the-fly block decompression (one jitted
+    executable: the full token matrix never exists in HBM).
 
-    Per block: gather centroid ids + packed codes, reconstruct [B, Ld, D]
-    in registers/VMEM (XLA fuses the gather+unpack+add into the einsum
-    producers), score, merge top-k. The full token matrix never exists.
+    Per block: reconstruct [B, Ld, D] from centroid ids + packed codes
+    (one-hot-matmul decompress on TPU, gather elsewhere), score, merge
+    top-k.
     """
+    # compiled XLA row-gathers beat the one-hot matmul at these shapes;
+    # the flag remains for experimentation
+    if use_onehot is None:
+        use_onehot = False
+    return _maxsim_search_compressed(
+        q_tokens, q_mask,
+        index.centroids, index.centroid_ids, index.codes, index.mask,
+        index.bucket_weights,
+        nbits=index.nbits, k=k, doc_block=doc_block, use_onehot=bool(use_onehot),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "k", "doc_block", "use_onehot"))
+def _maxsim_search_compressed(
+    q_tokens, q_mask, centroids, centroid_ids, codes_packed, mask, bucket_weights,
+    nbits: int, k: int, doc_block: int, use_onehot: bool,
+) -> RankedLists:
     from fusion_tpu.ops.maxsim import maxsim_scores
 
+    index = CompressedTokenIndex(
+        centroids=centroids, centroid_ids=centroid_ids, codes=codes_packed,
+        mask=mask, bucket_weights=bucket_weights, nbits=nbits,
+    )
     n = index.num_docs
     q = q_tokens.shape[0]
     doc_block = min(doc_block, n)
@@ -275,7 +323,7 @@ def maxsim_search_compressed(
         cid = jax.lax.dynamic_slice_in_dim(index.centroid_ids, real_start, doc_block, axis=0)
         codes = jax.lax.dynamic_slice_in_dim(index.codes, real_start, doc_block, axis=0)
         m_blk = jax.lax.dynamic_slice_in_dim(index.mask, real_start, doc_block, axis=0)
-        d_blk = index.decompress(cid, codes)
+        d_blk = index.decompress(cid, codes, use_onehot=use_onehot)
         scores = maxsim_scores(q_tokens, q_mask, d_blk, m_blk)
         ids = real_start + jnp.arange(doc_block, dtype=jnp.int32)
         fresh = ids >= start
