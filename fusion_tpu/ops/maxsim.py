@@ -230,6 +230,10 @@ def maxsim_scores_zeromask(
     return best.sum(axis=-1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "doc_block", "use_pallas", "pallas_inner_block", "pallas_outer_block"),
+)
 def maxsim_search(
     q_tokens: jax.Array,
     q_mask: jax.Array,
@@ -241,7 +245,8 @@ def maxsim_search(
     pallas_inner_block: int = 128,
     pallas_outer_block: int = 65536,
 ) -> RankedLists:
-    """Streaming MaxSim top-k over the whole token corpus (jittable).
+    """Streaming MaxSim top-k over the whole token corpus (one jitted
+    executable — eager per-block dispatch is catastrophic on remote chips).
 
     Pallas path: each scan step issues ONE ``pallas_call`` whose grid streams
     ``pallas_inner_block``-doc tiles through VMEM over a large outer block —
