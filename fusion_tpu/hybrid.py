@@ -109,7 +109,11 @@ class HybridPipeline:
         corpus once, exact top-k on device."""
         import jax.numpy as jnp
 
-        d_embs = jnp.asarray(model.encode(self.documents, query_mode=False, batch_size=batch_size))
+        d_embs = jnp.asarray(
+            model.encode(
+                self.documents, query_mode=False, batch_size=batch_size, sort_by_length=True
+            )
+        )
         t0 = time.perf_counter()
         ranked = model.search(queries, d_embs, topk=return_topk, batch_size=batch_size)
         dt = (time.perf_counter() - t0) / max(len(queries), 1) * 1000
@@ -189,6 +193,11 @@ class HybridPipeline:
         |corpus|), and (c) positive/negative labeled score rows for
         visualization. Zero scores and the two smallest distinct values are
         excluded from the quantile tables (hybrid.py:392).
+
+        For exact parity with the reference (which pools scores over the
+        FULL corpus per query, hybrid.py:379), run the retrieval legs with
+        ``return_topk=len(corpus)`` before calling this; top-k-truncated
+        lists sample only the upper tail of each distribution.
         """
         import random as pyrandom
 

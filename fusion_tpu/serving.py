@@ -93,12 +93,16 @@ class HybridSearcher:
             out.bm25_impacts = out.bm25.build_dense_impacts()
         if dense_model is not None:
             out.dense_corpus = jnp.asarray(
-                dense_model.encode(documents, query_mode=False, batch_size=batch_size),
+                dense_model.encode(
+                    documents, query_mode=False, batch_size=batch_size, sort_by_length=True
+                ),
                 dtype=jnp.bfloat16,
             )
         if splade_model is not None:
             out.splade_corpus = jnp.asarray(
-                splade_model.encode(documents, query_mode=False, batch_size=batch_size),
+                splade_model.encode(
+                    documents, query_mode=False, batch_size=batch_size, sort_by_length=True
+                ),
                 dtype=jnp.bfloat16,
             )
         if colbert_model is not None:
