@@ -42,7 +42,11 @@ def main():
     from fusion_tpu.models.bm25 import BM25Index
     from fusion_tpu.models.colbert import ColBERT
     from fusion_tpu.models.encoder import EncoderConfig
-    from fusion_tpu.ops.maxsim import maxsim_scores, maxsim_search
+    from fusion_tpu.ops.maxsim import (
+        maxsim_search,
+        maxsim_search_tm,
+        prepare_token_corpus,
+    )
     from fusion_tpu.ops.mips import dense_search
 
     rng = np.random.default_rng(42)
@@ -92,6 +96,9 @@ def main():
     c_mask = jnp.asarray(
         np.concatenate([np.ones((N, LD_TOK)), np.zeros((n_pad - N, LD_TOK))]), dtype=jnp.float32
     )
+    # index-time search layout (token-major, pre-zeroed) — part of index
+    # build, not the query path
+    c_tm, c_valid = jax.jit(prepare_token_corpus)(c_tokens, c_mask)
 
     # tokenized query batch (host-side once; encoding is part of the timed path)
     q_ids, q_mask = dense.text_encoder.encode(queries_tokens, query_mode=True)
@@ -103,7 +110,7 @@ def main():
     def hybrid(
         params_dense, params_splade, params_colbert,
         q_ids, q_mask, q_terms, q_weights,
-        impacts, d_corpus, s_corpus, c_tokens, c_mask,
+        impacts, d_corpus, s_corpus, c_tm, c_valid,
     ):
         # query encoding (3 encoder forwards)
         q_dense = dense.embed_tokens(params_dense, q_ids, q_mask)
@@ -120,9 +127,9 @@ def main():
 
         r2 = dense_search(q_dense.astype(jnp.bfloat16), d_corpus, k=TOPK, similarity="cos_sim")
         r3 = dense_search(q_splade.astype(jnp.bfloat16), s_corpus, k=TOPK, similarity="dot_score")
-        r4 = maxsim_search(
+        r4 = maxsim_search_tm(
             q_tok.astype(jnp.bfloat16), q_mask.astype(jnp.float32),
-            c_tokens, c_mask, k=TOPK, doc_block=256, use_pallas=on_tpu,
+            c_tm, c_valid, k=TOPK, use_pallas=on_tpu,
         )
         fused = Aggregator.fuse(
             {"bm25": r1, "dpr": r2, "splade": r3, "colbert": r4}, method="rrf",
@@ -134,7 +141,7 @@ def main():
     args = (
         dense.params, splade.params, colbert.params,
         q_ids, q_mask, q_terms, q_weights,
-        impacts, d_corpus, s_corpus, c_tokens, c_mask,
+        impacts, d_corpus, s_corpus, c_tm, c_valid,
     )
 
     def fetch(out):

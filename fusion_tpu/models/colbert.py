@@ -15,10 +15,11 @@ as a follow-up index codec.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import string
-from typing import Any, NamedTuple, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -49,15 +50,31 @@ class ColBERTModule(nn.Module):
         )
 
 
-class TokenIndex(NamedTuple):
-    """Device-resident token-matrix index: [N, Ld, D] + [N, Ld] mask."""
+@dataclasses.dataclass
+class TokenIndex:
+    """Device-resident token-matrix index: [N, Ld, D] + [N, Ld] mask.
+
+    ``prepared()`` caches the search layout (token-major, masked tokens
+    zeroed, per-doc validity) so repeated query batches skip two
+    full-corpus HBM rewrites (prepare_token_corpus)."""
 
     tokens: jax.Array
     mask: jax.Array
+    _prepared: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     @property
     def num_docs(self) -> int:
         return self.tokens.shape[0]
+
+    def prepared(self) -> tuple[jax.Array, jax.Array]:
+        """(corpus_tm [Ld, N, D] bf16 zeroed, doc_valid [N] bool)."""
+        if self._prepared is None:
+            from fusion_tpu.ops.maxsim import prepare_token_corpus
+
+            self._prepared = jax.jit(prepare_token_corpus)(self.tokens, self.mask)
+        return self._prepared
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -228,14 +245,19 @@ class ColBERT:
             return maxsim_search_compressed(
                 q_tok, q_mask, index, k=k, doc_block=min(doc_block, 512)
             )
+        if use_pallas:
+            corpus_tm, doc_valid = index.prepared()
+            from fusion_tpu.ops.maxsim import maxsim_search_tm
+
+            return maxsim_search_tm(q_tok, q_mask, corpus_tm, doc_valid, k=k)
         return maxsim_search(
             q_tok,
             q_mask,
-            index.tokens.astype(jnp.float32) if not use_pallas else index.tokens,
+            index.tokens.astype(jnp.float32),
             index.mask,
             k=k,
             doc_block=doc_block,
-            use_pallas=use_pallas,
+            use_pallas=False,
         )
 
     # ------------------------------------------------------------------

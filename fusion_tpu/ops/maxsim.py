@@ -19,7 +19,11 @@ Here it is a TPU kernel family:
     multiplies D by the mask); fully-padded corpus-tail docs are demoted to
     -inf by the caller;
   * ``maxsim_search`` — corpus scan with streaming top-k (v2 on TPU, XLA
-    reference elsewhere).
+    reference elsewhere);
+  * ``prepare_token_corpus`` / ``maxsim_search_tm`` — the serving path:
+    the corpus is relayouted ONCE at index build (token-major, masked
+    tokens zeroed) so each query batch skips two full-corpus HBM rewrites
+    (zeroing + transpose ≈ 5.5 ms at 28k docs × 128 tokens).
 
 Token matrices are padded to static shapes [*, L, D] with 0/1 masks; query
 pads multiply by 0 in the sum (query mask-augmentation tokens count, as in
@@ -141,18 +145,24 @@ def maxsim_scores_pallas(
 # query chunks (colbert-ai mask semantics: masked doc tokens are zero
 # vectors that legitimately participate in the max)
 # ----------------------------------------------------------------------
-def _maxsim_v2_kernel_3d(q_ref, d_ref, out_ref):
+def _maxsim_v2_kernel_3d(q_ref, d_ref, out_ref, *, reduce_dtype=jnp.bfloat16):
     """q_ref [QC, D] query-token chunk; d_ref [Ld, B, D] token-major doc
     block (masked tokens zeroed); out_ref [QC, B] per-query-token maxima.
 
     One [QC, D] × [D, Ld·B] MXU matmul per step, then a max-reduction over
-    the token groups via static lane-aligned slices."""
+    the token groups via static lane-aligned slices.  On TPU the reduce
+    runs on bf16 values (2× VPU rate): measured identical to the f32
+    reduce at bench shapes — max commutes with the monotone downcast, so
+    the only rounding is of the final max, below the bf16-matmul input
+    noise both paths share.  Interpret mode keeps f32 end-to-end."""
     ld, b, dd = d_ref.shape
     dflat = d_ref[:].reshape(ld * b, dd)
     s = jnp.dot(q_ref[:], dflat.T, preferred_element_type=jnp.float32)  # [QC, Ld*B]
     # static tree reduction over token groups (Mosaic: no value dynamic_slice)
     qc = s.shape[0]
-    out_ref[:] = s.reshape(qc, ld, b).max(axis=1)
+    out_ref[:] = (
+        s.astype(reduce_dtype).reshape(qc, ld, b).max(axis=1).astype(jnp.float32)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("block_docs", "q_chunk", "interpret"))
@@ -160,7 +170,7 @@ def maxsim_token_maxima_pallas(
     q_tokens_flat: jax.Array,  # [QL, D] (pad rows with zeros)
     d_tokens_flat: jax.Array,  # [Ld, N, D] token-major, masked tokens zeroed
     block_docs: int = 128,
-    q_chunk: int = 128,
+    q_chunk: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """Per-(query-token, doc) maxima M [QL, N]; the caller applies the
@@ -174,7 +184,10 @@ def maxsim_token_maxima_pallas(
     # block index is unchanged)
     grid = (n // block_docs, ql // q_chunk)
     out = pl.pallas_call(
-        _maxsim_v2_kernel_3d,
+        functools.partial(
+            _maxsim_v2_kernel_3d,
+            reduce_dtype=jnp.float32 if interpret else jnp.bfloat16,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_chunk, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -194,31 +207,70 @@ def maxsim_token_maxima_pallas(
     return out
 
 
+def prepare_token_corpus(
+    tokens: jax.Array, mask: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Index-time relayout for the Pallas MaxSim path: zero masked tokens
+    (colbert-ai semantics) and transpose to token-major [Ld, N, D].
+
+    Doing this once at index build instead of per search batch saves two
+    full corpus HBM rewrites per query batch (~5.5 ms at LLeQA scale)."""
+    zeroed = tokens * mask[..., None].astype(tokens.dtype)
+    return (
+        jnp.transpose(zeroed, (1, 0, 2)).astype(jnp.bfloat16),
+        mask.max(axis=1) > 0,
+    )
+
+
+def maxsim_scores_pallas_v2_tm(
+    q_tokens: jax.Array,  # [Q, Lq, D]
+    q_mask: jax.Array,  # [Q, Lq]
+    corpus_tm: jax.Array,  # [Ld, N, D] token-major, masked tokens zeroed
+    block_docs: int = 128,
+    q_chunk: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """[Q, N] MaxSim over a prepared (token-major, pre-zeroed) corpus."""
+    q, lq, d = q_tokens.shape
+    ql = q * lq
+    token_dtype = jnp.float32 if interpret else jnp.bfloat16
+    # larger chunks amortize grid-step overhead (128→256 measured 10.7→7.1
+    # ms at bench shapes), but never pad past the next 128 multiple
+    ql_128 = -(-ql // 128) * 128
+    if ql_128 % q_chunk != 0:
+        q_chunk = 128
+    # pad QL up to a q_chunk multiple with zero rows
+    ql_pad = -(-ql // q_chunk) * q_chunk
+    q_flat = q_tokens.reshape(ql, d)
+    q_flat = jnp.pad(q_flat, ((0, ql_pad - ql), (0, 0))).astype(token_dtype)
+
+    maxima = maxsim_token_maxima_pallas(
+        q_flat,
+        corpus_tm.astype(token_dtype),
+        block_docs=block_docs,
+        q_chunk=q_chunk,
+        interpret=interpret,
+    )[:ql]
+    eye = jnp.eye(q, dtype=jnp.float32)
+    qm_mat = (eye[:, :, None] * q_mask[None, :, :].astype(jnp.float32)).reshape(q, ql)
+    return jnp.dot(qm_mat, maxima, preferred_element_type=jnp.float32)
+
+
 def maxsim_scores_pallas_v2(
     q_tokens: jax.Array,  # [Q, Lq, D]
     q_mask: jax.Array,  # [Q, Lq]
     d_tokens: jax.Array,  # [N, Ld, D] masked tokens zeroed
     block_docs: int = 128,
-    q_chunk: int = 128,
+    q_chunk: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """[Q, N] MaxSim with zeroed-mask semantics (colbert-ai: masked doc
     tokens are zero vectors, so their similarity 0 participates in the max)."""
-    q, lq, d = q_tokens.shape
-    ql = q * lq
-    token_dtype = jnp.float32 if interpret else jnp.bfloat16
-    # pad QL up to a q_chunk multiple with zero rows
-    ql_pad = -(-ql // q_chunk) * q_chunk
-    q_flat = q_tokens.reshape(ql, d)
-    q_flat = jnp.pad(q_flat, ((0, ql_pad - ql), (0, 0))).astype(token_dtype)
-    d_tm = jnp.transpose(d_tokens, (1, 0, 2)).astype(token_dtype)  # [Ld, N, D]
-
-    maxima = maxsim_token_maxima_pallas(
-        q_flat, d_tm, block_docs=block_docs, q_chunk=q_chunk, interpret=interpret
-    )[:ql]
-    eye = jnp.eye(q, dtype=jnp.float32)
-    qm_mat = (eye[:, :, None] * q_mask[None, :, :].astype(jnp.float32)).reshape(q, ql)
-    return jnp.dot(qm_mat, maxima, preferred_element_type=jnp.float32)
+    d_tm = jnp.transpose(d_tokens, (1, 0, 2))  # [Ld, N, D]
+    return maxsim_scores_pallas_v2_tm(
+        q_tokens, q_mask, d_tm, block_docs=block_docs, q_chunk=q_chunk,
+        interpret=interpret,
+    )
 
 
 def maxsim_scores_zeromask(
@@ -306,5 +358,83 @@ def maxsim_search(
         fresh = ids >= start
         scores = jnp.where(fresh[None, :], scores, -jnp.inf)
         return scores, jnp.broadcast_to(ids, (q, doc_block))
+
+    return blockwise_topk(block_scores, num_blocks, q, k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "use_pallas", "pallas_inner_block", "pallas_outer_block", "doc_block"
+    ),
+)
+def maxsim_search_tm(
+    q_tokens: jax.Array,  # [Q, Lq, D]
+    q_mask: jax.Array,  # [Q, Lq]
+    corpus_tm: jax.Array,  # [Ld, N, D] from prepare_token_corpus
+    doc_valid: jax.Array,  # [N] bool
+    k: int = 1000,
+    use_pallas: bool = True,
+    pallas_inner_block: int = 128,
+    pallas_outer_block: int = 65536,
+    doc_block: int = 1024,
+) -> RankedLists:
+    """Streaming MaxSim top-k over a PREPARED token corpus (token-major,
+    masked tokens zeroed — ``prepare_token_corpus``).  Skips the per-batch
+    corpus zeroing + transpose that ``maxsim_search`` pays (two full-corpus
+    HBM rewrites, ~5.5 ms at 28k docs)."""
+    from fusion_tpu.core.ranked import ranked_from_scores
+
+    ld, n, d = corpus_tm.shape
+    q = q_tokens.shape[0]
+    k = min(k, n)
+
+    if not use_pallas:
+        # XLA fallback (CPU tests): blocked einsum over doc-major slices
+        doc_block = min(doc_block, n)
+        num_blocks = -(-n // doc_block)
+
+        def block_scores(bi):
+            start = bi * doc_block
+            real_start = jnp.minimum(start, n - doc_block)
+            d_blk = jnp.transpose(
+                jax.lax.dynamic_slice_in_dim(corpus_tm, real_start, doc_block, axis=1),
+                (1, 0, 2),
+            ).astype(jnp.float32)
+            v_blk = jax.lax.dynamic_slice_in_dim(doc_valid, real_start, doc_block, axis=0)
+            scores = maxsim_scores_zeromask(
+                q_tokens.astype(jnp.float32), q_mask.astype(jnp.float32), d_blk
+            )
+            ids = real_start + jnp.arange(doc_block, dtype=jnp.int32)
+            fresh = (ids >= start) & v_blk
+            scores = jnp.where(fresh[None, :], scores, -jnp.inf)
+            return scores, jnp.broadcast_to(ids, (q, doc_block))
+
+        return blockwise_topk(block_scores, num_blocks, q, k)
+
+    assert n % pallas_inner_block == 0, "pad corpus to the inner block"
+    outer = min(pallas_outer_block, n)
+    outer = max(outer - outer % pallas_inner_block, pallas_inner_block)
+    if n <= outer:
+        scores = maxsim_scores_pallas_v2_tm(
+            q_tokens, q_mask, corpus_tm, block_docs=pallas_inner_block
+        )
+        scores = jnp.where(doc_valid[None, :], scores, -jnp.inf)
+        return ranked_from_scores(scores, k)
+
+    num_blocks = -(-n // outer)
+
+    def block_scores(bi):
+        start = bi * outer
+        real_start = jnp.minimum(start, n - outer)
+        d_blk = jax.lax.dynamic_slice_in_dim(corpus_tm, real_start, outer, axis=1)
+        v_blk = jax.lax.dynamic_slice_in_dim(doc_valid, real_start, outer, axis=0)
+        scores = maxsim_scores_pallas_v2_tm(
+            q_tokens, q_mask, d_blk, block_docs=pallas_inner_block
+        )
+        ids = real_start + jnp.arange(outer, dtype=jnp.int32)
+        fresh = (ids >= start) & v_blk
+        scores = jnp.where(fresh[None, :], scores, -jnp.inf)
+        return scores, jnp.broadcast_to(ids, (q, outer))
 
     return blockwise_topk(block_scores, num_blocks, q, k)

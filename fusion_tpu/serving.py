@@ -24,7 +24,7 @@ import numpy as np
 from fusion_tpu.core.ranked import RankedLists, ranked_from_scores
 from fusion_tpu.fusion.aggregator import Aggregator
 from fusion_tpu.models.bm25 import BM25Index
-from fusion_tpu.ops.maxsim import maxsim_search
+from fusion_tpu.ops.maxsim import maxsim_search_tm
 from fusion_tpu.ops.mips import dense_search
 
 
@@ -162,11 +162,12 @@ class HybridSearcher:
                 q_tok = self.colbert_model.embed_tokens(
                     self.colbert_model.params, inputs["cb_ids"], inputs["cb_mask"]
                 )
-                results["colbert"] = maxsim_search(
+                corpus_tm, doc_valid = self.colbert_index.prepared()
+                results["colbert"] = maxsim_search_tm(
                     q_tok.astype(jnp.bfloat16),
                     inputs["cb_mask"].astype(jnp.float32),
-                    self.colbert_index.tokens,
-                    self.colbert_index.mask,
+                    corpus_tm,
+                    doc_valid,
                     k=topk,
                     use_pallas=use_pallas,
                 )

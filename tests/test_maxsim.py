@@ -112,3 +112,48 @@ def test_maxsim_search_pallas_path_on_cpu_interpret(token_data):
     a = np.asarray(maxsim_scores(jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt), jnp.asarray(full_mask)))
     b = np.asarray(maxsim_scores_zeromask(jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(dt)))
     np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_prepared_corpus_search_matches_zeromask(token_data):
+    """maxsim_search_tm over prepare_token_corpus output == zeromask scoring
+    + top-k over the raw doc-major corpus (the serving fast path)."""
+    import jax
+
+    from fusion_tpu.core.ranked import ranked_from_scores
+    from fusion_tpu.ops.maxsim import (
+        maxsim_scores_zeromask,
+        maxsim_search_tm,
+        prepare_token_corpus,
+    )
+
+    qt, qm, dt, dm = token_data
+    corpus_tm, doc_valid = jax.jit(prepare_token_corpus)(jnp.asarray(dt), jnp.asarray(dm))
+    assert corpus_tm.shape == (dt.shape[1], dt.shape[0], dt.shape[2])
+    assert np.asarray(doc_valid).all()  # fixture has no fully-masked docs
+
+    got = maxsim_search_tm(
+        jnp.asarray(qt), jnp.asarray(qm), corpus_tm, doc_valid,
+        k=5, use_pallas=False, doc_block=4,
+    )
+    dt_zeroed = jnp.asarray(dt * dm[..., None])
+    ref_scores = maxsim_scores_zeromask(jnp.asarray(qt), jnp.asarray(qm), dt_zeroed)
+    ref = ranked_from_scores(ref_scores, 5)
+    np.testing.assert_array_equal(np.asarray(got.ids), np.asarray(ref.ids))
+    np.testing.assert_allclose(np.asarray(got.scores), np.asarray(ref.scores), rtol=2e-3)
+
+
+def test_prepared_corpus_demotes_padded_docs(token_data):
+    """Fully-masked (corpus pad) docs never rank in maxsim_search_tm."""
+    import jax
+
+    from fusion_tpu.ops.maxsim import maxsim_search_tm, prepare_token_corpus
+
+    qt, qm, dt, dm = token_data
+    dm = dm.copy()
+    dm[6] = 0  # fully-masked pad doc
+    corpus_tm, doc_valid = jax.jit(prepare_token_corpus)(jnp.asarray(dt), jnp.asarray(dm))
+    got = maxsim_search_tm(
+        jnp.asarray(qt), jnp.asarray(qm), corpus_tm, doc_valid,
+        k=dt.shape[0] - 1, use_pallas=False, doc_block=4,
+    )
+    assert 6 not in np.asarray(got.ids)
