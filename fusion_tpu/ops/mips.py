@@ -160,6 +160,53 @@ def sharded_maxsim_search(
     return RankedLists(ids=ids, scores=scores)
 
 
+def sharded_maxsim_search_tm(
+    q_tokens: jax.Array,  # [Q, Lq, D]
+    q_mask: jax.Array,  # [Q, Lq]
+    corpus_tm: jax.Array,  # [Ld, N, D] prepared (prepare_token_corpus), sharded over 'index' docs
+    doc_valid: jax.Array,  # [N] bool
+    mesh: Mesh,
+    k: int = 1000,
+    use_pallas: bool = False,
+) -> RankedLists:
+    """Index-parallel MaxSim over the PREPARED (token-major, pre-zeroed)
+    corpus layout — the production serving path sharded over the mesh
+    ``index`` axis (docs = axis 1 of [Ld, N, D]).  Per-shard streaming
+    top-k, then a tiny all-gather merge over ICI."""
+    from fusion_tpu.ops.maxsim import maxsim_search_tm
+
+    n = corpus_tm.shape[1]
+    n_shards = mesh.shape[INDEX_AXIS]
+    assert n % n_shards == 0, "pad the token index to a multiple of the index axis"
+    shard_n = n // n_shards
+    k = min(k, shard_n)
+
+    def local(q_ref, qm_ref, c_ref, v_ref):
+        shard_idx = jax.lax.axis_index(INDEX_AXIS)
+        local_ranked = maxsim_search_tm(
+            q_ref, qm_ref, c_ref, v_ref, k=k, use_pallas=use_pallas
+        )
+        global_ids = local_ranked.ids + shard_idx * shard_n
+        all_scores = jax.lax.all_gather(local_ranked.scores, INDEX_AXIS)
+        all_ids = jax.lax.all_gather(global_ids, INDEX_AXIS)
+        q = q_ref.shape[0]
+        merged_scores = all_scores.transpose(1, 0, 2).reshape(q, -1)
+        merged_ids = all_ids.transpose(1, 0, 2).reshape(q, -1)
+        top_scores, pos = jax.lax.top_k(merged_scores, k)
+        top_ids = jnp.take_along_axis(merged_ids, pos, axis=-1)
+        return top_ids.astype(jnp.int32), top_scores
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, INDEX_AXIS, None), P(INDEX_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    ids, scores = jax.jit(fn)(q_tokens, q_mask, corpus_tm, doc_valid)
+    return RankedLists(ids=ids, scores=scores)
+
+
 def chunked_encode_search(
     encode_fn,
     query_batches,

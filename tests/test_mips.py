@@ -126,3 +126,31 @@ def test_sharded_bm25_via_dense_search(rng):
     np.testing.assert_allclose(
         np.asarray(sharded.scores), np.asarray(single.scores), rtol=1e-4, atol=1e-5
     )
+
+
+def test_sharded_maxsim_tm_matches_single(rng):
+    """Prepared-layout sharded search == single-device prepared search."""
+    from fusion_tpu.ops.maxsim import maxsim_search_tm, prepare_token_corpus
+    from fusion_tpu.ops.mips import sharded_maxsim_search_tm
+
+    mesh = make_mesh(data=1, model=1, index=8)
+    n, ld, d = 8 * 8, 5, 16
+    qt = rng.normal(size=(3, 4, d)).astype(np.float32)
+    ct = rng.normal(size=(n, ld, d)).astype(np.float32)
+    cm = np.ones((n, ld), dtype=np.float32)
+    cm[3, -2:] = 0
+    cm[9] = 0  # fully-masked pad doc
+    c_tm, valid = jax.jit(prepare_token_corpus)(jnp.asarray(ct), jnp.asarray(cm))
+    single = maxsim_search_tm(
+        jnp.asarray(qt), jnp.ones((3, 4), jnp.float32), c_tm, valid,
+        k=6, use_pallas=False, doc_block=8,
+    )
+    sharded = sharded_maxsim_search_tm(
+        jnp.asarray(qt), jnp.ones((3, 4), jnp.float32), c_tm, valid, mesh, k=6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.scores), np.asarray(single.scores), rtol=2e-3, atol=1e-5
+    )
+    for qi in range(3):
+        assert set(np.asarray(sharded.ids)[qi].tolist()) == set(np.asarray(single.ids)[qi].tolist())
+    assert 9 not in np.asarray(sharded.ids)
