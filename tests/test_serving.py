@@ -119,3 +119,34 @@ def test_quickstart_example_runs():
     import runpy
 
     runpy.run_path("examples/quickstart.py", run_name="__main__")
+
+
+def test_hybrid_searcher_int8_corpus(models):
+    """int8_corpus build path: search runs, save/load roundtrips, and the
+    top hit matches the exact bf16 searcher on a well-separated corpus."""
+    import tempfile
+
+    corpus = CORPUS
+    dense, splade, _colbert = models
+    from fusion_tpu.index.dense_quant import QuantizedDenseIndex
+
+    exact = HybridSearcher.build(corpus, dense_model=dense, splade_model=splade, topk=4)
+    quant = HybridSearcher.build(
+        corpus, dense_model=dense, splade_model=splade, topk=4, int8_corpus=True
+    )
+    assert isinstance(quant.dense_corpus, QuantizedDenseIndex)
+    assert isinstance(quant.splade_corpus, QuantizedDenseIndex)
+    queries = list(corpus.values())[:2]
+    re_, _ = exact.search(queries, batch_size=2, use_pallas=False)
+    rq, _ = quant.search(queries, batch_size=2, use_pallas=False)
+    # self-retrieval: the top-1 doc must agree between exact and int8
+    assert np.asarray(re_.ids)[:, 0].tolist() == np.asarray(rq.ids)[:, 0].tolist()
+
+    with tempfile.TemporaryDirectory() as d:
+        quant.save_indexes(d)
+        loaded = HybridSearcher(
+            corpus_ids=quant.corpus_ids, dense_model=dense, splade_model=splade, topk=4
+        ).load_indexes(d)
+        assert isinstance(loaded.dense_corpus, QuantizedDenseIndex)
+        rl, _ = loaded.search(queries, batch_size=2, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(rl.ids), np.asarray(rq.ids))
