@@ -32,6 +32,16 @@ from fusion_tpu.ops.maxsim import maxsim_search_tm
 from fusion_tpu.ops.mips import dense_search
 
 
+def _quantize_impacts(impacts: jax.Array) -> QuantizedDenseIndex:
+    """Per-doc int8 quantization of the [V, N] BM25 impact matrix (stored
+    doc-major [N, V] for quantized_dense_search)."""
+    from fusion_tpu.index.dense_quant import quantize_dense_index
+
+    return jax.jit(quantize_dense_index, static_argnames=("similarity",))(
+        impacts.T, similarity="dot_score"
+    )
+
+
 def _corpus_search(q, corpus, k: int, similarity: str) -> RankedLists:
     """Exact bf16 MIPS or int8 quantized search, by corpus representation."""
     if isinstance(corpus, QuantizedDenseIndex):
@@ -132,6 +142,8 @@ class HybridSearcher:
         if bm25_docs is not None:
             out.bm25 = BM25Index.build(bm25_docs, k1=k1, b=b)
             out.bm25_impacts = out.bm25.build_dense_impacts()
+            if int8_corpus:
+                out.bm25_impacts = _quantize_impacts(out.bm25_impacts)
         if dense_model is not None:
             embs = jnp.asarray(
                 dense_model.encode(
@@ -189,14 +201,20 @@ class HybridSearcher:
         def program(inputs: dict) -> tuple[jax.Array, jax.Array]:
             results: dict[str, RankedLists] = {}
             if self.bm25 is not None:
-                qmat = jnp.zeros(
-                    (batch, self.bm25_impacts.shape[0]), dtype=self.bm25_impacts.dtype
-                )
-                qmat = jax.vmap(lambda row, t, w: row.at[t].add(w.astype(qmat.dtype)))(
+                imp = self.bm25_impacts
+                v = imp.values.shape[1] if isinstance(imp, QuantizedDenseIndex) else imp.shape[0]
+                qdt = jnp.float32 if isinstance(imp, QuantizedDenseIndex) else imp.dtype
+                qmat = jnp.zeros((batch, v), dtype=qdt)
+                qmat = jax.vmap(lambda row, t, w: row.at[t].add(w.astype(qdt)))(
                     qmat, inputs["bm25_terms"], inputs["bm25_weights"]
                 )
-                scores = jnp.dot(qmat, self.bm25_impacts, preferred_element_type=jnp.float32)
-                results["bm25"] = ranked_from_scores(scores, min(topk, self.bm25.n_docs))
+                if isinstance(imp, QuantizedDenseIndex):
+                    results["bm25"] = quantized_dense_search(
+                        qmat, imp, k=min(topk, self.bm25.n_docs)
+                    )
+                else:
+                    scores = jnp.dot(qmat, imp, preferred_element_type=jnp.float32)
+                    results["bm25"] = ranked_from_scores(scores, min(topk, self.bm25.n_docs))
             if self.dense_corpus is not None:
                 q = self.dense_model.embed_tokens(
                     self.dense_model.params, inputs["q_ids"], inputs["q_mask"]
@@ -257,7 +275,7 @@ class HybridSearcher:
         if self.colbert_index is not None:
             self.colbert_index.save(os.path.join(path, "colbert"))
 
-    def load_indexes(self, path: str) -> "HybridSearcher":
+    def load_indexes(self, path: str, int8_corpus: bool = False) -> "HybridSearcher":
         import os
 
         from fusion_tpu.models.colbert import TokenIndex
@@ -266,6 +284,8 @@ class HybridSearcher:
         if os.path.isdir(os.path.join(path, "bm25")):
             self.bm25 = BM25Index.load(os.path.join(path, "bm25"))
             self.bm25_impacts = self.bm25.build_dense_impacts()
+            if int8_corpus:
+                self.bm25_impacts = _quantize_impacts(self.bm25_impacts)
         loaded = _load_corpus_matrix(path, "dense")
         if loaded is not None:
             self.dense_corpus = loaded

@@ -130,12 +130,20 @@ def test_hybrid_searcher_int8_corpus(models):
     dense, splade, _colbert = models
     from fusion_tpu.index.dense_quant import QuantizedDenseIndex
 
-    exact = HybridSearcher.build(corpus, dense_model=dense, splade_model=splade, topk=4)
-    quant = HybridSearcher.build(
-        corpus, dense_model=dense, splade_model=splade, topk=4, int8_corpus=True
+    prep = TextPreprocessor(spacy_model=None)
+    bm25_docs = prep.preprocess(list(corpus.values()))
+    kwargs = dict(
+        bm25_docs=bm25_docs,
+        dense_model=dense,
+        splade_model=splade,
+        topk=4,
+        bm25_preprocess=lambda texts: prep.preprocess(list(texts)),
     )
+    exact = HybridSearcher.build(corpus, **kwargs)
+    quant = HybridSearcher.build(corpus, int8_corpus=True, **kwargs)
     assert isinstance(quant.dense_corpus, QuantizedDenseIndex)
     assert isinstance(quant.splade_corpus, QuantizedDenseIndex)
+    assert isinstance(quant.bm25_impacts, QuantizedDenseIndex)
     queries = list(corpus.values())[:2]
     re_, _ = exact.search(queries, batch_size=2, use_pallas=False)
     rq, _ = quant.search(queries, batch_size=2, use_pallas=False)
@@ -145,8 +153,10 @@ def test_hybrid_searcher_int8_corpus(models):
     with tempfile.TemporaryDirectory() as d:
         quant.save_indexes(d)
         loaded = HybridSearcher(
-            corpus_ids=quant.corpus_ids, dense_model=dense, splade_model=splade, topk=4
-        ).load_indexes(d)
+            corpus_ids=quant.corpus_ids, dense_model=dense, splade_model=splade, topk=4,
+            bm25_preprocess=lambda texts: prep.preprocess(list(texts)),
+        ).load_indexes(d, int8_corpus=True)
+        assert isinstance(loaded.bm25_impacts, QuantizedDenseIndex)
         assert isinstance(loaded.dense_corpus, QuantizedDenseIndex)
         rl, _ = loaded.search(queries, batch_size=2, use_pallas=False)
         np.testing.assert_array_equal(np.asarray(rl.ids), np.asarray(rq.ids))
