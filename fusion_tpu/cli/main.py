@@ -410,9 +410,14 @@ def cmd_hybrid(args):
     qids, queries, labels = _split_queries(data, args.split)
     topk = min(1000, len(data.corpus))
 
+    from fusion_tpu.cli.presets import BM25_PRESETS
+
+    bp = BM25_PRESETS["mmarco" if args.dataset.startswith("mmarco") else "lleqa"]
     results = {}
     if args.run_bm25:
-        results["bm25"] = pipeline.bm25_search(queries, k1=2.5, b=0.2, return_topk=topk).ranked
+        results["bm25"] = pipeline.bm25_search(
+            queries, k1=bp.k1, b=bp.b, return_topk=topk
+        ).ranked
     cfg = _encoder_config(args)
     if args.run_dpr:
         model = BiEncoder.load(args.dpr_path) if args.dpr_path else BiEncoder(
@@ -487,7 +492,8 @@ def cmd_hybrid(args):
         ce = CrossEncoder.load(args.monobert_path) if args.monobert_path else CrossEncoder(
             cfg, max_length=32 if args.tiny else 256
         )
-        fused = pipeline.cross_encoder_search(queries, fused, ce, return_topk=min(100, topk)).ranked
+        depth = min(args.rerank_depth, topk)
+        fused = pipeline.cross_encoder_search(queries, fused, ce, return_topk=depth).ranked
 
     scores = pipeline.evaluate(fused, labels, print2console=True)
     with open(os.path.join(args.output_dir, "performance_hybrid.json"), "w") as f:
@@ -573,6 +579,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--splade_path", default=None)
     sp.add_argument("--colbert_path", default=None)
     sp.add_argument("--monobert_path", default=None)
+    sp.add_argument("--rerank_depth", type=int, default=100,
+                    help="candidates passed to the monoBERT reranker (paper setup: 100)")
     sp.set_defaults(fn=cmd_hybrid)
     return p
 
