@@ -4,7 +4,8 @@ Measures the full four-system hybrid query path (BASELINE.json north star:
 "hybrid queries/sec per chip") on an LLeQA-scale synthetic workload, all
 device-resident:
 
-  per query batch (B=32):
+  per query batch (B=64, the measured throughput knee: 1582 q/s at B=32,
+  1861 at B=64, 1888 at B=128 with 2x the batch latency):
     1. encode queries with a CamemBERT-base-shaped encoder for each neural
        system (dense pooled / SPLADE MLM / ColBERT per-token);
     2. BM25   : [Q, V] × [V, N] dense-impact matmul, top-1000;
@@ -51,7 +52,7 @@ def main():
 
     rng = np.random.default_rng(42)
     N = 27_940  # LLeQA corpus size
-    B = 32  # query batch
+    B = 64  # query batch
     TOPK = 1000
     LQ, LD_TOK = 32, 128
     DIM = 128
