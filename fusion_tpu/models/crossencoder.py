@@ -101,6 +101,79 @@ class CrossEncoder:
         order = np.argsort(-scores, kind="stable")[: top_k or len(documents)]
         return [{"corpus_id": int(i), "score": float(scores[i])} for i in order]
 
+    # ------------------------------------------------------------------
+    # device-resident rerank path (serving)
+    # ------------------------------------------------------------------
+    def prepare_corpus_tokens(
+        self, documents: Sequence[str], max_doc_tokens: int | None = None
+    ) -> tuple[jax.Array, jax.Array]:
+        """Tokenize the corpus ONCE into fixed-shape device arrays.
+
+        Returns raw doc token ids/mask ``int32[N, Ld]`` with no special
+        tokens — the jitted rerank program assembles ``[CLS] q [SEP] d``
+        pairs on device by gather+concat, so serving never re-tokenizes
+        documents per query (the reference re-tokenizes every (q, d) pair
+        per rerank call, sentence_transformers.py:498-557)."""
+        ld = max_doc_tokens if max_doc_tokens is not None else max(self.max_length - 36, 16)
+        ids, mask = self.tokenizer(documents, max_length=ld, add_special_tokens=False)
+        return jnp.asarray(ids, dtype=jnp.int32), jnp.asarray(mask, dtype=jnp.int32)
+
+    def encode_queries_raw(
+        self, queries: Sequence[str], max_query_tokens: int = 32
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Raw query tokens (no specials) for the device rerank program."""
+        return self.tokenizer(queries, max_length=max_query_tokens, add_special_tokens=False)
+
+    def rerank_tokens(
+        self,
+        params,
+        q_ids: jax.Array,
+        q_mask: jax.Array,
+        doc_ids: jax.Array,
+        doc_mask: jax.Array,
+        pair_chunk: int = 512,
+    ) -> jax.Array:
+        """Jittable candidate scoring: [Q, K] relevance logits in one program.
+
+        Pairs use a fixed-slot layout ``[CLS | q (Lq slots) | SEP | d (Ld
+        slots)]`` — query padding stays mid-sequence with attention 0, so no
+        data-dependent packing is needed under jit.  (The host ``predict``
+        path keeps the HF densely-packed pair encoding for checkpoint
+        parity.)  The [Q*K] pair batch runs through ``lax.map`` in
+        ``pair_chunk``-sized chunks to bound activation memory.
+        """
+        q, k, ld = doc_ids.shape
+        lq = q_ids.shape[1]
+        tok = self.tokenizer
+        cls_col = jnp.full((q, k, 1), tok.cls_token_id, jnp.int32)
+        sep_col = jnp.full((q, k, 1), tok.sep_token_id, jnp.int32)
+        ones = jnp.ones((q, k, 1), jnp.int32)
+        qe = jnp.broadcast_to(q_ids[:, None, :], (q, k, lq)).astype(jnp.int32)
+        qm = jnp.broadcast_to(q_mask[:, None, :], (q, k, lq)).astype(jnp.int32)
+        seq = 2 + lq + ld
+        ids = jnp.concatenate([cls_col, qe, sep_col, doc_ids.astype(jnp.int32)], axis=-1)
+        mask = jnp.concatenate([ones, qm, ones, doc_mask.astype(jnp.int32)], axis=-1)
+        # mid-sequence pad slots must hold the pad id so position ids stay
+        # consistent with the host path (roberta positions skip pads)
+        ids = jnp.where(mask > 0, ids, tok.pad_token_id)
+        n = q * k
+        pc = min(pair_chunk, n)
+        nchunks = -(-n // pc)
+        flat_ids = ids.reshape(n, seq)
+        flat_mask = mask.reshape(n, seq)
+        padn = nchunks * pc - n
+        if padn:
+            pad_ids = jnp.full((padn, seq), tok.pad_token_id, jnp.int32)
+            # keep CLS attended on filler rows so softmax stays finite
+            pad_mask = jnp.zeros((padn, seq), jnp.int32).at[:, 0].set(1)
+            flat_ids = jnp.concatenate([flat_ids, pad_ids])
+            flat_mask = jnp.concatenate([flat_mask, pad_mask])
+        logits = jax.lax.map(
+            lambda c: self.score_tokens(params, c[0], c[1], train=False),
+            (flat_ids.reshape(nchunks, pc, seq), flat_mask.reshape(nchunks, pc, seq)),
+        )
+        return logits.reshape(-1)[:n].reshape(q, k)
+
     def rerank(
         self,
         queries: Sequence[str],
@@ -119,17 +192,20 @@ class CrossEncoder:
         k = min(top_k, candidates.depth)
         ids = np.asarray(candidates.ids)[:, :k]
         all_scores = np.full(ids.shape, -np.inf, dtype=np.float32)
+        # ONE batched predict over every (query, candidate) pair — the
+        # reference loops per query through CrossEncoder.rank
+        # (hybrid.py:139-163); flattening keeps the device at full batches
+        pairs, slots = [], []
         for qi, query in enumerate(queries):
-            docs, cols = [], []
             for col, cid in enumerate(ids[qi]):
                 if cid < 0:
                     continue
-                docs.append(lookup.get(int(cid), ""))
-                cols.append(col)
-            if not docs:
-                continue
-            scores = self.predict([(query, d) for d in docs], batch_size=batch_size)
-            all_scores[qi, cols] = scores
+                pairs.append((query, lookup.get(int(cid), "")))
+                slots.append((qi, col))
+        if pairs:
+            scores = self.predict(pairs, batch_size=batch_size)
+            rows, cols = zip(*slots)
+            all_scores[np.asarray(rows), np.asarray(cols)] = scores
         ranked = ranked_from_scores(jnp.asarray(all_scores), k)
         # ranked ids are column positions; map back to corpus ids
         pos = np.asarray(ranked.ids)

@@ -93,6 +93,12 @@ class HybridSearcher:
     splade_corpus: jax.Array | None = None
     colbert_model: object | None = None
     colbert_index: object | None = None
+    cross_encoder: object | None = None
+    ce_doc_tokens: jax.Array | None = None
+    ce_doc_mask: jax.Array | None = None
+    rerank_depth: int = 0
+    ce_query_length: int = 32
+    rerank_chunk: int = 512
     fusion_method: str = "rrf"
     normalization: str | None = None
     linear_weights: Mapping[str, float] | None = None
@@ -111,6 +117,9 @@ class HybridSearcher:
         dense_model=None,
         splade_model=None,
         colbert_model=None,
+        cross_encoder=None,
+        rerank_depth: int = 100,
+        ce_max_doc_tokens: int | None = None,
         batch_size: int = 64,
         k1: float = 2.5,
         b: float = 0.2,
@@ -126,13 +135,22 @@ class HybridSearcher:
         ``int8_corpus`` stores the dense/SPLADE corpus matrices as per-row
         symmetric int8 (QuantizedDenseIndex): 2x less HBM traffic per query
         batch (SPLADE leg 3.5 -> 2.5 ms at 28k docs) at ~99.5 % top-100
-        overlap with the exact bf16 path."""
+        overlap with the exact bf16 path.
+
+        ``cross_encoder`` adds the monoBERT final stage (reference
+        hybrid.py:457-462, paper setup: rerank top-100): the corpus is
+        tokenized ONCE into a device-resident [N, Ld] token matrix, and the
+        jitted program gathers each query's fused top-``rerank_depth``
+        candidates, scores all Q*depth pairs in one chunked forward, and
+        re-sorts — no host round-trip."""
         documents = list(corpus.values())
         out = cls(
             corpus_ids=np.asarray(list(corpus.keys()), dtype=np.int64),
             dense_model=dense_model,
             splade_model=splade_model,
             colbert_model=colbert_model,
+            cross_encoder=cross_encoder,
+            rerank_depth=rerank_depth if cross_encoder is not None else 0,
             fusion_method=fusion_method,
             normalization=normalization,
             linear_weights=linear_weights,
@@ -174,6 +192,10 @@ class HybridSearcher:
             out.splade_corpus = acts
         if colbert_model is not None:
             out.colbert_index = colbert_model.index(documents, batch_size=batch_size)
+        if cross_encoder is not None:
+            out.ce_doc_tokens, out.ce_doc_mask = cross_encoder.prepare_corpus_tokens(
+                documents, max_doc_tokens=ce_max_doc_tokens
+            )
         return out
 
     @property
@@ -187,7 +209,17 @@ class HybridSearcher:
             systems.append("splade")
         if self.colbert_index is not None:
             systems.append("colbert")
+        if self._rerank_active:
+            systems.append("monobert")
         return systems
+
+    @property
+    def _rerank_active(self) -> bool:
+        return (
+            self.cross_encoder is not None
+            and self.rerank_depth > 0
+            and self.ce_doc_tokens is not None
+        )
 
     # ------------------------------------------------------------------
     def _device_program(self, batch: int, use_pallas: bool):
@@ -253,6 +285,31 @@ class HybridSearcher:
                     linear_weights=weights if self.fusion_method == "nsf" else None,
                     return_topk=topk,
                 )
+            if self._rerank_active:
+                # monoBERT final stage (reference hybrid.py:457-462): gather
+                # the fused head's doc tokens on device, score every
+                # (query, candidate) pair in one chunked forward, re-sort
+                # the head; the fused tail (depth > rerank_depth) is kept so
+                # recall@k beyond the rerank depth is unchanged.
+                kr = min(self.rerank_depth, fused.depth)
+                head_ids = fused.ids[:, :kr]
+                safe = jnp.clip(head_ids, 0, self.ce_doc_tokens.shape[0] - 1)
+                d_ids = self.ce_doc_tokens[safe]
+                d_mask = self.ce_doc_mask[safe] * (head_ids >= 0)[..., None]
+                logits = self.cross_encoder.rerank_tokens(
+                    self.cross_encoder.params,
+                    inputs["ce_ids"],
+                    inputs["ce_mask"],
+                    d_ids,
+                    d_mask,
+                    pair_chunk=self.rerank_chunk,
+                )
+                scores = jnp.where(head_ids >= 0, jax.nn.sigmoid(logits), -jnp.inf)
+                neg, re_ids = jax.lax.sort((-scores, head_ids), num_keys=1)
+                fused = RankedLists(
+                    ids=jnp.concatenate([re_ids, fused.ids[:, kr:]], axis=1),
+                    scores=jnp.concatenate([-neg, fused.scores[:, kr:]], axis=1),
+                )
             return fused.ids, fused.scores
 
         self._jitted[key] = jax.jit(program)
@@ -274,6 +331,12 @@ class HybridSearcher:
             _save_corpus_matrix(self.splade_corpus, path, "splade")
         if self.colbert_index is not None:
             self.colbert_index.save(os.path.join(path, "colbert"))
+        if self.ce_doc_tokens is not None:
+            np.savez_compressed(
+                os.path.join(path, "ce_doc_tokens.npz"),
+                ids=np.asarray(self.ce_doc_tokens),
+                mask=np.asarray(self.ce_doc_mask).astype(np.int8),
+            )
 
     def load_indexes(self, path: str, int8_corpus: bool = False) -> "HybridSearcher":
         import os
@@ -294,6 +357,11 @@ class HybridSearcher:
             self.splade_corpus = loaded
         if os.path.exists(os.path.join(path, "colbert", "token_index.npz")):
             self.colbert_index = TokenIndex.load(os.path.join(path, "colbert"))
+        ce_path = os.path.join(path, "ce_doc_tokens.npz")
+        if os.path.exists(ce_path):
+            with np.load(ce_path) as z:
+                self.ce_doc_tokens = jnp.asarray(z["ids"], dtype=jnp.int32)
+                self.ce_doc_mask = jnp.asarray(z["mask"], dtype=jnp.int32)
         self._jitted.clear()
         return self
 
@@ -328,6 +396,11 @@ class HybridSearcher:
             if self.colbert_index is not None:
                 ids, mask = self.colbert_model.text_encoder.encode(chunk, query_mode=True)
                 inputs["cb_ids"], inputs["cb_mask"] = jnp.asarray(ids), jnp.asarray(mask)
+            if self._rerank_active:
+                ids, mask = self.cross_encoder.encode_queries_raw(
+                    chunk, max_query_tokens=self.ce_query_length
+                )
+                inputs["ce_ids"], inputs["ce_mask"] = jnp.asarray(ids), jnp.asarray(mask)
             program = self._device_program(len(chunk), use_pallas)
             ids, scores = program(inputs)
             out_ids.append(np.asarray(ids)[:real])

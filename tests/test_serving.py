@@ -115,6 +115,68 @@ def test_searcher_index_persistence(models, tmp_path):
     np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
 
 
+def test_searcher_rerank_stage(models):
+    """monoBERT final stage in the fused program (reference hybrid.py:457-462):
+    the head is a re-sorted permutation of the fused head, the tail beyond
+    rerank_depth is untouched, and scores are sigmoid probabilities."""
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    dense, splade, _ = models
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=32)
+    kwargs = dict(dense_model=dense, splade_model=splade, batch_size=4, topk=8)
+    plain = HybridSearcher.build(CORPUS, **kwargs)
+    rr = HybridSearcher.build(CORPUS, cross_encoder=ce, rerank_depth=4, **kwargs)
+    assert rr.active_systems == ["dpr", "splade", "monobert"]
+
+    base, _ = plain.search(QUERIES, batch_size=4, use_pallas=False)
+    got, _ = rr.search(QUERIES, batch_size=4, use_pallas=False)
+    b_ids, g_ids = np.asarray(base.ids), np.asarray(got.ids)
+    g_scores = np.asarray(got.scores)
+    for qi in range(len(QUERIES)):
+        assert set(g_ids[qi, :4]) == set(b_ids[qi, :4])  # permutation of head
+        np.testing.assert_array_equal(g_ids[qi, 4:], b_ids[qi, 4:])  # tail kept
+        head = g_scores[qi, :4]
+        assert np.all((head >= 0) & (head <= 1))
+        assert np.all(np.diff(head) <= 1e-6)  # descending
+
+
+def test_rerank_tokens_chunk_invariance():
+    """Chunked lax.map scoring must equal the single-chunk forward."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=32)
+    docs = list(CORPUS.values())
+    d_ids, d_mask = ce.prepare_corpus_tokens(docs, max_doc_tokens=12)
+    q_ids, q_mask = ce.encode_queries_raw(QUERIES, max_query_tokens=6)
+    cand = jnp.asarray([[0, 1, 2], [3, 4, 5], [6, 7, 0]], dtype=jnp.int32)
+    di, dm = d_ids[cand], d_mask[cand]
+    s_one = ce.rerank_tokens(ce.params, jnp.asarray(q_ids), jnp.asarray(q_mask), di, dm,
+                             pair_chunk=64)
+    s_chunked = ce.rerank_tokens(ce.params, jnp.asarray(q_ids), jnp.asarray(q_mask), di, dm,
+                                 pair_chunk=2)
+    np.testing.assert_allclose(np.asarray(s_one), np.asarray(s_chunked), rtol=2e-5, atol=2e-5)
+
+
+def test_rerank_index_persistence(models, tmp_path):
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    dense, _, _ = models
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=32)
+    rr = HybridSearcher.build(
+        CORPUS, dense_model=dense, cross_encoder=ce, rerank_depth=3, batch_size=4, topk=6
+    )
+    r1, _ = rr.search(QUERIES, batch_size=4, use_pallas=False)
+    rr.save_indexes(str(tmp_path))
+    fresh = HybridSearcher(
+        corpus_ids=np.zeros(0), dense_model=dense, cross_encoder=ce, rerank_depth=3, topk=6
+    ).load_indexes(str(tmp_path))
+    assert fresh.ce_doc_tokens is not None
+    r2, _ = fresh.search(QUERIES, batch_size=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
+
+
 def test_quickstart_example_runs():
     import runpy
 
