@@ -1,3 +1,13 @@
-from fusion_tpu.index.compression import CompressedTokenIndex, kmeans, compress_token_index
+from fusion_tpu.index.compression import (
+    CompressedTokenIndex,
+    kmeans,
+    compress_token_index,
+    maxsim_search_compressed,
+)
 
-__all__ = ["CompressedTokenIndex", "kmeans", "compress_token_index"]
+__all__ = [
+    "CompressedTokenIndex",
+    "kmeans",
+    "compress_token_index",
+    "maxsim_search_compressed",
+]

@@ -22,9 +22,9 @@ per token vs 256 B bf16 uncompressed (~7×), matching the reference's
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -130,13 +130,15 @@ def _unpack_codes_jnp(packed: jax.Array, nbits: int, d: int) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
-class CompressedTokenIndex(NamedTuple):
+@dataclasses.dataclass
+class CompressedTokenIndex:
     centroids: jax.Array  # [C, D] f32
     centroid_ids: jax.Array  # [N, Ld] int32
     codes: jax.Array  # [N, Ld, D*nbits/8] uint8
     mask: jax.Array  # [N, Ld] f32
     bucket_weights: jax.Array  # [2^nbits] f32 (reconstruction values)
     nbits: int
+    _prepared: tuple | None = dataclasses.field(default=None, repr=False, compare=False)
 
     @property
     def num_docs(self) -> int:
@@ -145,6 +147,52 @@ class CompressedTokenIndex(NamedTuple):
     @property
     def dim(self) -> int:
         return self.centroids.shape[-1]
+
+    def prepared(self) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Search layout, cached: token-major compressed arrays so the
+        streaming decompress+score path emits [Ld, B, D] blocks directly
+        (the orientation the transposed Pallas MaxSim kernel wants) with no
+        per-batch relayout of the *decompressed* data.
+
+        Returns ``(centroid_ids_tm [Ld, N] i32, codes_tm [Ld, N, D·nbits/8]
+        u8, mask_tm [Ld, N] f32, doc_valid [N] bool)`` — transposing the
+        ~37 B/token compressed arrays once at load is ~7× cheaper than
+        transposing decompressed blocks every batch."""
+        if self._prepared is None:
+            out = jax.jit(
+                lambda cid, codes, mask: (
+                    cid.T,
+                    jnp.transpose(codes, (1, 0, 2)),
+                    mask.T,
+                    mask.max(axis=1) > 0,
+                )
+            )(self.centroid_ids, self.codes, self.mask)
+            if any(isinstance(o, jax.core.Tracer) for o in out):
+                # first call happened inside an outer jit trace: return the
+                # staged values but never cache tracers
+                return out
+            self._prepared = out
+        return self._prepared
+
+    def decompress_tm(
+        self, cid_tm: jax.Array, codes_tm: jax.Array, mask_tm: jax.Array
+    ) -> jax.Array:
+        """Token-major block decompress: (centroid ids [Ld, B], packed codes
+        [Ld, B, D/p], mask [Ld, B]) → zeroed bf16 tokens [Ld, B, D], ready
+        for the transposed-operand MaxSim kernel (ops/maxsim.py
+        ``_maxsim_kernel_T``).  The CUDA-parity path: colbert-ai fuses
+        decompress_residuals.cpp into its scorer (colbert_ir.py:242,251)."""
+        codes = _unpack_codes_jnp(codes_tm, self.nbits, self.dim)
+        base = self.centroids[cid_tm]  # [Ld, B, D]
+        levels = 1 << self.nbits
+        if levels <= 16:
+            # tiny-table lookup as a VPU select chain (TPU gathers serialize)
+            residual = jnp.zeros(codes.shape, jnp.float32)
+            for level in range(levels):
+                residual = jnp.where(codes == level, self.bucket_weights[level], residual)
+        else:
+            residual = self.bucket_weights[codes]
+        return ((base + residual) * mask_tm[..., None]).astype(jnp.bfloat16)
 
     def nbytes(self) -> int:
         return sum(
@@ -278,41 +326,51 @@ def maxsim_search_compressed(
     q_mask: jax.Array,
     index: CompressedTokenIndex,
     k: int = 1000,
-    doc_block: int = 512,
-    use_onehot: bool | None = None,
+    doc_block: int = 8192,
+    use_pallas: bool | None = None,
 ) -> RankedLists:
     """Streaming MaxSim with on-the-fly block decompression (one jitted
     executable: the full token matrix never exists in HBM).
 
-    Per block: reconstruct [B, Ld, D] from centroid ids + packed codes
-    (one-hot-matmul decompress on TPU, gather elsewhere), score, merge
-    top-k.
-    """
-    # compiled XLA row-gathers beat the one-hot matmul at these shapes;
-    # the flag remains for experimentation
-    if use_onehot is None:
-        use_onehot = False
-    return _maxsim_search_compressed(
-        q_tokens, q_mask,
-        index.centroids, index.centroid_ids, index.codes, index.mask,
+    Per ``doc_block``: reconstruct a token-major [Ld, B, D] block from
+    centroid ids + packed codes (decompress_tm), score with the
+    transposed-operand Pallas kernel (XLA einsum off-TPU), merge top-k.
+    This is the TPU form of colbert-ai's fused CUDA decompress+MaxSim
+    scorer (colbert_ir.py:242,251 — SURVEY §2.4's main native-parity
+    component); the compressed arrays are read at ~37 B/token and the
+    bf16 reconstruction lives only one block at a time."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    cid_tm, codes_tm, mask_tm, doc_valid = index.prepared()
+    return _maxsim_search_compressed_tm(
+        q_tokens.astype(jnp.bfloat16 if use_pallas else jnp.float32),
+        q_mask.astype(jnp.float32),
+        index.centroids, cid_tm, codes_tm, mask_tm, doc_valid,
         index.bucket_weights,
-        nbits=index.nbits, k=k, doc_block=doc_block, use_onehot=bool(use_onehot),
+        nbits=index.nbits, k=k, doc_block=doc_block, use_pallas=bool(use_pallas),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "k", "doc_block", "use_onehot"))
-def _maxsim_search_compressed(
-    q_tokens, q_mask, centroids, centroid_ids, codes_packed, mask, bucket_weights,
-    nbits: int, k: int, doc_block: int, use_onehot: bool,
+@functools.partial(jax.jit, static_argnames=("nbits", "k", "doc_block", "use_pallas"))
+def _maxsim_search_compressed_tm(
+    q_tokens, q_mask, centroids, cid_tm, codes_tm, mask_tm, doc_valid,
+    bucket_weights, nbits: int, k: int, doc_block: int, use_pallas: bool,
 ) -> RankedLists:
-    from fusion_tpu.ops.maxsim import maxsim_scores
+    from fusion_tpu.ops.maxsim import (
+        maxsim_scores_pallas_v2_tm,
+        maxsim_scores_zeromask,
+    )
 
     index = CompressedTokenIndex(
-        centroids=centroids, centroid_ids=centroid_ids, codes=codes_packed,
-        mask=mask, bucket_weights=bucket_weights, nbits=nbits,
+        centroids=centroids, centroid_ids=None, codes=None, mask=None,
+        bucket_weights=bucket_weights, nbits=nbits,
     )
-    n = index.num_docs
+    n = cid_tm.shape[1]
     q = q_tokens.shape[0]
+    inner = 128
+    if use_pallas:
+        assert n % inner == 0, "pad the compressed index to a multiple of 128 docs"
+        doc_block = max(doc_block - doc_block % inner, inner)
     doc_block = min(doc_block, n)
     num_blocks = -(-n // doc_block)
     k = min(k, n)
@@ -320,14 +378,25 @@ def _maxsim_search_compressed(
     def block_scores(bi):
         start = bi * doc_block
         real_start = jnp.minimum(start, n - doc_block)
-        cid = jax.lax.dynamic_slice_in_dim(index.centroid_ids, real_start, doc_block, axis=0)
-        codes = jax.lax.dynamic_slice_in_dim(index.codes, real_start, doc_block, axis=0)
-        m_blk = jax.lax.dynamic_slice_in_dim(index.mask, real_start, doc_block, axis=0)
-        d_blk = index.decompress(cid, codes, use_onehot=use_onehot)
-        scores = maxsim_scores(q_tokens, q_mask, d_blk, m_blk)
+        cid = jax.lax.dynamic_slice_in_dim(cid_tm, real_start, doc_block, axis=1)
+        codes = jax.lax.dynamic_slice_in_dim(codes_tm, real_start, doc_block, axis=1)
+        m_blk = jax.lax.dynamic_slice_in_dim(mask_tm, real_start, doc_block, axis=1)
+        v_blk = jax.lax.dynamic_slice_in_dim(doc_valid, real_start, doc_block, axis=0)
+        d_blk = index.decompress_tm(cid, codes, m_blk)  # [Ld, B, D] bf16 zeroed
+        if use_pallas:
+            scores = maxsim_scores_pallas_v2_tm(q_tokens, q_mask, d_blk, block_docs=inner)
+        else:
+            scores = maxsim_scores_zeromask(
+                q_tokens, q_mask, jnp.transpose(d_blk, (1, 0, 2)).astype(jnp.float32)
+            )
         ids = real_start + jnp.arange(doc_block, dtype=jnp.int32)
-        fresh = ids >= start
+        fresh = (ids >= start) & v_blk
         scores = jnp.where(fresh[None, :], scores, -jnp.inf)
         return scores, jnp.broadcast_to(ids, (q, doc_block))
 
+    if num_blocks == 1:
+        from fusion_tpu.core.ranked import ranked_from_scores
+
+        scores, _ = block_scores(0)
+        return ranked_from_scores(scores, k)
     return blockwise_topk(block_scores, num_blocks, q, k)

@@ -73,7 +73,12 @@ class TokenIndex:
         if self._prepared is None:
             from fusion_tpu.ops.maxsim import prepare_token_corpus
 
-            self._prepared = jax.jit(prepare_token_corpus)(self.tokens, self.mask)
+            out = jax.jit(prepare_token_corpus)(self.tokens, self.mask)
+            if any(isinstance(o, jax.core.Tracer) for o in out):
+                # first call happened inside an outer jit trace: return the
+                # staged values but never cache tracers
+                return out
+            self._prepared = out
         return self._prepared
 
     def save(self, path: str) -> None:
@@ -243,7 +248,9 @@ class ColBERT:
             from fusion_tpu.index.compression import maxsim_search_compressed
 
             return maxsim_search_compressed(
-                q_tok, q_mask, index, k=k, doc_block=min(doc_block, 512)
+                q_tok, q_mask, index, k=k,
+                doc_block=doc_block if doc_block != 1024 else 8192,
+                use_pallas=use_pallas and jax.default_backend() == "tpu",
             )
         if use_pallas:
             corpus_tm, doc_valid = index.prepared()

@@ -120,6 +120,8 @@ class HybridSearcher:
         cross_encoder=None,
         rerank_depth: int = 100,
         ce_max_doc_tokens: int | None = None,
+        colbert_compressed: bool = False,
+        colbert_nbits: int = 2,
         batch_size: int = 64,
         k1: float = 2.5,
         b: float = 0.2,
@@ -191,7 +193,17 @@ class HybridSearcher:
                 )(acts, similarity=splade_model.similarity)
             out.splade_corpus = acts
         if colbert_model is not None:
-            out.colbert_index = colbert_model.index(documents, batch_size=batch_size)
+            if colbert_compressed:
+                # residual-compressed token index (reference nbits=2,
+                # scripts/run_colbert.sh:34-36): ~7x less HBM held
+                out.colbert_index = colbert_model.index_compressed(
+                    documents, batch_size=batch_size, nbits=colbert_nbits
+                )
+            else:
+                out.colbert_index = colbert_model.index(documents, batch_size=batch_size)
+            # cache the search layout eagerly (a first call from inside the
+            # jitted program would see tracers and couldn't cache)
+            out.colbert_index.prepared()
         if cross_encoder is not None:
             out.ce_doc_tokens, out.ce_doc_mask = cross_encoder.prepare_corpus_tokens(
                 documents, max_doc_tokens=ce_max_doc_tokens
@@ -265,15 +277,29 @@ class HybridSearcher:
                 q_tok = self.colbert_model.embed_tokens(
                     self.colbert_model.params, inputs["cb_ids"], inputs["cb_mask"]
                 )
-                corpus_tm, doc_valid = self.colbert_index.prepared()
-                results["colbert"] = maxsim_search_tm(
-                    q_tok.astype(jnp.bfloat16),
-                    inputs["cb_mask"].astype(jnp.float32),
-                    corpus_tm,
-                    doc_valid,
-                    k=topk,
-                    use_pallas=use_pallas,
+                from fusion_tpu.index.compression import (
+                    CompressedTokenIndex,
+                    maxsim_search_compressed,
                 )
+
+                if isinstance(self.colbert_index, CompressedTokenIndex):
+                    results["colbert"] = maxsim_search_compressed(
+                        q_tok,
+                        inputs["cb_mask"].astype(jnp.float32),
+                        self.colbert_index,
+                        k=topk,
+                        use_pallas=use_pallas,
+                    )
+                else:
+                    corpus_tm, doc_valid = self.colbert_index.prepared()
+                    results["colbert"] = maxsim_search_tm(
+                        q_tok.astype(jnp.bfloat16),
+                        inputs["cb_mask"].astype(jnp.float32),
+                        corpus_tm,
+                        doc_valid,
+                        k=topk,
+                        use_pallas=use_pallas,
+                    )
             if len(results) == 1:
                 fused = next(iter(results.values()))
             else:
@@ -355,8 +381,14 @@ class HybridSearcher:
         loaded = _load_corpus_matrix(path, "splade")
         if loaded is not None:
             self.splade_corpus = loaded
-        if os.path.exists(os.path.join(path, "colbert", "token_index.npz")):
+        if os.path.exists(os.path.join(path, "colbert", "compressed_index.npz")):
+            from fusion_tpu.index.compression import CompressedTokenIndex
+
+            self.colbert_index = CompressedTokenIndex.load(os.path.join(path, "colbert"))
+            self.colbert_index.prepared()
+        elif os.path.exists(os.path.join(path, "colbert", "token_index.npz")):
             self.colbert_index = TokenIndex.load(os.path.join(path, "colbert"))
+            self.colbert_index.prepared()
         ce_path = os.path.join(path, "ce_doc_tokens.npz")
         if os.path.exists(ce_path):
             with np.load(ce_path) as z:

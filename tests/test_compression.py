@@ -86,6 +86,45 @@ def test_compressed_index_save_load(rng, tmp_path):
     assert index2.nbits == 2
 
 
+def test_compressed_prepared_layout_roundtrip(rng):
+    """Token-major prepared layout decompresses to the same tokens as the
+    doc-major decompress, and repeated calls hit the cache."""
+    tokens, mask = make_tokens(rng, n=16)
+    index = compress_token_index(tokens, mask, num_centroids=16, nbits=2)
+    cid_tm, codes_tm, mask_tm, valid = index.prepared()
+    assert index.prepared()[0] is cid_tm  # cached
+    d_tm = index.decompress_tm(cid_tm, codes_tm, mask_tm)
+    ref = index.decompress(index.centroid_ids, index.codes)
+    ref = (ref * np.asarray(mask)[..., None]).astype(np.float32)
+    got = np.transpose(np.asarray(d_tm, dtype=np.float32), (1, 0, 2))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)  # bf16 cast
+    assert valid.shape == (16,)
+
+
+def test_sharded_compressed_matches_single(rng):
+    """Index-parallel compressed search == single-device compressed search."""
+    import jax
+
+    from fusion_tpu.ops.mips import sharded_maxsim_search_compressed
+    from fusion_tpu.parallel.sharding import make_mesh
+
+    assert len(jax.devices()) == 8
+    tokens, mask = make_tokens(rng, n=64)
+    q = jnp.asarray(rng.normal(size=(3, 5, 16)).astype(np.float32))
+    qm = jnp.ones((3, 5), jnp.float32)
+    index = compress_token_index(tokens, mask, num_centroids=32, nbits=2)
+    mesh = make_mesh(data=1, model=1, index=8)
+    single = maxsim_search_compressed(q, qm, index, k=6, doc_block=16, use_pallas=False)
+    sharded = sharded_maxsim_search_compressed(q, qm, index, mesh, k=6, doc_block=8)
+    np.testing.assert_allclose(
+        np.asarray(sharded.scores), np.asarray(single.scores), rtol=1e-4, atol=1e-5
+    )
+    for qi in range(3):
+        assert set(np.asarray(sharded.ids)[qi].tolist()) == set(
+            np.asarray(single.ids)[qi].tolist()
+        )
+
+
 def test_colbert_compressed_end_to_end(rng):
     from fusion_tpu.models.colbert import ColBERT
     from fusion_tpu.models.encoder import EncoderConfig

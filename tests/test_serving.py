@@ -177,6 +177,33 @@ def test_rerank_index_persistence(models, tmp_path):
     np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
 
 
+def test_searcher_compressed_colbert(models, tmp_path):
+    """ColBERT leg served from the residual-compressed index: search runs,
+    top-1 matches the uncompressed leg on a well-separated corpus, and the
+    compressed index round-trips through save/load."""
+    from fusion_tpu.index.compression import CompressedTokenIndex
+
+    _, _, colbert = models
+    plain = HybridSearcher.build(CORPUS, colbert_model=colbert, batch_size=4, topk=4)
+    comp = HybridSearcher.build(
+        CORPUS, colbert_model=colbert, batch_size=4, topk=4,
+        colbert_compressed=True, colbert_nbits=4,
+    )
+    assert isinstance(comp.colbert_index, CompressedTokenIndex)
+    queries = list(CORPUS.values())[:2]  # self-retrieval
+    rp, _ = plain.search(queries, batch_size=2, use_pallas=False)
+    rc, _ = comp.search(queries, batch_size=2, use_pallas=False)
+    assert np.asarray(rp.ids)[:, 0].tolist() == np.asarray(rc.ids)[:, 0].tolist()
+
+    comp.save_indexes(str(tmp_path))
+    fresh = HybridSearcher(
+        corpus_ids=np.zeros(0), colbert_model=colbert, topk=4
+    ).load_indexes(str(tmp_path))
+    assert isinstance(fresh.colbert_index, CompressedTokenIndex)
+    rl, _ = fresh.search(queries, batch_size=2, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(rl.ids), np.asarray(rc.ids))
+
+
 def test_quickstart_example_runs():
     import runpy
 
