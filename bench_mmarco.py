@@ -1,0 +1,265 @@
+"""mMARCO-scale single-chip benchmark: 8.8M passages, per-leg latency + memory.
+
+SURVEY §6 / §7.3: the reference's second dataset is mMARCO (8.8M passages,
+src/data/mmarco.py:2-4) — a scale where LLeQA's dense fast paths (bf16
+impact matrix, sparse-as-dense SPLADE, uncompressed token matrix) are
+physically impossible on one chip.  This bench exercises the memory-lean
+index forms end to end on a synthetic corpus of mMARCO's size:
+
+  * BM25   — fixed-K impact index (index/sparse.py SparseIndex, K=64
+             impact-ordered entries/doc) with ON-DEVICE query prep
+             (lexical_query_matrix) and streaming top-k;
+  * SPLADE — the same fixed-K pruned-activation index at |V|=32k;
+  * DPR    — int8 per-row-quantized corpus (index/dense_quant.py), 768-d,
+             blockwise matmul + streaming top-k;
+  * ColBERT— residual-compressed token index (index/compression.py,
+             nbits=2, 32 salient tokens/doc), streaming decompress+MaxSim
+             with the transposed-operand Pallas kernel.
+
+All index data is SYNTHESIZED ON DEVICE (the tunnel moves ~30 MB/s; GB-scale
+host→device transfers are prohibited) — throughput depends on shapes,
+layouts, and dtypes, not values.  Legs run sequentially and free their
+arrays, so each leg's index + workspace must fit 16 GB HBM alone.
+
+Per-block top-k uses ``local_topk='approx'`` (lax.approx_max_k, the
+TPU-native binned reducer at recall_target 0.99) by default; pass
+``--local_topk none`` to measure the exact-merge cost instead.
+
+Prints ONE json line with per-leg ms/batch, q/s, and index GB.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import gc
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def fetch(x):
+    """Host-transfer fence (block_until_ready returns early on the tunnel)."""
+    return np.asarray(x)
+
+
+def time_batch(fn, args, iters=6, label=""):
+    """Chained-dispatch timing: compile, subtract the single-call fetch
+    baseline, average the rest (bench.py's fence discipline)."""
+    t0 = time.perf_counter()
+    out = fn(*args)
+    fetch(out[0] if isinstance(out, tuple) else out.ids)
+    print(f"# {label} compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    fetch(out[0] if isinstance(out, tuple) else out.ids)
+    t_single = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    fetch(out[0] if isinstance(out, tuple) else out.ids)
+    dt = max((time.perf_counter() - t0 - t_single) / (iters - 1), 1e-9)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_docs", type=int, default=8_912_896,  # 68 × 131072 ≥ 8,841,823
+                    help="corpus size (default: mMARCO's 8.84M rounded up to the gen chunk)")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--topk", type=int, default=1000)
+    ap.add_argument("--legs", default="bm25,splade,dense,colbert")
+    ap.add_argument("--local_topk", default="approx", choices=["approx", "exact", "none"])
+    ap.add_argument("--gen_chunk", type=int, default=131072)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    local_topk = None if args.local_topk == "none" else args.local_topk
+    N = args.n_docs - args.n_docs % args.gen_chunk
+    B, TOPK, CH = args.batch, args.topk, args.gen_chunk
+    n_chunks = N // CH
+    key = jax.random.PRNGKey(0)
+    legs = {}
+
+    # ------------------------------------------------------------------
+    # DPR leg: int8 corpus, 768-d
+    # ------------------------------------------------------------------
+    if "dense" in args.legs:
+        from fusion_tpu.index.dense_quant import QuantizedDenseIndex, quantized_dense_search
+
+        H = 768
+
+        @functools.partial(jax.jit, static_argnames=("n_chunks",))
+        def gen_dense(key, n_chunks):
+            def one(k):
+                x = jax.random.normal(k, (CH, H), jnp.float32)
+                x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+                s = jnp.maximum(jnp.abs(x).max(axis=-1) / 127.0, 1e-12)
+                v = jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8)
+                return v, s
+
+            vals, scales = jax.lax.map(one, jax.random.split(key, n_chunks))
+            return vals.reshape(n_chunks * CH, H), scales.reshape(n_chunks * CH)
+
+        t0 = time.perf_counter()
+        vals, scales = gen_dense(key, n_chunks)
+        fetch(scales[:1])
+        build_s = time.perf_counter() - t0
+        index = QuantizedDenseIndex(values=vals, scales=scales, normalized=True)
+        q_embs = jax.random.normal(jax.random.PRNGKey(1), (B, H), jnp.float32)
+
+        fn = functools.partial(
+            quantized_dense_search, k=TOPK, doc_block=262_144, local_topk=local_topk
+        )
+        dt = time_batch(fn, (q_embs, index), label="dense int8")
+        legs["dense_int8"] = {
+            "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
+            "index_gb": round(index.nbytes() / 1e9, 2), "dim": H,
+            "build_s": round(build_s, 1),
+        }
+        del vals, scales, index, q_embs
+        gc.collect()
+
+    # ------------------------------------------------------------------
+    # fixed-K sparse legs (SPLADE |V|=32k; BM25 |V|=256k lexical vocab)
+    # ------------------------------------------------------------------
+    def gen_sparse(v, k_slots, seed):
+        @functools.partial(jax.jit, static_argnames=("n_chunks",))
+        def gen(key, n_chunks):
+            def one(kk):
+                k1, k2 = jax.random.split(kk)
+                terms = jax.random.randint(k1, (CH, k_slots), 0, v, dtype=jnp.int32)
+                terms = jnp.sort(terms, axis=-1)
+                w = jax.random.uniform(k2, (CH, k_slots), jnp.float32, 0.05, 3.0)
+                return terms, w
+            t, w = jax.lax.map(one, jax.random.split(key, n_chunks))
+            return t.reshape(n_chunks * CH, k_slots), w.reshape(n_chunks * CH, k_slots)
+        return gen(jax.random.PRNGKey(seed), n_chunks)
+
+    if "splade" in args.legs:
+        from fusion_tpu.index.sparse import SparseIndex, sparse_search
+
+        V_S, K_S = 32_768, 64
+        t0 = time.perf_counter()
+        terms, weights = gen_sparse(V_S, K_S, seed=2)
+        fetch(terms[:1])
+        build_s = time.perf_counter() - t0
+        index = SparseIndex(terms, weights, n_docs=N, vocab_size=V_S, nnz=N * K_S)
+        # dense query activations (the SPLADE encoder emits them on device)
+        qv = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(3), (B, V_S), jnp.float32))
+
+        fn = functools.partial(sparse_search, k=TOPK, doc_block=32_768, local_topk=local_topk)
+        dt = time_batch(fn, (qv, index), label="splade fixed-K")
+        legs["splade_fixedk"] = {
+            "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
+            "index_gb": round(index.nbytes() / 1e9, 2), "K": K_S, "vocab": V_S,
+            "build_s": round(build_s, 1),
+        }
+        del terms, weights, index, qv
+        gc.collect()
+
+    if "bm25" in args.legs:
+        from fusion_tpu.index.sparse import SparseIndex, lexical_query_matrix, sparse_search
+
+        V_B, K_B, KQ = 262_144, 64, 16
+        t0 = time.perf_counter()
+        terms, weights = gen_sparse(V_B, K_B, seed=4)
+        fetch(terms[:1])
+        build_s = time.perf_counter() - t0
+        index = SparseIndex(terms, weights, n_docs=N, vocab_size=V_B, nnz=N * K_B)
+        q_terms = jax.random.randint(jax.random.PRNGKey(5), (B, KQ), 0, V_B, dtype=jnp.int32)
+        q_weights = jnp.ones((B, KQ), jnp.float32)
+
+        def bm25_step(q_terms, q_weights, index):
+            qv = lexical_query_matrix(q_terms, q_weights, V_B)  # on-device prep
+            return sparse_search(qv, index, k=TOPK, doc_block=32_768, local_topk=local_topk)
+
+        dt = time_batch(bm25_step, (q_terms, q_weights, index), label="bm25 fixed-K")
+        legs["bm25_fixedk"] = {
+            "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
+            "index_gb": round(index.nbytes() / 1e9, 2), "K": K_B, "vocab": V_B,
+            "build_s": round(build_s, 1),
+        }
+        del terms, weights, index, q_terms, q_weights
+        gc.collect()
+
+    # ------------------------------------------------------------------
+    # ColBERT leg: residual-compressed token index, 32 salient tokens/doc
+    # ------------------------------------------------------------------
+    if "colbert" in args.legs:
+        from fusion_tpu.index.compression import _maxsim_search_compressed_tm
+
+        LD, D, NBITS, C = 32, 128, 2, 131_072
+        LQ = 32
+
+        @jax.jit
+        def gen_colbert(key):
+            ks = jax.random.split(key, 4)
+
+            def cid_row(k):
+                return jax.random.randint(k, (N,), 0, C, dtype=jnp.int32)
+
+            def code_row(k):
+                return jax.random.randint(k, (N, D * NBITS // 8), 0, 256, dtype=jnp.int32
+                                          ).astype(jnp.uint8)
+
+            cid_tm = jax.lax.map(cid_row, jax.random.split(ks[0], LD))
+            codes_tm = jax.lax.map(code_row, jax.random.split(ks[1], LD))
+            cents = jax.random.normal(ks[2], (C, D), jnp.float32) * 0.08
+            bw = jnp.asarray([-0.04, -0.01, 0.01, 0.04], jnp.float32)
+            return cid_tm, codes_tm, cents, bw
+
+        t0 = time.perf_counter()
+        cid_tm, codes_tm, cents, bw = gen_colbert(jax.random.PRNGKey(6))
+        mask_tm = jnp.ones((LD, N), jnp.bfloat16)
+        doc_valid = jnp.ones((N,), bool)
+        fetch(cid_tm[:1, :1])
+        build_s = time.perf_counter() - t0
+
+        q_tok = jax.random.normal(jax.random.PRNGKey(7), (B, LQ, D), jnp.float32)
+        q_tok = q_tok / jnp.linalg.norm(q_tok, axis=-1, keepdims=True)
+        q_mask = jnp.ones((B, LQ), jnp.float32)
+
+        fn = functools.partial(
+            _maxsim_search_compressed_tm,
+            nbits=NBITS, k=TOPK, doc_block=16_384, use_pallas=on_tpu,
+            local_topk=local_topk,
+        )
+        dt = time_batch(
+            fn,
+            (q_tok.astype(jnp.bfloat16 if on_tpu else jnp.float32), q_mask,
+             cents, cid_tm, codes_tm, mask_tm, doc_valid, bw),
+            iters=3, label="colbert compressed",
+        )
+        idx_gb = (cid_tm.nbytes + codes_tm.nbytes + mask_tm.nbytes + cents.nbytes) / 1e9
+        legs["colbert_compressed"] = {
+            "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
+            "index_gb": round(idx_gb, 2), "tokens_per_doc": LD, "nbits": NBITS,
+            "centroids": C, "build_s": round(build_s, 1),
+        }
+        del cid_tm, codes_tm, cents, mask_tm, doc_valid, q_tok, q_mask
+        gc.collect()
+
+    total_ms = sum(v["ms_per_batch"] for v in legs.values())
+    print(json.dumps({
+        "metric": "mmarco_scale_hybrid_q_per_s_per_chip",
+        "value": round(B / (total_ms / 1000), 2) if total_ms else 0.0,
+        "unit": "queries/s",
+        "vs_baseline": 0.0,
+        "detail": {
+            "corpus_docs": N, "batch": B, "topk": TOPK,
+            "local_topk": args.local_topk,
+            "total_ms_per_batch_all_legs": round(total_ms, 2),
+            "backend": jax.default_backend(),
+            "legs": legs,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -408,7 +408,10 @@ def cmd_hybrid(args):
     data = loader.load()
     pipeline = HybridPipeline(data.corpus)
     qids, queries, labels = _split_queries(data, args.split)
-    topk = min(1000, len(data.corpus))
+    # Score-distribution analysis needs FULL-corpus score pools per system
+    # (reference hybrid.py:379 scores every doc); top-k-truncated lists would
+    # bias the quantile tables, so retrieval depth becomes len(corpus) then.
+    topk = len(data.corpus) if args.analyze_score_distributions else min(1000, len(data.corpus))
 
     from fusion_tpu.cli.presets import BM25_PRESETS
 

@@ -110,9 +110,11 @@ class LLeQALoader:
                 if split == "train":
                     seen_train.add(text)
                 elif text in seen_train:
-                    qrels["train"].pop(
-                        next((q for q, t in queries["train"].items() if t == text), -1), None
-                    )
+                    dup = next((q for q, t in queries["train"].items() if t == text), None)
+                    if dup is not None:  # drop from BOTH containers so the
+                        # train split stays internally consistent
+                        qrels["train"].pop(dup, None)
+                        queries["train"].pop(dup, None)
                 queries[split][qid] = text
                 qrels[split][qid] = [int(p) for p in r["article_ids"]]
         return RetrievalData(corpus=self.corpus(), queries=queries, qrels=qrels)

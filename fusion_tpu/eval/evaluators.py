@@ -61,13 +61,21 @@ class InformationRetrievalEvaluator:
 
         top_k = max(self.metrics.recall_at_k) if self.metrics.recall_at_k else 100
 
+        # Latency split mirrors the reference evaluator
+        # (sentence_transformers.py:323-381): 'encoding' times QUERY encoding,
+        # 'scoring' times corpus encode + similarity + top-k, 'formatting'
+        # times id remapping + metric computation.  The corpus-encode share is
+        # additionally broken out as 'index build (ms/query)'.
         t0 = time.perf_counter()
         if hasattr(model, "index"):  # ColBERT
             index = model.index(self.corpus_texts, batch_size=self.batch_size)
             t_index = time.perf_counter() - t0
             t0 = time.perf_counter()
+            q_tok, q_mask = model.encode_queries(self.query_texts, batch_size=self.batch_size)
+            t_encode = time.perf_counter() - t0
+            t0 = time.perf_counter()
             ranked = model.search(
-                self.query_texts, index, k=min(top_k, len(self.corpus_texts)),
+                (q_tok, q_mask), index, k=min(top_k, len(self.corpus_texts)),
                 batch_size=self.batch_size, use_pallas=False,
             )
             t_score = time.perf_counter() - t0
@@ -77,8 +85,13 @@ class InformationRetrievalEvaluator:
             )
             t_index = time.perf_counter() - t0
             t0 = time.perf_counter()
+            q_embs = jnp.asarray(
+                model.encode(self.query_texts, query_mode=True, batch_size=self.batch_size)
+            )
+            t_encode = time.perf_counter() - t0
+            t0 = time.perf_counter()
             ranked = model.search(
-                self.query_texts, d_embs, topk=min(top_k, len(self.corpus_texts)),
+                q_embs, d_embs, topk=min(top_k, len(self.corpus_texts)),
                 batch_size=self.batch_size,
             )
             t_score = time.perf_counter() - t0
@@ -90,8 +103,10 @@ class InformationRetrievalEvaluator:
         t_format = time.perf_counter() - t0
 
         nq = max(len(self.qids), 1)
-        scores["latency (ms/query)"] = (t_score / nq) * 1000
-        scores["encoding (ms/query)"] = (t_index / nq) * 1000
+        scores["latency (ms/query)"] = ((t_encode + t_score) / nq) * 1000
+        scores["encoding (ms/query)"] = (t_encode / nq) * 1000
+        scores["scoring (ms/query)"] = (t_score / nq) * 1000
+        scores["index build (ms/query)"] = (t_index / nq) * 1000
         scores["formatting (ms/query)"] = (t_format / nq) * 1000
 
         if self.log_callback is not None:

@@ -328,6 +328,7 @@ def maxsim_search_compressed(
     k: int = 1000,
     doc_block: int = 8192,
     use_pallas: bool | None = None,
+    local_topk: str | None = None,
 ) -> RankedLists:
     """Streaming MaxSim with on-the-fly block decompression (one jitted
     executable: the full token matrix never exists in HBM).
@@ -348,13 +349,17 @@ def maxsim_search_compressed(
         index.centroids, cid_tm, codes_tm, mask_tm, doc_valid,
         index.bucket_weights,
         nbits=index.nbits, k=k, doc_block=doc_block, use_pallas=bool(use_pallas),
+        local_topk=local_topk,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "k", "doc_block", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "k", "doc_block", "use_pallas", "local_topk")
+)
 def _maxsim_search_compressed_tm(
     q_tokens, q_mask, centroids, cid_tm, codes_tm, mask_tm, doc_valid,
     bucket_weights, nbits: int, k: int, doc_block: int, use_pallas: bool,
+    local_topk: str | None = None,
 ) -> RankedLists:
     from fusion_tpu.ops.maxsim import (
         maxsim_scores_pallas_v2_tm,
@@ -399,4 +404,4 @@ def _maxsim_search_compressed_tm(
 
         scores, _ = block_scores(0)
         return ranked_from_scores(scores, k)
-    return blockwise_topk(block_scores, num_blocks, q, k)
+    return blockwise_topk(block_scores, num_blocks, q, k, local_topk=local_topk)

@@ -77,14 +77,19 @@ def quantized_dense_search(
     index: QuantizedDenseIndex,
     k: int = 1000,
     doc_block: int = 65536,
+    local_topk: str | None = None,
 ) -> RankedLists:
-    """Blockwise exact search over the int8 corpus with streaming top-k."""
+    """Blockwise exact search over the int8 corpus with streaming top-k.
+
+    ``local_topk='approx'`` enables the per-block ``approx_max_k`` reduction
+    (ops/topk.py) — the scale mode for corpora like mMARCO 8.8M."""
     return _quantized_search(
-        query_embs, index.values, index.scales, bool(index.normalized), k, doc_block
+        query_embs, index.values, index.scales, bool(index.normalized), k, doc_block,
+        local_topk,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("normalized", "k", "doc_block"))
+@functools.partial(jax.jit, static_argnames=("normalized", "k", "doc_block", "local_topk"))
 def _quantized_search(
     query_embs: jax.Array,
     values: jax.Array,
@@ -92,6 +97,7 @@ def _quantized_search(
     normalized: bool,
     k: int,
     doc_block: int,
+    local_topk: str | None = None,
 ) -> RankedLists:
     n = values.shape[0]
     q = query_embs.shape[0]
@@ -115,4 +121,4 @@ def _quantized_search(
         scores = jnp.where(fresh[None, :], scores, -jnp.inf)
         return scores, jnp.broadcast_to(ids, (q, doc_block))
 
-    return blockwise_topk(block_scores, num_blocks, q, k)
+    return blockwise_topk(block_scores, num_blocks, q, k, local_topk=local_topk)

@@ -106,13 +106,33 @@ def build_sparse_index(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "doc_block"))
+@functools.partial(jax.jit, static_argnames=("vocab_size",))
+def lexical_query_matrix(
+    q_terms: jax.Array,  # int32[Q, Kq] term ids (pad slots >= vocab_size)
+    q_weights: jax.Array,  # f32[Q, Kq]
+    vocab_size: int,
+) -> jax.Array:
+    """On-device query prep for lexical (BM25/TF-IDF) fixed-K search: scatter
+    the per-query (term id, weight) lists into a dense [Q, V] activation
+    matrix.  One jitted executable — the host only ships the tiny
+    [Q, Kq] id/weight arrays, never a [Q, V] matrix (NOTES_ROUND2: the
+    fixed-K path previously lost ~40 ms/batch to host-side query prep)."""
+    q = q_terms.shape[0]
+    qv = jnp.zeros((q, vocab_size + 1), jnp.float32)
+    t = jnp.clip(q_terms, 0, vocab_size)  # pads collect in the dropped slot V
+    w = jnp.where(q_terms < vocab_size, q_weights, 0.0)
+    qv = jax.vmap(lambda row, tt, ww: row.at[tt].add(ww))(qv, t, w)
+    return qv[:, :vocab_size]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "doc_block", "local_topk"))
 def _sparse_search(
     query_activations: jax.Array,
     entry_term: jax.Array,
     entry_weight: jax.Array,
     k: int,
     doc_block: int,
+    local_topk: str | None = None,
 ) -> RankedLists:
     q, _ = query_activations.shape
     n = entry_term.shape[0]
@@ -137,7 +157,7 @@ def _sparse_search(
         scores = jnp.where(fresh[None, :], scores, -jnp.inf)
         return scores, jnp.broadcast_to(ids, (q, doc_block))
 
-    return blockwise_topk(block_scores, num_blocks, q, min(k, n))
+    return blockwise_topk(block_scores, num_blocks, q, min(k, n), local_topk=local_topk)
 
 
 def sparse_search(
@@ -146,7 +166,10 @@ def sparse_search(
     k: int = 1000,
     query_chunk: int = 0,  # kept for API compatibility; unused
     doc_block: int = 16384,
+    local_topk: str | None = None,
 ) -> RankedLists:
     """Dot-product search over the fixed-K pruned index (scatter-free)."""
     del query_chunk
-    return _sparse_search(query_activations, index.entry_term, index.entry_weight, k, doc_block)
+    return _sparse_search(
+        query_activations, index.entry_term, index.entry_weight, k, doc_block, local_topk
+    )

@@ -235,12 +235,20 @@ class BiEncoder:
         doc_block: int = 65536,
     ) -> RankedLists:
         """Brute-force exact search (reference splade/base.py:199-251), on
-        device end-to-end."""
+        device end-to-end.
+
+        ``queries`` may be precomputed query embeddings (any array), letting
+        callers time query encoding separately from scoring (the reference
+        evaluator's latency split, sentence_transformers.py:323-381).
+        """
         if isinstance(documents, (list, tuple)):
             d_embs = jnp.asarray(self.encode(documents, query_mode=False, batch_size=batch_size))
         else:
             d_embs = documents
-        q_embs = jnp.asarray(self.encode(queries, query_mode=True, batch_size=batch_size))
+        if isinstance(queries, (list, tuple)) and (not queries or isinstance(queries[0], str)):
+            q_embs = jnp.asarray(self.encode(queries, query_mode=True, batch_size=batch_size))
+        else:
+            q_embs = jnp.asarray(queries)
         return dense_search(q_embs, d_embs, k=topk, similarity=self.similarity, doc_block=doc_block)
 
     # ------------------------------------------------------------------

@@ -102,6 +102,13 @@ class BM25Index:
             if native_out is None and use_native is True:
                 raise RuntimeError("native BM25 builder unavailable")
 
+        import logging
+
+        logging.getLogger(__name__).info(
+            "BM25 posting builder: %s (%d docs)",
+            "C++ (native/bm25_builder.cpp)" if native_out is not None else "numpy fallback",
+            n,
+        )
         if native_out is not None:
             vocab, entry_term, entry_doc, entry_tf, doc_len, df = native_out
             v = len(vocab)
@@ -351,15 +358,15 @@ class BM25Index:
     def search_sparse(
         self, queries: Sequence[str], sparse_index, top_k: int = 1000, doc_block: int = 16384
     ) -> RankedLists:
-        """Score against a fixed-K impact index (gather + weighted sum)."""
-        from fusion_tpu.index.sparse import sparse_search
+        """Score against a fixed-K impact index (gather + weighted sum).
+        Query prep (term scatter → [Q, V]) runs on device in one jitted
+        executable (index/sparse.py lexical_query_matrix)."""
+        from fusion_tpu.index.sparse import lexical_query_matrix, sparse_search
 
         q_terms, q_weights = self.encode_queries(list(queries))
-        q = q_terms.shape[0]
-        qv = jnp.zeros((q, self.vocab_size), dtype=jnp.float32)
-        qv = jax.vmap(lambda row, t, w: row.at[jnp.clip(t, 0, self.vocab_size - 1)].add(
-            jnp.where(t < self.vocab_size, w, 0.0)
-        ))(qv, q_terms, q_weights)
+        qv = lexical_query_matrix(
+            jnp.asarray(q_terms), jnp.asarray(q_weights), self.vocab_size
+        )
         return sparse_search(qv, sparse_index, k=top_k, doc_block=doc_block)
 
     def search_dense(

@@ -241,9 +241,14 @@ class ColBERT:
         doc_block: int = 1024,
         use_pallas: bool = True,
     ) -> RankedLists:
-        q_tok, q_mask = self.encode_queries(queries, batch_size=batch_size)
+        if isinstance(queries, tuple) and len(queries) == 2 and not isinstance(queries[0], str):
+            q_tok, q_mask = queries  # precomputed (tokens, mask) — lets callers
+            # time query encoding separately (reference latency split,
+            # sentence_transformers.py:323-381)
+        else:
+            q_tok, q_mask = self.encode_queries(queries, batch_size=batch_size)
         q_tok = jnp.asarray(q_tok)
-        q_mask = jnp.asarray(q_mask.astype(np.float32))
+        q_mask = jnp.asarray(np.asarray(q_mask).astype(np.float32))
         if not isinstance(index, TokenIndex):  # CompressedTokenIndex
             from fusion_tpu.index.compression import maxsim_search_compressed
 

@@ -32,7 +32,15 @@ def _compile() -> str | None:
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return out
-    except Exception:
+    except Exception as e:  # log WHY so a silent numpy fallback is diagnosable
+        import logging
+
+        detail = getattr(e, "stderr", b"") or b""
+        logging.getLogger(__name__).warning(
+            "native BM25 builder compile failed (%s): %s — using numpy fallback",
+            type(e).__name__,
+            detail.decode("utf-8", "replace")[:500] if isinstance(detail, bytes) else detail,
+        )
         return None
 
 

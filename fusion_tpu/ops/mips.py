@@ -31,13 +31,14 @@ from fusion_tpu.ops.topk import blockwise_topk
 from fusion_tpu.parallel.sharding import INDEX_AXIS
 
 
-@functools.partial(jax.jit, static_argnames=("k", "similarity", "doc_block"))
+@functools.partial(jax.jit, static_argnames=("k", "similarity", "doc_block", "local_topk"))
 def dense_search(
     query_embs: jax.Array,
     corpus_embs: jax.Array,
     k: int = 1000,
     similarity: str = "cos_sim",
     doc_block: int = 65536,
+    local_topk: str | None = None,
 ) -> RankedLists:
     """Blockwise exact search on one device. [Q,H] × [N,H] → top-k."""
     n = corpus_embs.shape[0]
@@ -61,7 +62,7 @@ def dense_search(
         scores = jnp.where(fresh[None, :], scores, -jnp.inf)
         return scores, jnp.broadcast_to(ids, (q, doc_block))
 
-    return blockwise_topk(block_scores, num_blocks, q, k)
+    return blockwise_topk(block_scores, num_blocks, q, k, local_topk=local_topk)
 
 
 def sharded_dense_search(

@@ -1,0 +1,155 @@
+"""Compiled-Mosaic exactness: production kernels vs XLA reference on TPU.
+
+tests/ exercises these kernels only in interpret mode on the CPU mesh; a
+Mosaic lowering regression would previously surface only as a bad bench
+read-off. These run the REAL compiled kernels at bench-like shapes
+(Q=32, Lq=32, Ld=128, D=128, N=8192 — same tiling as the 28k-doc bench,
+fewer outer steps) and compare against the einsum reference on identical
+bf16-cast inputs, so the only tolerated error is the kernel's bf16
+max-reduce rounding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import ON_TPU, fetch, requires_tpu
+
+pytestmark = requires_tpu
+
+Q, LQ, LD, D = 32, 32, 128, 128
+N = 8192
+TOPK = 1000
+
+
+@pytest.fixture(scope="module")
+def token_data():
+    rng = np.random.default_rng(11)
+    q_tok = rng.standard_normal((Q, LQ, D), dtype=np.float32)
+    q_mask = (rng.random((Q, LQ)) < 0.8).astype(np.float32)
+    q_mask[:, 0] = 1.0
+    d_tok = rng.standard_normal((N, LD, D), dtype=np.float32)
+    lens = rng.integers(8, LD + 1, size=N)
+    d_mask = (np.arange(LD)[None, :] < lens[:, None]).astype(np.float32)
+    # L2-normalize like real ColBERT embeddings (cosine MaxSim)
+    q_tok /= np.linalg.norm(q_tok, axis=-1, keepdims=True)
+    d_tok /= np.linalg.norm(d_tok, axis=-1, keepdims=True)
+    return (
+        jnp.asarray(q_tok), jnp.asarray(q_mask),
+        jnp.asarray(d_tok), jnp.asarray(d_mask),
+    )
+
+
+def _xla_reference_scores(q_tok, q_mask, d_tok, d_mask):
+    """Zeroed-mask einsum reference on the SAME bf16-cast inputs the kernel
+    sees, computed blockwise (the [Q, N, Lq, Ld] tensor is 4 GB whole)."""
+    from fusion_tpu.ops.maxsim import maxsim_scores_zeromask
+
+    zeroed = (d_tok * d_mask[..., None]).astype(jnp.bfloat16).astype(jnp.float32)
+    qb = q_tok.astype(jnp.bfloat16).astype(jnp.float32)
+    out = []
+    step = 1024
+    f = jax.jit(maxsim_scores_zeromask)
+    for start in range(0, d_tok.shape[0], step):
+        out.append(fetch(f(qb, q_mask, zeroed[start : start + step])))
+    return np.concatenate(out, axis=1)
+
+
+def test_maxsim_kernel_T_matches_xla(token_data):
+    """maxsim_scores_pallas_v2_tm (the transposed-operand production kernel,
+    ops/maxsim.py:_maxsim_kernel_T) vs einsum reference."""
+    from fusion_tpu.ops.maxsim import maxsim_scores_pallas_v2_tm, prepare_token_corpus
+
+    q_tok, q_mask, d_tok, d_mask = token_data
+    corpus_tm, doc_valid = jax.jit(prepare_token_corpus)(d_tok, d_mask)
+    got = fetch(jax.jit(maxsim_scores_pallas_v2_tm)(q_tok, q_mask, corpus_tm))
+    want = _xla_reference_scores(q_tok, q_mask, d_tok, d_mask)
+    # bf16 max-reduce rounds each per-token max once: |err| <= Lq * ulp(1) ~ 0.25
+    np.testing.assert_allclose(got, want, atol=0.35, rtol=0.02)
+    # rank agreement at the head, per query
+    for qi in range(Q):
+        top_got = set(np.argsort(-got[qi])[:100].tolist())
+        top_want = set(np.argsort(-want[qi])[:100].tolist())
+        assert len(top_got & top_want) >= 97, f"query {qi}: head rank divergence"
+
+
+def test_maxsim_search_tm_topk_matches_fallback(token_data):
+    """Full streaming search (Pallas path, outer-block scan + top-k merge)
+    vs the XLA fallback path of the same function."""
+    from fusion_tpu.ops.maxsim import maxsim_search_tm, prepare_token_corpus
+
+    q_tok, q_mask, d_tok, d_mask = token_data
+    corpus_tm, doc_valid = jax.jit(prepare_token_corpus)(d_tok, d_mask)
+    got = maxsim_search_tm(
+        q_tok, q_mask, corpus_tm, doc_valid, k=TOPK,
+        use_pallas=True, pallas_outer_block=2048,
+    )
+    want = maxsim_search_tm(
+        q_tok.astype(jnp.bfloat16).astype(jnp.float32), q_mask,
+        corpus_tm, doc_valid, k=TOPK, use_pallas=False,
+    )
+    got_ids, want_ids = fetch(got.ids), fetch(want.ids)
+    got_sc, want_sc = fetch(got.scores), fetch(want.scores)
+    for qi in range(Q):
+        overlap = len(set(got_ids[qi, :100].tolist()) & set(want_ids[qi, :100].tolist()))
+        assert overlap >= 97, f"query {qi}: top-100 overlap {overlap}"
+    np.testing.assert_allclose(
+        np.sort(got_sc[:, :100], axis=1), np.sort(want_sc[:, :100], axis=1),
+        atol=0.35, rtol=0.02,
+    )
+
+
+def test_maxsim_v2_kernel_matches_xla(token_data):
+    """maxsim_scores_pallas_v2 (doc-major entry of the same kernel family)."""
+    from fusion_tpu.ops.maxsim import maxsim_scores_pallas_v2
+
+    q_tok, q_mask, d_tok, d_mask = token_data
+    zeroed = d_tok * d_mask[..., None]
+    got = fetch(jax.jit(maxsim_scores_pallas_v2)(q_tok, q_mask, zeroed))
+    want = _xla_reference_scores(q_tok, q_mask, d_tok, d_mask)
+    np.testing.assert_allclose(got, want, atol=0.35, rtol=0.02)
+
+
+def test_compressed_search_pallas_matches_xla(token_data):
+    """Streaming decompress+MaxSim (index/compression.py) — the Pallas path
+    and the XLA path must rank identically: both decompress the SAME codes,
+    so reconstruction error is shared and only kernel error remains."""
+    from fusion_tpu.index.compression import (
+        compress_token_index,
+        maxsim_search_compressed,
+    )
+
+    q_tok, q_mask, d_tok, d_mask = token_data
+    index = compress_token_index(d_tok, d_mask, nbits=2, kmeans_iters=4)
+    got = maxsim_search_compressed(q_tok, q_mask, index, k=TOPK, use_pallas=True)
+    want = maxsim_search_compressed(q_tok, q_mask, index, k=TOPK, use_pallas=False)
+    got_ids, want_ids = fetch(got.ids), fetch(want.ids)
+    for qi in range(Q):
+        overlap = len(set(got_ids[qi, :100].tolist()) & set(want_ids[qi, :100].tolist()))
+        assert overlap >= 97, f"query {qi}: top-100 overlap {overlap}"
+    np.testing.assert_allclose(
+        np.sort(fetch(got.scores)[:, :100], axis=1),
+        np.sort(fetch(want.scores)[:, :100], axis=1),
+        atol=0.35, rtol=0.02,
+    )
+
+
+def test_blockwise_topk_exact():
+    """Streaming top-k merge vs one-shot jnp.top_k on the full score matrix."""
+    from fusion_tpu.core.ranked import ranked_from_scores
+    from fusion_tpu.ops.topk import blockwise_topk
+
+    rng = np.random.default_rng(3)
+    scores = jnp.asarray(rng.standard_normal((Q, N), dtype=np.float32))
+    block = 1024
+
+    def block_scores(bi):
+        s = jax.lax.dynamic_slice_in_dim(scores, bi * block, block, axis=1)
+        ids = bi * block + jnp.arange(block, dtype=jnp.int32)
+        return s, jnp.broadcast_to(ids, (Q, block))
+
+    got = blockwise_topk(block_scores, N // block, Q, TOPK)
+    want = ranked_from_scores(scores, TOPK)
+    np.testing.assert_allclose(fetch(got.scores), fetch(want.scores), rtol=1e-6)
+    np.testing.assert_array_equal(fetch(got.ids), fetch(want.ids))
