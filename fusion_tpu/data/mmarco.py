@@ -80,6 +80,46 @@ def training_cache_filename(
     )
 
 
+def read_hard_negative_records(path: str) -> Iterable[Mapping]:
+    """Stream the msmarco-hard-negatives dump (the reference's source file
+    ``msmarco-hard-negatives.jsonl.gz`` from the sentence-transformers HF
+    dataset, splade/mmarco.py:169-196): one JSON object per line shaped
+    ``{"qid": int, "pos": [pid, ...], "neg": {system: [pid, ...], ...}}``.
+    Accepts plain ``.jsonl`` or ``.jsonl.gz``; yields dicts lazily so the
+    ~12 GB dump never sits in memory."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                yield json.loads(line)
+
+
+def read_ce_scores(path: str) -> dict[int, dict[int, float]]:
+    """Load the cross-encoder score dump (the reference's
+    ``cross-encoder-ms-marco-MiniLM-L-6-v2-scores.pkl.gz``,
+    splade/mmarco.py:158-167): a pickled ``{qid: {pid: score}}`` dict,
+    optionally gzip-compressed. Keys are coerced to int."""
+    import pickle
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        raw = pickle.load(f)
+    return {int(q): {int(p): float(s) for p, s in d.items()} for q, d in raw.items()}
+
+
+def read_triples(path: str) -> Iterable[Sequence[int]]:
+    """Stream original BM25 triples (``qidpidtriples.train.full.2.tsv.gz``,
+    the reference's negs_type='original' source, splade/mmarco.py:136-156):
+    tab-separated ``qid\\tpos_pid\\tneg_pid`` rows, optionally gzipped."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        for line in f:
+            parts = line.strip().split("\t")
+            if len(parts) >= 3:
+                yield (int(parts[0]), int(parts[1]), int(parts[2]))
+
+
 class MmarcoReader:
     """Sample mMARCO training data in any of the three formats.
 
@@ -240,16 +280,36 @@ class MmarcoReader:
         triples: Iterable[Sequence[int]] | None = None,
         dev_queries: Mapping[int, str] | None = None,
         dev_qrels: Mapping[int, list[int]] | None = None,
+        hard_negatives_path: str | None = None,
+        ce_scores_path: str | None = None,
+        triples_path: str | None = None,
     ) -> RetrievalData:
+        """Build the training set. Record sources are either injected
+        iterables/mappings or FILE PATHS to the reference's actual dumps
+        (msmarco-hard-negatives.jsonl[.gz], CE-scores .pkl[.gz],
+        qidpidtriples .tsv[.gz]) — e.g. a local HF-hub cache; the streaming
+        readers above parse them."""
+        if hard_negative_records is None and hard_negatives_path is not None:
+            hard_negative_records = read_hard_negative_records(hard_negatives_path)
+        if ce_scores is None and ce_scores_path is not None:
+            ce_scores = read_ce_scores(ce_scores_path)
+        if triples is None and triples_path is not None:
+            triples = read_triples(triples_path)
         cached = self.read_cache()
         if cached is not None:
             train = cached
         elif self.negs_type == "hard":
-            assert hard_negative_records is not None and ce_scores is not None
+            assert hard_negative_records is not None and ce_scores is not None, (
+                "hard-negative sampling needs records + CE scores (pass "
+                "iterables or hard_negatives_path/ce_scores_path file dumps)"
+            )
             train = self.sample_from_hard_negatives(hard_negative_records, ce_scores)
             self.write_cache(train)
         else:
-            assert triples is not None
+            assert triples is not None, (
+                "original-negative sampling needs triples (pass an iterable "
+                "or triples_path)"
+            )
             train = self.sample_from_triples(triples)
             self.write_cache(train)
         return RetrievalData(

@@ -200,6 +200,61 @@ def test_mmarco_triples_and_cache_name():
     assert "mmarco-fr.train.tuple_with_scores.hard-negs.8perq.all.1000.jsonl" == name
 
 
+def test_mmarco_file_dump_sources(tmp_path):
+    """End-to-end through the reference's actual dump FORMATS (frozen
+    fixtures): msmarco-hard-negatives .jsonl.gz + CE-scores .pkl.gz +
+    qidpidtriples .tsv.gz (splade/mmarco.py:104-196)."""
+    import gzip
+    import pickle
+
+    from fusion_tpu.data.mmarco import (
+        read_ce_scores,
+        read_hard_negative_records,
+        read_triples,
+    )
+
+    hn_path = str(tmp_path / "msmarco-hard-negatives.jsonl.gz")
+    with gzip.open(hn_path, "wt") as f:
+        for rec in make_hard_records():
+            f.write(json.dumps(rec) + "\n")
+    ce_path = str(tmp_path / "cross-encoder-scores.pkl.gz")
+    with gzip.open(ce_path, "wb") as f:
+        # string keys on purpose: the reader must coerce to int
+        pickle.dump(
+            {str(q): {str(p): s for p, s in d.items()} for q, d in make_ce_scores().items()},
+            f,
+        )
+    tri_path = str(tmp_path / "qidpidtriples.train.full.2.tsv.gz")
+    with gzip.open(tri_path, "wt") as f:
+        for row in [(0, 1, 2), (1, 11, 12), (2, 21, 22)]:
+            f.write("\t".join(map(str, row)) + "\n")
+
+    # raw readers
+    recs = list(read_hard_negative_records(hn_path))
+    assert recs == make_hard_records()
+    scores = read_ce_scores(ce_path)
+    assert scores[3][30] == 10.0 and isinstance(next(iter(scores)), int)
+    assert list(read_triples(tri_path)) == [(0, 1, 2), (1, 11, 12), (2, 21, 22)]
+
+    # path-based load must produce EXACTLY what injected iterables produce
+    kwargs = dict(
+        max_train_examples=8, training_sample_format="triplet",
+        negs_type="hard", negs_per_query=1,
+    )
+    via_path = MmarcoReader("fr", MM_CORPUS, MM_QUERIES, **kwargs).load(
+        hard_negatives_path=hn_path, ce_scores_path=ce_path
+    )
+    via_inject = MmarcoReader("fr", MM_CORPUS, MM_QUERIES, **kwargs).load(
+        hard_negative_records=make_hard_records(), ce_scores=make_ce_scores()
+    )
+    assert via_path.train_samples == via_inject.train_samples
+
+    via_tri = MmarcoReader(
+        "fr", MM_CORPUS, MM_QUERIES, max_train_examples=3, negs_type="original"
+    ).load(triples_path=tri_path)
+    assert len(via_tri.train_samples) == 3
+
+
 def test_mmarco_triplet_rejects_insufficient_negs():
     scores = {0: {0: 10.0, 1: 9.5}}
     reader = MmarcoReader("fr", MM_CORPUS, MM_QUERIES, negs_type="hard", negs_per_query=2)
