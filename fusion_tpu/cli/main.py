@@ -61,7 +61,14 @@ def _encoder_config(args):
 
     if args.tiny:
         return EncoderConfig.tiny(vocab_size=2048)
-    return EncoderConfig(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    # remat: at base scale the un-rematerialized 12-layer activation set of a
+    # training step sums to hundreds of GB (e.g. ~400 GB at the ColBERT
+    # preset bs=128 × n-way 8 × doc 256); checkpointing each layer trades
+    # ~1/3 extra FLOPs for bounded memory and is free for inference-only runs
+    return EncoderConfig(
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        remat=not getattr(args, "no_remat", False),
+    )
 
 
 def _split_queries(data, split):
@@ -515,6 +522,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--tiny", action="store_true", help="tiny encoder for smoke tests")
         sp.add_argument("--bf16", action="store_true", default=True)
+        sp.add_argument("--no_remat", action="store_true",
+                        help="disable per-layer activation rematerialization")
         sp.add_argument("--batch_size", type=int, default=32)
         sp.add_argument("--model_path", default=None)
         sp.add_argument("--steps", type=int, default=None)

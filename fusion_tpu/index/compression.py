@@ -60,32 +60,56 @@ def _kmeanspp_init(x: jax.Array, k: int, key: jax.Array) -> jax.Array:
     return buf
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
-def kmeans(x: jax.Array, k: int, iters: int = 4, seed: int = 0) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("k", "iters", "block_points"))
+def kmeans(
+    x: jax.Array, k: int, iters: int = 4, seed: int = 0, block_points: int = 16384
+) -> jax.Array:
     """Lloyd k-means over rows of x [N, D] → centroids [k, D].
 
-    Init: random sample of points. Assignment via one [N, D] × [D, k]
-    matmul per iteration (argmin ||x-c||² = argmax x·c − ||c||²/2); update
-    via segment-sum. Empty clusters keep their previous centroid.
+    Init: k-means++ sample. Assignment via [blk, D] × [D, k] matmuls
+    BLOCKED over points (argmin ||x-c||² = argmax x·c − ||c||²/2) so the
+    logits tensor never exceeds ``block_points × k`` — at colbert-ai's
+    centroid counts (16·√#tokens) a whole-sample [N, k] matrix is tens of
+    GB and OOMs the chip.  Per-block segment-sums accumulate the update;
+    empty clusters re-seed from the points farthest from their centroid.
     """
     n = x.shape[0]
     key = jax.random.PRNGKey(seed)
     centroids = _kmeanspp_init(x, k, key)
+    blk = min(block_points, n)
+    n_pad = -(-n // blk) * blk
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    valid = jnp.arange(n_pad) < n
 
     def step(centroids, _):
-        logits = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
-        logits = logits - 0.5 * (centroids * centroids).sum(-1)[None, :]
-        assign = jnp.argmax(logits, axis=-1)
-        sums = jax.ops.segment_sum(x, assign, num_segments=k)
-        counts = jax.ops.segment_sum(jnp.ones((n,), x.dtype), assign, num_segments=k)
+        c_half = 0.5 * (centroids * centroids).sum(-1)
+
+        def block(bi):
+            xb = jax.lax.dynamic_slice_in_dim(xp, bi * blk, blk, axis=0)
+            vb = jax.lax.dynamic_slice_in_dim(valid, bi * blk, blk, axis=0)
+            logits = jnp.dot(xb, centroids.T, preferred_element_type=jnp.float32)
+            logits = logits - c_half[None, :]
+            a = jnp.argmax(logits, axis=-1)
+            a = jnp.where(vb, a, k)  # pads fall into a dropped segment
+            sums = jax.ops.segment_sum(xb, a, num_segments=k + 1)[:k]
+            counts = jax.ops.segment_sum(
+                vb.astype(x.dtype), a, num_segments=k + 1
+            )[:k]
+            d = (xb * xb).sum(-1) - 2.0 * jnp.take_along_axis(
+                logits, jnp.minimum(a, k - 1)[:, None], axis=-1
+            )[:, 0]
+            return sums, counts, jnp.where(vb, d, -jnp.inf)
+
+        sums, counts, dists = jax.lax.map(block, jnp.arange(n_pad // blk))
+        sums, counts = sums.sum(0), counts.sum(0)
+        dists = dists.reshape(n_pad)
         new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centroids)
         # re-seed empty clusters with the points farthest from their
         # assigned centroid (prevents Lloyd stalls from duplicate inits)
-        dists = (x * x).sum(-1) - 2.0 * jnp.take_along_axis(logits, assign[:, None], axis=-1)[:, 0]
         far_order = jnp.argsort(-dists)
         empty = counts == 0
-        slot = jnp.clip(jnp.cumsum(empty) - 1, 0, n - 1)
-        repl = x[far_order[slot]]
+        slot = jnp.clip(jnp.cumsum(empty) - 1, 0, n_pad - 1)
+        repl = xp[far_order[slot]]
         new = jnp.where(empty[:, None], repl, new)
         return new, None
 
@@ -93,10 +117,25 @@ def kmeans(x: jax.Array, k: int, iters: int = 4, seed: int = 0) -> jax.Array:
     return centroids
 
 
-def assign_centroids(x: jax.Array, centroids: jax.Array) -> jax.Array:
-    logits = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
-    logits = logits - 0.5 * (centroids * centroids).sum(-1)[None, :]
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+@functools.partial(jax.jit, static_argnames=("block_points",))
+def assign_centroids(
+    x: jax.Array, centroids: jax.Array, block_points: int = 16384
+) -> jax.Array:
+    """Nearest-centroid ids, blocked over points (bounded logits memory)."""
+    n, _ = x.shape
+    k = centroids.shape[0]
+    blk = min(block_points, max(n, 1))
+    n_pad = -(-max(n, 1) // blk) * blk
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    c_half = 0.5 * (centroids * centroids).sum(-1)
+
+    def block(bi):
+        xb = jax.lax.dynamic_slice_in_dim(xp, bi * blk, blk, axis=0)
+        logits = jnp.dot(xb, centroids.T, preferred_element_type=jnp.float32)
+        return jnp.argmax(logits - c_half[None, :], axis=-1).astype(jnp.int32)
+
+    out = jax.lax.map(block, jnp.arange(n_pad // blk)).reshape(n_pad)
+    return out[:n]
 
 
 # ----------------------------------------------------------------------

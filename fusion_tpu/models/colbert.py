@@ -163,6 +163,23 @@ class ColBERT:
         best = sim.max(axis=-1) * q_mask
         return best.sum(axis=-1)
 
+    @staticmethod
+    def nway_maxsim(q_tok, q_mask, d_tok, d_mask) -> jax.Array:
+        """Batched n-way MaxSim: query i vs its n docs → [B, N].
+
+        One [B, Lq, D] × [B, N·Ld, D] batched matmul (the MXU form) instead
+        of a vmap-of-vmap of pairwise calls — at the reference's training
+        scale (bs=128, n-way 8, doc 256; colbert_ir.py:116-165) the nested
+        vmap lowers to per-negative small matmuls that underfill the MXU.
+        """
+        b, n, ld, d = d_tok.shape
+        sim = jnp.einsum(
+            "bqd,bnld->bnql", q_tok, d_tok, preferred_element_type=jnp.float32
+        )
+        sim = jnp.where(d_mask[:, :, None, :] > 0, sim, -1e9)
+        best = sim.max(axis=-1)  # [B, N, Lq]
+        return (best * q_mask[:, None, :]).sum(axis=-1)
+
     # ------------------------------------------------------------------
     def _get_encode_fn(self):
         if self._encode_jit is None:

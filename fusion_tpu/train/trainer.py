@@ -277,13 +277,11 @@ def make_colbert_train_step(model, tx, loss_name: str = "ce", total_steps: int =
             ld = n_tok.shape[1]
             n4 = n_tok.reshape(bs, npq, ld, -1)
             nm = batch["neg_mask"].reshape(bs, npq, ld)
-            neg_scores = jax.vmap(
-                lambda qt, qm, dts, dms: jax.vmap(
-                    lambda dt, dm: model.pairwise_maxsim(
-                        qt[None], qm[None], dt[None], dm[None]
-                    )[0]
-                )(dts, dms)
-            )(q_tok, batch["query_mask"], n4, nm)  # [B, N]
+            # one batched matmul over all negatives (MXU form; the nested
+            # per-negative vmap underfills the MXU at preset scale)
+            neg_scores = model.nway_maxsim(
+                q_tok, batch["query_mask"], n4, nm
+            )  # [B, N]
 
             if loss_name == "kld":
                 loss = losses.kld(

@@ -172,6 +172,28 @@ def test_colbert_pairwise_matches_full_maxsim(tiny_cfg, rng):
     np.testing.assert_allclose(np.asarray(pair), np.diag(np.asarray(full)), rtol=1e-4)
 
 
+def test_colbert_nway_matches_pairwise(tiny_cfg, rng):
+    """The batched train-step MaxSim must equal the per-negative pairwise
+    form exactly (same strict-mask semantics, reordered matmul)."""
+    b, n, lq, ld, d = 3, 4, 8, 16, 16
+    q_tok = jnp.asarray(rng.standard_normal((b, lq, d)), jnp.float32)
+    q_mask = jnp.asarray((rng.random((b, lq)) < 0.8).astype(np.float32))
+    d_tok = jnp.asarray(rng.standard_normal((b, n, ld, d)), jnp.float32)
+    d_mask = jnp.asarray((rng.random((b, n, ld)) < 0.8).astype(np.float32))
+    got = ColBERT.nway_maxsim(q_tok, q_mask, d_tok, d_mask)
+    want = np.stack([
+        np.stack([
+            np.asarray(ColBERT.pairwise_maxsim(
+                q_tok[i : i + 1], q_mask[i : i + 1],
+                d_tok[i, j : j + 1], d_mask[i, j : j + 1],
+            ))[0]
+            for j in range(n)
+        ])
+        for i in range(b)
+    ])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
 def test_colbert_training_step(tiny_cfg, rng):
     model = ColBERT(tiny_cfg, dim=16, max_query_length=8, max_doc_length=16)
     cfg = FitConfig(steps=8, learning_rate=3e-4, scheduler="constant")
