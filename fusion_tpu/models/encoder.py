@@ -105,12 +105,13 @@ class SelfAttention(nn.Module):
     def __call__(self, x, attention_mask, deterministic=True):
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
-        dense = lambda name: nn.DenseGeneral(  # noqa: E731
-            features=(c.num_heads, head_dim), dtype=c.dtype, name=name
-        )
-        q = dense("query")(x)
-        k = dense("key")(x)
-        v = dense("value")(x)
+        # fused QKV: one [H, 3H] matmul instead of three [H, H] — fewer,
+        # larger MXU calls and one HBM read of x (the HF import stacks the
+        # reference checkpoint's separate q/k/v weights on axis 1)
+        qkv = nn.DenseGeneral(
+            features=(3, c.num_heads, head_dim), dtype=c.dtype, name="qkv"
+        )(x)  # [B, L, 3, heads, hd]
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = 1.0 / math.sqrt(head_dim)
         # [B, H, Tq, Tk] logits in f32 for stable softmax
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
@@ -227,10 +228,18 @@ def load_hf_encoder_params(
     h, heads = cfg.hidden_size, cfg.num_heads
     hd = h // heads
 
-    def attn_proj(prefix):
-        kernel = g(f"{prefix}.weight").T.reshape(h, heads, hd)
-        bias = g(f"{prefix}.bias").reshape(heads, hd)
-        return {"kernel": kernel, "bias": bias}
+    def qkv_proj(lp):
+        """Stack the checkpoint's separate q/k/v projections into the fused
+        [H, 3, heads, hd] kernel (axis 1 = q,k,v)."""
+        kernels = [
+            g(f"{lp}.attention.self.{n}.weight").T.reshape(h, heads, hd)
+            for n in ("query", "key", "value")
+        ]
+        biases = [
+            g(f"{lp}.attention.self.{n}.bias").reshape(heads, hd)
+            for n in ("query", "key", "value")
+        ]
+        return {"kernel": np.stack(kernels, axis=1), "bias": np.stack(biases, axis=0)}
 
     params: dict = {"encoder": {"embeddings": {}}, "mlm": {}}
     emb = params["encoder"]["embeddings"]
@@ -246,9 +255,7 @@ def load_hf_encoder_params(
         lp = f"{base}.encoder.layer.{i}"
         layer = {
             "attention": {
-                "query": attn_proj(f"{lp}.attention.self.query"),
-                "key": attn_proj(f"{lp}.attention.self.key"),
-                "value": attn_proj(f"{lp}.attention.self.value"),
+                "qkv": qkv_proj(lp),
                 "out": {
                     "kernel": g(f"{lp}.attention.output.dense.weight").T.reshape(heads, hd, h),
                     "bias": g(f"{lp}.attention.output.dense.bias"),

@@ -63,8 +63,9 @@ def make_mesh(
 # projections shard over heads; FFN shards the inner dimension; embeddings
 # shard the vocab rows. Everything else is replicated.
 _ENCODER_TP_RULES: list[tuple[str, P]] = [
-    (r".*attention/(query|key|value)/kernel", P(None, MODEL_AXIS, None)),
-    (r".*attention/(query|key|value)/bias", P(MODEL_AXIS, None)),
+    # fused QKV kernel [H, 3, heads, hd]: heads shard over 'model'
+    (r".*attention/qkv/kernel", P(None, None, MODEL_AXIS, None)),
+    (r".*attention/qkv/bias", P(None, MODEL_AXIS, None)),
     (r".*attention/out/kernel", P(MODEL_AXIS, None, None)),
     (r".*attention/out/bias", P()),
     (r".*ffn_in/kernel", P(None, MODEL_AXIS)),

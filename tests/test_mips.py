@@ -69,7 +69,7 @@ def test_mesh_and_param_specs():
     specs = encoder_param_spec(params)
     flat = jax.tree_util.tree_flatten_with_path(specs)[0]
     spec_by_key = {jax.tree_util.keystr(p): s for p, s in flat}
-    qkv = [s for kstr, s in spec_by_key.items() if "query" in kstr and "kernel" in kstr]
+    qkv = [s for kstr, s in spec_by_key.items() if "qkv" in kstr and "kernel" in kstr]
     assert all("model" in str(s) for s in qkv), f"attention kernels not TP-sharded: {qkv}"
     sharded = shard_params(params, mesh)
     leaf = jax.tree_util.tree_leaves(sharded)[0]
