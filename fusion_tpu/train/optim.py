@@ -11,7 +11,13 @@ This module re-designs Shampoo as a vectorized optax transformation:
     dims; vectors precondition on their single axis) and tiled into
     ``block_size`` × ``block_size`` blocks — all blocks of a parameter are
     stacked so statistics, roots, and preconditioning run as ONE batched
-    einsum / vmapped eigh per parameter instead of per-block Python loops;
+    einsum / vmapped eigh per parameter instead of per-block Python loops.
+    Edge blocks are zero-padded to the block size; this is EXACT, not an
+    approximation: the padded Gram matrix is block-diagonal
+    ([L_real, 0; 0, 0] + eps·I), so its inverse root acts on the real
+    coordinates precisely as the unpadded block's root (the reference's
+    exact BlockPartitioner, optim.py:242-306) — proven against an exact-
+    partition oracle in tests/test_optim.py;
   * inverse 4th/2nd roots via symmetric eigendecomposition (vmapped
     ``eigh`` — simpler and more numerically robust on TPU f32 than coupled
     Newton iterations);

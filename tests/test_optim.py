@@ -128,3 +128,46 @@ def test_shampoo_sgd_graft_and_merged_dims(rng):
         params, state, loss = step(params, state)
         first = first if first is not None else float(loss)
     assert float(loss) < 0.3 * first
+
+
+def test_shampoo_padded_edge_blocks_match_exact_partition(rng):
+    """Zero-padding edge blocks is mathematically EXACT, not a bias: the
+    padded Gram matrix is block-diagonal ([L_real, 0; 0, 0] + eps I), so its
+    inverse root acts on the real coordinates exactly as the root of the
+    unpadded block (the reference's exact BlockPartitioner, optim.py:242-306,
+    would compute).  This oracle re-implements one preconditioned step with
+    EXACT (unpadded) edge blocks and must match the padded implementation.
+    """
+    eps = 1e-6
+    bs = 16
+    r, c = 21, 37  # edge blocks of 5 x 16, 16 x 5, 5 x 5
+    g = rng.normal(size=(r, c)).astype(np.float32)
+
+    def inv_root(mat, p):
+        n = mat.shape[0]
+        w, v = np.linalg.eigh(mat + eps * np.eye(n, dtype=np.float32))
+        w = np.maximum(w, eps)
+        return (v * (w ** (-1.0 / p))[None, :]) @ v.T
+
+    # oracle: exact per-block preconditioning, no padding anywhere
+    pre_oracle = np.zeros_like(g)
+    for i0 in range(0, r, bs):
+        for j0 in range(0, c, bs):
+            blk = g[i0 : i0 + bs, j0 : j0 + bs]
+            l_root = inv_root(blk @ blk.T, 4)
+            r_root = inv_root(blk.T @ blk, 4)
+            pre_oracle[i0 : i0 + bs, j0 : j0 + bs] = l_root @ blk @ r_root
+
+    # implementation: single step at count==start_preconditioning_step with
+    # sgd grafting so the update direction is pre * (|g| / |pre|)
+    tx = shampoo(
+        1.0, block_size=bs, precondition_every=1, start_preconditioning_step=1,
+        graft_type="sgd", nesterov=False, beta1=0.0,
+    )
+    params = {"w": jnp.zeros((r, c), jnp.float32)}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.asarray(g)}, state, params)
+    got = -np.asarray(updates["w"])  # -lr * direction, lr=1, momentum off
+
+    scale = np.linalg.norm(g) / max(np.linalg.norm(pre_oracle), 1e-30)
+    np.testing.assert_allclose(got, pre_oracle * scale, rtol=2e-3, atol=2e-4)
