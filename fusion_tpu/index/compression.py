@@ -234,8 +234,9 @@ class CompressedTokenIndex:
         return ((base + residual) * mask_tm[..., None]).astype(jnp.bfloat16)
 
     def nbytes(self) -> int:
+        # metadata only — np.asarray would fetch the index through the tunnel
         return sum(
-            np.asarray(a).nbytes
+            a.nbytes
             for a in (self.centroids, self.centroid_ids, self.codes, self.bucket_weights)
         )
 

@@ -24,7 +24,7 @@ import numpy as np
 
 from fusion_tpu.core.ranked import RankedLists
 from fusion_tpu.models.heads import l2_normalize
-from fusion_tpu.ops.topk import blockwise_topk
+from fusion_tpu.ops.topk import blockwise_topk, blockwise_topk_offset
 
 
 class QuantizedDenseIndex(NamedTuple):
@@ -37,7 +37,9 @@ class QuantizedDenseIndex(NamedTuple):
         return self.values.shape[0]
 
     def nbytes(self) -> int:
-        return np.asarray(self.values).nbytes + np.asarray(self.scales).nbytes
+        # .nbytes is array metadata — NEVER np.asarray here (on a tunneled
+        # device that would fetch the whole corpus matrix to the host)
+        return self.values.nbytes + self.scales.nbytes
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -113,12 +115,19 @@ def _quantized_search(
         real_start = jnp.minimum(start, n - doc_block)
         vals = jax.lax.dynamic_slice_in_dim(values, real_start, doc_block, axis=0)
         scales_b = jax.lax.dynamic_slice_in_dim(scales, real_start, doc_block, axis=0)
-        # dequantize-in-matmul: (q · int8ᵀ) then row scale
-        raw = jnp.dot(qf, vals.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        # dequantize-in-matmul as an NT dot_general (contract on the shared
+        # minor dim) — an explicit vals.T materializes a byte-transposed
+        # copy per block, which is the slow path on TPU; the MXU consumes
+        # the [N, H] layout natively and the int8→bf16 convert fuses into
+        # the operand read
+        raw = jax.lax.dot_general(
+            qf.astype(jnp.bfloat16), vals.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         scores = raw * scales_b[None, :]
-        ids = real_start + jnp.arange(doc_block, dtype=jnp.int32)
-        fresh = ids >= start
+        fresh = real_start + jnp.arange(doc_block, dtype=jnp.int32) >= start
         scores = jnp.where(fresh[None, :], scores, -jnp.inf)
-        return scores, jnp.broadcast_to(ids, (q, doc_block))
+        return scores, real_start
 
-    return blockwise_topk(block_scores, num_blocks, q, k, local_topk=local_topk)
+    return blockwise_topk_offset(block_scores, num_blocks, q, k, local_topk=local_topk)

@@ -1,0 +1,197 @@
+"""Term-major impact-ordered inverted index with sort-merge scoring.
+
+The scalable lexical/learned-sparse index for mMARCO-scale corpora
+(SURVEY §7.3 "BM25-as-SpMV"; reference BM25 is per-query Python dict
+traversal, bm25.py:100-115).  The doc-major fixed-K form
+(index/sparse.py) scores by gathering query activations at every stored
+(doc, term) pair — measured 2.1–6.7 s/batch at 8.9M docs because TPU
+element-gathers serialize.  This index is QUERY-DRIVEN: work scales with
+the query's terms, not the corpus.
+
+Layout:  ``post_doc int32[V+1, P]``, ``post_impact f16[V+1, P]`` — each
+term's postings sorted by DESCENDING impact and capped at ``P``
+(impact-ordered pruning: frequent terms keep their highest-impact docs, a
+standard lossy-index trade; exact whenever every term has ≤ P postings).
+Row V is the sentinel row for query pad slots.
+
+Scoring (one jitted program, per query batch):
+  1. gather the Kq query-term posting rows — Q·Kq CONTIGUOUS row reads of
+     P entries (vectorizes, unlike element gathers);
+  2. flatten to [Q, Kq·P] (doc, qweight·impact) pairs and ``lax.sort`` by
+     doc id (batched over queries);
+  3. a doc appears at most once per term row, so each doc's entries form a
+     run of length ≤ Kq: total scores come from Kq shifted compare-adds
+     (bounded-run reduction) — no scatter, no segment ops;
+  4. ``top_k`` over run-start scores.
+
+Complexity per batch: O(Q · Kq · P) — independent of corpus size N.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusion_tpu.core.ranked import RankedLists
+
+
+class ImpactIndex(NamedTuple):
+    post_doc: jax.Array  # int32 [V+1, P], pad = n_docs (sentinel)
+    post_impact: jax.Array  # f16 [V+1, P], pad = 0
+    n_docs: int
+    vocab_size: int
+    cap: int
+    nnz_kept: int
+
+    def nbytes(self) -> int:
+        # metadata only — np.asarray would fetch the index through the tunnel
+        return self.post_doc.nbytes + self.post_impact.nbytes
+
+    def save(self, path: str) -> None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(path, "impact_index.npz"),
+            post_doc=np.asarray(self.post_doc),
+            post_impact=np.asarray(self.post_impact),
+            meta=np.array([self.n_docs, self.vocab_size, self.cap, self.nnz_kept], np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ImpactIndex":
+        import os
+
+        z = np.load(os.path.join(path, "impact_index.npz"))
+        n, v, cap, nnz = (int(x) for x in z["meta"])
+        return cls(
+            post_doc=jnp.asarray(z["post_doc"]),
+            post_impact=jnp.asarray(z["post_impact"]),
+            n_docs=n, vocab_size=v, cap=cap, nnz_kept=nnz,
+        )
+
+
+def build_impact_index(
+    entry_term: np.ndarray,  # int64/int32 [nnz]
+    entry_doc: np.ndarray,  # [nnz]
+    impacts: np.ndarray,  # f32 [nnz]
+    vocab_size: int,
+    n_docs: int,
+    cap: int = 4096,
+) -> ImpactIndex:
+    """Host-side build from COO postings (index build is offline work; the
+    resulting arrays ship to the device once)."""
+    t = np.asarray(entry_term, dtype=np.int64)
+    d = np.asarray(entry_doc, dtype=np.int64)
+    v = np.asarray(impacts, dtype=np.float32)
+    order = np.lexsort((-v, t))  # term-major, impact descending within term
+    t, d, v = t[order], d[order], v[order]
+    counts = np.bincount(t, minlength=vocab_size)
+    starts = np.zeros(vocab_size + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(t.size, dtype=np.int64) - starts[t]
+    keep = rank < cap
+    post_doc = np.full((vocab_size + 1, cap), n_docs, dtype=np.int32)
+    post_imp = np.zeros((vocab_size + 1, cap), dtype=np.float16)
+    post_doc[t[keep], rank[keep]] = d[keep]
+    post_imp[t[keep], rank[keep]] = v[keep]
+    return ImpactIndex(
+        post_doc=jnp.asarray(post_doc),
+        post_impact=jnp.asarray(post_imp),
+        n_docs=n_docs,
+        vocab_size=vocab_size,
+        cap=cap,
+        nnz_kept=int(keep.sum()),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_docs"))
+def _impact_search(
+    q_terms: jax.Array,  # int32 [Q, Kq] (pad >= vocab_size)
+    q_weights: jax.Array,  # f32 [Q, Kq]
+    post_doc: jax.Array,  # int32 [V+1, P]
+    post_impact: jax.Array,  # f16 [V+1, P]
+    n_docs: int,
+    k: int,
+) -> RankedLists:
+    q, kq = q_terms.shape
+    vp1 = post_doc.shape[0]
+    terms = jnp.clip(q_terms, 0, vp1 - 1)
+    docs = post_doc[terms]  # [Q, Kq, P] — contiguous row gathers
+    vals = post_impact[terms].astype(jnp.float32) * q_weights[..., None]
+    l = kq * post_doc.shape[1]
+    docs = docs.reshape(q, l)
+    vals = vals.reshape(q, l)
+
+    # batched sort by doc id, scores as payload (multi-operand lax.sort —
+    # argsort+gather serializes on TPU, see fusion/aggregator)
+    docs_s, vals_s = jax.lax.sort((docs, vals), num_keys=1)
+
+    new_run = jnp.concatenate(
+        [jnp.ones((q, 1), bool), docs_s[:, 1:] != docs_s[:, :-1]], axis=1
+    )
+    # bounded-run reduction: each doc occurs ≤ Kq times (once per term row),
+    # so Kq shifted compare-adds accumulate every run's total at its start
+    docs_pad = jnp.pad(docs_s, ((0, 0), (0, kq)), constant_values=-1)
+    vals_pad = jnp.pad(vals_s, ((0, 0), (0, kq)))
+
+    def body(j, tot):
+        dj = jax.lax.dynamic_slice_in_dim(docs_pad, j, l, axis=1)
+        vj = jax.lax.dynamic_slice_in_dim(vals_pad, j, l, axis=1)
+        return tot + jnp.where(dj == docs_s, vj, 0.0)
+
+    total = jax.lax.fori_loop(0, kq, body, jnp.zeros_like(vals_s))
+    scores = jnp.where(new_run & (docs_s < n_docs), total, -jnp.inf)
+    top_scores, pos = jax.lax.top_k(scores, k)
+    top_docs = jnp.take_along_axis(docs_s, pos, axis=1)
+    return RankedLists(ids=top_docs.astype(jnp.int32), scores=top_scores)
+
+
+def impact_search(
+    q_terms: jax.Array,
+    q_weights: jax.Array,
+    index: ImpactIndex,
+    k: int = 1000,
+) -> RankedLists:
+    """Query-driven scoring over the impact-ordered index.
+
+    Exact when every query term has ≤ cap postings; otherwise scores use
+    each term's top-cap impacts (impact-ordered pruning). Docs sharing no
+    term with the query score -inf (never returned above real hits)."""
+    return _impact_search(
+        q_terms, q_weights, index.post_doc, index.post_impact,
+        index.n_docs, min(k, index.n_docs),
+    )
+
+
+def activations_to_query_terms(
+    query_activations: jax.Array, kq: int  # [Q, V] dense (e.g. SPLADE)
+) -> tuple[jax.Array, jax.Array]:
+    """Dense query activations → (terms [Q, Kq], weights [Q, Kq]) for
+    ``impact_search`` — keeps each query's Kq strongest terms (query-side
+    pruning, the efficient-SPLADE serving trade; reference prunes with
+    ``_prune_activations``, splade.py:295-306)."""
+    v = query_activations.shape[-1]
+    weights, terms = jax.lax.top_k(query_activations, kq)
+    terms = jnp.where(weights > 0, terms, v).astype(jnp.int32)
+    weights = jnp.maximum(weights, 0.0)
+    return terms, weights
+
+
+def sparse_to_impact_index(sparse_index, cap: int = 4096) -> ImpactIndex:
+    """Convert a doc-major fixed-K SparseIndex (host round-trip)."""
+    term = np.asarray(sparse_index.entry_term).ravel()
+    n, kk = sparse_index.entry_term.shape
+    doc = np.repeat(np.arange(n, dtype=np.int64), kk)
+    imp = np.asarray(sparse_index.entry_weight).ravel()
+    keep = term < sparse_index.vocab_size
+    return build_impact_index(
+        term[keep], doc[keep], imp[keep],
+        vocab_size=sparse_index.vocab_size,
+        n_docs=sparse_index.n_docs,
+        cap=cap,
+    )

@@ -39,7 +39,8 @@ class SparseIndex(NamedTuple):
     nnz: int
 
     def nbytes(self) -> int:
-        return np.asarray(self.entry_term).nbytes + np.asarray(self.entry_weight).nbytes
+        # metadata only — np.asarray would fetch the index through the tunnel
+        return self.entry_term.nbytes + self.entry_weight.nbytes
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)

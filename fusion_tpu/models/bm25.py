@@ -355,6 +355,28 @@ class BM25Index:
             nnz=int(keep.sum()),
         )
 
+    def to_impact_index(self, cap: int = 4096):
+        """Term-major impact-ordered index (index/inverted.py) — the
+        corpus-scale BM25 form: scoring cost is O(Q·terms·cap), independent
+        of N (vs the doc-major fixed-K gather path)."""
+        from fusion_tpu.index.inverted import build_impact_index
+
+        term = np.asarray(self.entry_term)[: self.nnz]
+        doc = np.asarray(self.entry_doc)[: self.nnz]
+        impacts = np.asarray(self._impacts(jnp.float32(self.k1), jnp.float32(self.b)))[: self.nnz]
+        return build_impact_index(
+            term, doc, impacts, vocab_size=self.vocab_size, n_docs=self.n_docs, cap=cap
+        )
+
+    def search_impact(
+        self, queries: Sequence[str], impact_index, top_k: int = 1000
+    ) -> RankedLists:
+        """Score against a term-major impact index (sort-merge, query-driven)."""
+        from fusion_tpu.index.inverted import impact_search
+
+        q_terms, q_weights = self.encode_queries(list(queries))
+        return impact_search(q_terms, q_weights, impact_index, k=top_k)
+
     def search_sparse(
         self, queries: Sequence[str], sparse_index, top_k: int = 1000, doc_block: int = 16384
     ) -> RankedLists:

@@ -27,7 +27,7 @@ from jax import shard_map
 
 from fusion_tpu.core.ranked import RankedLists
 from fusion_tpu.models.heads import l2_normalize
-from fusion_tpu.ops.topk import blockwise_topk
+from fusion_tpu.ops.topk import blockwise_topk, blockwise_topk_offset
 from fusion_tpu.parallel.sharding import INDEX_AXIS
 
 
@@ -56,13 +56,16 @@ def dense_search(
         # the previous block so no document is scored into the top-k twice
         real_start = jnp.minimum(start, n - doc_block)
         block = jax.lax.dynamic_slice_in_dim(corpus_embs, real_start, doc_block, axis=0)
-        scores = jnp.dot(query_embs, block.T, preferred_element_type=jnp.float32)
-        ids = real_start + jnp.arange(doc_block, dtype=jnp.int32)
-        fresh = ids >= start
+        scores = jax.lax.dot_general(
+            query_embs, block,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        fresh = real_start + jnp.arange(doc_block, dtype=jnp.int32) >= start
         scores = jnp.where(fresh[None, :], scores, -jnp.inf)
-        return scores, jnp.broadcast_to(ids, (q, doc_block))
+        return scores, real_start
 
-    return blockwise_topk(block_scores, num_blocks, q, k, local_topk=local_topk)
+    return blockwise_topk_offset(block_scores, num_blocks, q, k, local_topk=local_topk)
 
 
 def sharded_dense_search(

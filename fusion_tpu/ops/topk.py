@@ -91,3 +91,48 @@ def blockwise_topk(
 
     (scores, ids), _ = jax.lax.scan(body, init, jnp.arange(num_blocks))
     return RankedLists(ids=ids, scores=scores)
+
+
+def blockwise_topk_offset(
+    score_block: Callable[[jax.Array], tuple[jax.Array, jax.Array]],
+    num_blocks: int,
+    num_queries: int,
+    k: int,
+    local_topk: str | None = "approx",
+    recall_target: float = 0.99,
+) -> RankedLists:
+    """``blockwise_topk`` for blocks whose ids are ``start + arange(B)``.
+
+    ``score_block(block_idx)`` returns ``(scores [Q, B], start scalar)``;
+    global ids come from arithmetic on the local top-k POSITIONS instead of
+    materializing a [Q, B] id matrix and gathering through it —
+    take_along_axis element-gathers serialize on TPU and were measured as
+    ~half the streaming-top-k cost at mMARCO scale (dense leg: 270 →
+    ~150 ms/batch)."""
+    init = (
+        jnp.full((num_queries, k), -jnp.inf, dtype=jnp.float32),
+        jnp.full((num_queries, k), -1, dtype=jnp.int32),
+    )
+
+    def body(carry, block_idx):
+        acc_scores, acc_ids = carry
+        blk_scores, start = score_block(block_idx)
+        blk_scores = blk_scores.astype(jnp.float32)
+        if blk_scores.shape[-1] <= 2 * k or local_topk is None:
+            pos = jnp.broadcast_to(
+                jnp.arange(blk_scores.shape[-1], dtype=jnp.int32),
+                blk_scores.shape,
+            )
+            vals = blk_scores
+        elif local_topk == "approx":
+            vals, pos = jax.lax.approx_max_k(
+                blk_scores, k, recall_target=recall_target, aggregate_to_topk=True
+            )
+        else:
+            vals, pos = jax.lax.top_k(blk_scores, k)
+        blk_ids = start.astype(jnp.int32) + pos.astype(jnp.int32)
+        new_scores, new_ids = merge_topk(acc_scores, acc_ids, vals, blk_ids)
+        return (new_scores, new_ids), None
+
+    (scores, ids), _ = jax.lax.scan(body, init, jnp.arange(num_blocks))
+    return RankedLists(ids=ids, scores=scores)
