@@ -297,6 +297,69 @@ def main():
         del cid_tm, codes_tm, cents, mask_tm, doc_valid, q_tok, q_mask
         gc.collect()
 
+    # ------------------------------------------------------------------
+    # PLAID-style two-stage ColBERT leg (index/plaid.py): centroid probe →
+    # candidate gen → exact rescore of ncand docs/query
+    # ------------------------------------------------------------------
+    if "plaid" in legs_set:
+        from fusion_tpu.index.compression import CompressedTokenIndex
+        from fusion_tpu.index.plaid import IVFIndex, plaid_search
+
+        LD, D, NBITS, C = 32, 128, 2, 131_072
+        LQ, IVF_CAP, NPROBE, NCAND = 32, 1024, 4, 4096
+
+        @functools.partial(jax.jit, static_argnames=("n_chunks",))
+        def gen_plaid(key, n_chunks):
+            # in-place chunk writes into ONE buffer (fori_loop carries alias)
+            # — a lax.map + reshape doubles the ~10 GB footprint and OOMs
+            keys = jax.random.split(key, n_chunks)
+            cid0 = jnp.zeros((n_chunks * CH, LD), jnp.int32)
+            codes0 = jnp.zeros((n_chunks * CH, LD, D * NBITS // 8), jnp.uint8)
+
+            def body(i, carry):
+                cid, codes = carry
+                k1, k2 = jax.random.split(keys[i])
+                c = jax.random.randint(k1, (CH, LD), 0, C, dtype=jnp.int32)
+                cd = jax.random.bits(k2, (CH, LD, D * NBITS // 8), dtype=jnp.uint8)
+                cid = jax.lax.dynamic_update_slice(cid, c, (i * CH, 0))
+                codes = jax.lax.dynamic_update_slice(codes, cd, (i * CH, 0, 0))
+                return cid, codes
+
+            return jax.lax.fori_loop(0, n_chunks, body, (cid0, codes0))
+
+        t0 = time.perf_counter()
+        k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(10), 4)
+        cid, codes = gen_plaid(k0, n_chunks)
+        mask = jnp.ones((N, LD), jnp.uint8)  # decompress promotes; 0.29 GB
+        cents = jax.random.normal(k1, (C, D), jnp.float32) * 0.08
+        bw = jnp.asarray([-0.04, -0.01, 0.01, 0.04], jnp.float32)
+        ivf_doc = jax.random.randint(k2, (C, IVF_CAP), 0, N, dtype=jnp.int32)
+        fetch(cid[:1, :1])
+        build_s = time.perf_counter() - t0
+        index = CompressedTokenIndex(
+            centroids=cents, centroid_ids=cid, codes=codes, mask=mask,
+            bucket_weights=bw, nbits=NBITS,
+        )
+        ivf = IVFIndex(ivf_doc=ivf_doc, n_docs=N, cap=IVF_CAP)
+        q_tok = jax.random.normal(k3, (B, LQ, D), jnp.float32)
+        q_tok = q_tok / jnp.linalg.norm(q_tok, axis=-1, keepdims=True)
+        q_mask = jnp.ones((B, LQ), jnp.float32)
+
+        fn = functools.partial(
+            plaid_search, k=TOPK, nprobe=NPROBE, ncand=NCAND, cand_chunk=512
+        )
+        dt = time_batch(fn, (q_tok, q_mask, index, ivf), iters=4, label="colbert plaid")
+        idx_gb = (cid.nbytes + codes.nbytes + mask.nbytes + cents.nbytes
+                  + ivf_doc.nbytes) / 1e9
+        legs["colbert_plaid"] = {
+            "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
+            "index_gb": round(idx_gb, 2), "tokens_per_doc": LD, "nbits": NBITS,
+            "centroids": C, "nprobe": NPROBE, "ncand": NCAND,
+            "ivf_cap": IVF_CAP, "build_s": round(build_s, 1),
+        }
+        del cid, codes, cents, mask, ivf_doc, index, ivf, q_tok, q_mask
+        gc.collect()
+
     total_ms = sum(v["ms_per_batch"] for v in legs.values())
     print(json.dumps({
         "metric": "mmarco_scale_hybrid_q_per_s_per_chip",

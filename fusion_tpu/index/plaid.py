@@ -1,0 +1,220 @@
+"""PLAID-style two-stage search over the residual-compressed ColBERT index.
+
+Exhaustive decompress+MaxSim over every doc is exact but scales with corpus
+tokens (measured 3.36 s per 64-query batch at 8.9M docs × 32 tokens).  The
+reference's serving path at mMARCO scale is colbert-ai's IVF/PLAID pipeline
+(CUDA: centroid probing → candidate generation → decompressed rescoring;
+`utils/colbert_ir.py:242,251`).  This is its TPU-native form — every stage
+is a batched matmul / sort / row-gather, no scatters:
+
+  stage 0  centroid interaction: one [Q·Lq, D] × [D, C] MXU matmul scores
+           every centroid against every query token;
+  stage 1  probing: ``approx_max_k`` keeps each query token's top-``nprobe``
+           centroids; their IVF rows (docs whose tokens use that centroid —
+           contiguous row reads) flatten to (doc, centroid-score) pairs,
+           one 2-key ``lax.sort`` by (doc, -score) dedups them, and
+           ``top_k`` keeps the ``ncand`` best-scored docs per query;
+  stage 2  rescoring: gather ONLY the candidates' compressed tokens
+           (row gathers), decompress, exact masked MaxSim per query over
+           its own candidates, chunked over candidates.
+
+Work scales with Q·(Lq·nprobe·ivf_cap + ncand·Ld) — independent of corpus
+size.  Recall knobs: ``nprobe`` (centroids probed per query token),
+``ncand`` (docs rescored per query), ``ivf_cap`` (docs kept per centroid).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusion_tpu.core.ranked import RankedLists
+
+
+class IVFIndex(NamedTuple):
+    """Centroid → documents inverted lists (doc ids deduped per centroid)."""
+
+    ivf_doc: jax.Array  # int32 [C, cap], pad = n_docs (sentinel)
+    n_docs: int
+    cap: int
+
+    def nbytes(self) -> int:
+        return self.ivf_doc.nbytes
+
+    def save(self, path: str) -> None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(path, "ivf_index.npz"),
+            ivf_doc=np.asarray(self.ivf_doc),
+            meta=np.array([self.n_docs, self.cap], np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        import os
+
+        z = np.load(os.path.join(path, "ivf_index.npz"))
+        n, cap = (int(x) for x in z["meta"])
+        return cls(ivf_doc=jnp.asarray(z["ivf_doc"]), n_docs=n, cap=cap)
+
+
+def build_ivf(
+    centroid_ids: np.ndarray,  # int32 [N, Ld]
+    mask: np.ndarray,  # [N, Ld] (>0 = real token)
+    num_centroids: int,
+    cap: int = 4096,
+) -> IVFIndex:
+    """Host-side IVF build: for each centroid, the (deduped) doc ids whose
+    tokens assign to it, capped at ``cap`` (offline index work)."""
+    cid = np.asarray(centroid_ids, dtype=np.int64)
+    n, ld = cid.shape
+    doc = np.repeat(np.arange(n, dtype=np.int64), ld)
+    flat_cid = cid.ravel()
+    valid = np.asarray(mask).ravel() > 0
+    pairs = np.unique(flat_cid[valid] * n + doc[valid])  # dedup (cid, doc)
+    pc, pd = pairs // n, pairs % n
+    counts = np.bincount(pc, minlength=num_centroids)
+    starts = np.zeros(num_centroids + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(pc.size, dtype=np.int64) - starts[pc]
+    keep = rank < cap
+    ivf = np.full((num_centroids, cap), n, dtype=np.int32)
+    ivf[pc[keep], rank[keep]] = pd[keep]
+    return IVFIndex(ivf_doc=jnp.asarray(ivf), n_docs=n, cap=cap)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "ncand", "n_docs", "probe_chunk")
+)
+def plaid_candidates(
+    q_tok: jax.Array,  # [Q, Lq, D]
+    q_mask: jax.Array,  # [Q, Lq]
+    centroids: jax.Array,  # [C, D]
+    ivf_doc: jax.Array,  # int32 [C, cap]
+    n_docs: int,
+    nprobe: int = 4,
+    ncand: int = 4096,
+    probe_chunk: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """Stage 0+1 → (candidate doc ids [Q, ncand] int32, probe scores)."""
+    q, lq, d = q_tok.shape
+    c = centroids.shape[0]
+    cents_b = centroids.astype(jnp.bfloat16)
+    ql = q * lq
+    q_flat = q_tok.reshape(ql, d).astype(jnp.bfloat16)
+    # centroid interaction, chunked over query tokens: the full [Q·Lq, C]
+    # score matrix is ~1 GB at production C and competes with the index for
+    # HBM — per-chunk matmul + approx_max_k keeps the transient bounded
+    pc = min(probe_chunk, ql)
+    ql_pad = -(-ql // pc) * pc
+    q_flat = jnp.pad(q_flat, ((0, ql_pad - ql), (0, 0)))
+
+    def probe(bi):
+        rows = jax.lax.dynamic_slice_in_dim(q_flat, bi * pc, pc, axis=0)
+        cs = jax.lax.dot_general(
+            rows, cents_b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [pc, C]
+        return jax.lax.approx_max_k(
+            cs, nprobe, recall_target=0.95, aggregate_to_topk=True
+        )
+    ps, pcids = jax.lax.map(probe, jnp.arange(ql_pad // pc))
+    probe_scores = ps.reshape(ql_pad, nprobe)[:ql]
+    probe_cids = pcids.reshape(ql_pad, nprobe)[:ql]
+    probe_scores = probe_scores * q_mask.reshape(ql, 1)  # mask padded tokens
+    # gather IVF rows (contiguous row reads) and flatten per query
+    docs = ivf_doc[probe_cids].reshape(q, lq * nprobe * ivf_doc.shape[1])
+    vals = jnp.broadcast_to(
+        probe_scores[:, :, None],
+        (ql, nprobe, ivf_doc.shape[1]),
+    ).reshape(q, lq * nprobe * ivf_doc.shape[1])
+    # 2-key sort by (doc, -score): each doc's run starts at its BEST probe
+    # score — dedup without any run reduction
+    docs_s, negv_s = jax.lax.sort((docs, -vals), num_keys=2)
+    new_run = jnp.concatenate(
+        [jnp.ones((q, 1), bool), docs_s[:, 1:] != docs_s[:, :-1]], axis=1
+    )
+    cand_scores = jnp.where(new_run & (docs_s < n_docs), -negv_s, -jnp.inf)
+    top_scores, pos = jax.lax.top_k(cand_scores, ncand)
+    cand = jnp.take_along_axis(docs_s, pos, axis=1)
+    # pad unscored slots with the sentinel so rescoring masks them
+    cand = jnp.where(jnp.isfinite(top_scores), cand, n_docs)
+    return cand.astype(jnp.int32), top_scores
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "k", "cand_chunk"))
+def _plaid_rescore(
+    q_tok, q_mask, centroids, centroid_ids, codes, mask, bucket_weights,
+    cand, nbits: int, k: int, cand_chunk: int,
+):
+    from fusion_tpu.index.compression import CompressedTokenIndex
+    from fusion_tpu.ops.topk import blockwise_topk
+
+    helper = CompressedTokenIndex(
+        centroids=centroids, centroid_ids=None, codes=None, mask=None,
+        bucket_weights=bucket_weights, nbits=nbits,
+    )
+    q, ncand = cand.shape
+    n = centroid_ids.shape[0]
+    # sentinel candidates are CLAMPED to a real row and masked out by score
+    # (a concatenated sentinel row would copy the multi-GB codes array)
+    num_chunks = -(-ncand // cand_chunk)
+
+    def block_scores(bi):
+        start = bi * cand_chunk
+        sl = jax.lax.dynamic_slice_in_dim(cand, start, cand_chunk, axis=1)  # [Q, cc]
+        safe = jnp.minimum(sl, n - 1)
+        cid = centroid_ids[safe]  # [Q, cc, Ld]
+        cod = codes[safe]  # [Q, cc, Ld, D/p]
+        msk = mask[safe]  # [Q, cc, Ld]
+        d_tok = helper.decompress(
+            cid.reshape(-1, cid.shape[-1]), cod.reshape(-1, *cod.shape[-2:])
+        ).reshape(*cid.shape, -1)  # [Q, cc, Ld, D]
+        # bf16 tokens for the MaxSim matmul (same precision as the
+        # exhaustive compressed path; halves the per-chunk transient)
+        d_tok = (d_tok * msk[..., None]).astype(jnp.bfloat16)
+        sim = jnp.einsum(
+            "qid,qnjd->qnij", q_tok.astype(jnp.bfloat16), d_tok,
+            preferred_element_type=jnp.float32,
+        )
+        best = sim.max(axis=-1)  # [Q, cc, Lq] (zeroed-mask semantics)
+        scores = (best * q_mask[:, None, :]).sum(axis=-1)  # [Q, cc]
+        valid = sl < n
+        scores = jnp.where(valid, scores, -jnp.inf)
+        return scores, sl.astype(jnp.int32)
+
+    return blockwise_topk(block_scores, num_chunks, q, k)
+
+
+def plaid_search(
+    q_tok: jax.Array,  # [Q, Lq, D]
+    q_mask: jax.Array,  # [Q, Lq]
+    index,  # CompressedTokenIndex (doc-major arrays)
+    ivf: IVFIndex,
+    k: int = 1000,
+    nprobe: int = 4,
+    ncand: int = 4096,
+    cand_chunk: int = 512,
+) -> RankedLists:
+    """Two-stage candidate-generation + exact-rescore search."""
+    # the rescore chunks candidates with clamped dynamic slices: keep ncand a
+    # multiple of cand_chunk so no candidate is scored twice
+    ncand = min(ncand, max(ivf.n_docs, 1))
+    cand_chunk = min(cand_chunk, ncand)
+    ncand -= ncand % cand_chunk
+    cand, _ = plaid_candidates(
+        q_tok, q_mask, index.centroids, ivf.ivf_doc, ivf.n_docs,
+        nprobe=nprobe, ncand=ncand,
+    )
+    return _plaid_rescore(
+        q_tok, q_mask.astype(jnp.float32), index.centroids, index.centroid_ids,
+        index.codes, index.mask, index.bucket_weights, cand,
+        nbits=index.nbits, k=min(k, ncand), cand_chunk=cand_chunk,
+    )

@@ -87,12 +87,18 @@ class HybridSearcher:
     corpus_ids: np.ndarray
     bm25: BM25Index | None = None
     bm25_impacts: jax.Array | None = None
+    bm25_impact_index: object | None = None  # ImpactIndex (corpus-scale form)
     dense_model: object | None = None
     dense_corpus: jax.Array | None = None
     splade_model: object | None = None
     splade_corpus: jax.Array | None = None
+    splade_impact_index: object | None = None  # ImpactIndex (corpus-scale form)
+    splade_query_terms: int = 64
     colbert_model: object | None = None
     colbert_index: object | None = None
+    colbert_ivf: object | None = None  # IVFIndex → PLAID two-stage search
+    plaid_nprobe: int = 4
+    plaid_ncand: int = 4096
     cross_encoder: object | None = None
     ce_doc_tokens: jax.Array | None = None
     ce_doc_mask: jax.Array | None = None
@@ -131,8 +137,25 @@ class HybridSearcher:
         topk: int = 1000,
         bm25_preprocess=None,
         int8_corpus: bool = False,
+        scale_mode: bool = False,
+        impact_cap: int = 4096,
+        splade_prune_topk: int = 128,
+        splade_query_terms: int = 64,
+        colbert_plaid: bool = False,
+        plaid_nprobe: int = 4,
+        plaid_ncand: int = 4096,
+        ivf_cap: int = 4096,
     ) -> "HybridSearcher":
         """Encode/build every requested index once (offline).
+
+        ``scale_mode`` switches the lexical legs to the corpus-scale index
+        forms (mMARCO 8.8M per BENCH_MMARCO): BM25 and SPLADE become
+        term-major impact-ordered inverted indexes (index/inverted.py —
+        O(Q·terms·cap) scoring, 648x faster than dense impacts are even
+        *possible* at that scale) with SPLADE queries pruned to
+        ``splade_query_terms``. ``colbert_plaid`` (with
+        ``colbert_compressed``) adds the IVF for PLAID-style two-stage
+        search (index/plaid.py).
 
         ``int8_corpus`` stores the dense/SPLADE corpus matrices as per-row
         symmetric int8 (QuantizedDenseIndex): 2x less HBM traffic per query
@@ -159,11 +182,16 @@ class HybridSearcher:
             topk=topk,
             bm25_preprocess=bm25_preprocess,
         )
+        out.splade_query_terms = splade_query_terms
+        out.plaid_nprobe, out.plaid_ncand = plaid_nprobe, plaid_ncand
         if bm25_docs is not None:
             out.bm25 = BM25Index.build(bm25_docs, k1=k1, b=b)
-            out.bm25_impacts = out.bm25.build_dense_impacts()
-            if int8_corpus:
-                out.bm25_impacts = _quantize_impacts(out.bm25_impacts)
+            if scale_mode:
+                out.bm25_impact_index = out.bm25.to_impact_index(cap=impact_cap)
+            else:
+                out.bm25_impacts = out.bm25.build_dense_impacts()
+                if int8_corpus:
+                    out.bm25_impacts = _quantize_impacts(out.bm25_impacts)
         if dense_model is not None:
             embs = jnp.asarray(
                 dense_model.encode(
@@ -179,19 +207,27 @@ class HybridSearcher:
                 )(embs, similarity=dense_model.similarity)
             out.dense_corpus = embs
         if splade_model is not None:
-            acts = jnp.asarray(
-                splade_model.encode(
-                    documents, query_mode=False, batch_size=batch_size, sort_by_length=True
-                ),
-                dtype=jnp.bfloat16,
-            )
-            if int8_corpus:
-                from fusion_tpu.index.dense_quant import quantize_dense_index
+            if scale_mode:
+                from fusion_tpu.index.inverted import sparse_to_impact_index
 
-                acts = jax.jit(
-                    quantize_dense_index, static_argnames=("similarity",)
-                )(acts, similarity=splade_model.similarity)
-            out.splade_corpus = acts
+                sp = splade_model.build_sparse_index(
+                    documents, prune_topk=splade_prune_topk, batch_size=batch_size
+                )
+                out.splade_impact_index = sparse_to_impact_index(sp, cap=impact_cap)
+            else:
+                acts = jnp.asarray(
+                    splade_model.encode(
+                        documents, query_mode=False, batch_size=batch_size, sort_by_length=True
+                    ),
+                    dtype=jnp.bfloat16,
+                )
+                if int8_corpus:
+                    from fusion_tpu.index.dense_quant import quantize_dense_index
+
+                    acts = jax.jit(
+                        quantize_dense_index, static_argnames=("similarity",)
+                    )(acts, similarity=splade_model.similarity)
+                out.splade_corpus = acts
         if colbert_model is not None:
             if colbert_compressed:
                 # residual-compressed token index (reference nbits=2,
@@ -204,6 +240,16 @@ class HybridSearcher:
             # cache the search layout eagerly (a first call from inside the
             # jitted program would see tracers and couldn't cache)
             out.colbert_index.prepared()
+            if colbert_plaid:
+                assert colbert_compressed, "PLAID search needs the compressed index"
+                from fusion_tpu.index.plaid import build_ivf
+
+                out.colbert_ivf = build_ivf(
+                    np.asarray(out.colbert_index.centroid_ids),
+                    np.asarray(out.colbert_index.mask),
+                    out.colbert_index.centroids.shape[0],
+                    cap=ivf_cap,
+                )
         if cross_encoder is not None:
             out.ce_doc_tokens, out.ce_doc_mask = cross_encoder.prepare_corpus_tokens(
                 documents, max_doc_tokens=ce_max_doc_tokens
@@ -217,7 +263,7 @@ class HybridSearcher:
             systems.append("bm25")
         if self.dense_corpus is not None:
             systems.append("dpr")
-        if self.splade_corpus is not None:
+        if self.splade_corpus is not None or self.splade_impact_index is not None:
             systems.append("splade")
         if self.colbert_index is not None:
             systems.append("colbert")
@@ -244,7 +290,16 @@ class HybridSearcher:
 
         def program(inputs: dict) -> tuple[jax.Array, jax.Array]:
             results: dict[str, RankedLists] = {}
-            if self.bm25 is not None:
+            if self.bm25_impact_index is not None:
+                from fusion_tpu.index.inverted import impact_search
+
+                results["bm25"] = impact_search(
+                    inputs["bm25_terms"],
+                    inputs["bm25_weights"].astype(jnp.float32),
+                    self.bm25_impact_index,
+                    k=min(topk, self.bm25_impact_index.n_docs),
+                )
+            elif self.bm25 is not None:
                 imp = self.bm25_impacts
                 v = imp.values.shape[1] if isinstance(imp, QuantizedDenseIndex) else imp.shape[0]
                 qdt = jnp.float32 if isinstance(imp, QuantizedDenseIndex) else imp.dtype
@@ -266,7 +321,26 @@ class HybridSearcher:
                 results["dpr"] = _corpus_search(
                     q, self.dense_corpus, topk, self.dense_model.similarity
                 )
-            if self.splade_corpus is not None:
+            if self.splade_impact_index is not None:
+                from fusion_tpu.index.inverted import (
+                    activations_to_query_terms,
+                    impact_search,
+                )
+                from fusion_tpu.models.heads import l2_normalize
+
+                q = self.splade_model.embed_tokens(
+                    self.splade_model.params, inputs["q_ids"], inputs["q_mask"]
+                ).astype(jnp.float32)
+                if self.splade_model.similarity == "cos_sim":
+                    q = l2_normalize(q)
+                q_terms, q_weights = activations_to_query_terms(
+                    q, self.splade_query_terms
+                )
+                results["splade"] = impact_search(
+                    q_terms, q_weights, self.splade_impact_index,
+                    k=min(topk, self.splade_impact_index.n_docs),
+                )
+            elif self.splade_corpus is not None:
                 q = self.splade_model.embed_tokens(
                     self.splade_model.params, inputs["q_ids"], inputs["q_mask"]
                 )
@@ -282,7 +356,19 @@ class HybridSearcher:
                     maxsim_search_compressed,
                 )
 
-                if isinstance(self.colbert_index, CompressedTokenIndex):
+                if self.colbert_ivf is not None:
+                    from fusion_tpu.index.plaid import plaid_search
+
+                    results["colbert"] = plaid_search(
+                        q_tok.astype(jnp.float32),
+                        inputs["cb_mask"].astype(jnp.float32),
+                        self.colbert_index,
+                        self.colbert_ivf,
+                        k=topk,
+                        nprobe=self.plaid_nprobe,
+                        ncand=min(self.plaid_ncand, self.colbert_ivf.n_docs),
+                    )
+                elif isinstance(self.colbert_index, CompressedTokenIndex):
                     results["colbert"] = maxsim_search_compressed(
                         q_tok,
                         inputs["cb_mask"].astype(jnp.float32),
@@ -351,12 +437,18 @@ class HybridSearcher:
         np.save(os.path.join(path, "corpus_ids.npy"), self.corpus_ids)
         if self.bm25 is not None:
             self.bm25.save(os.path.join(path, "bm25"))
+        if self.bm25_impact_index is not None:
+            self.bm25_impact_index.save(os.path.join(path, "bm25_impact"))
         if self.dense_corpus is not None:
             _save_corpus_matrix(self.dense_corpus, path, "dense")
         if self.splade_corpus is not None:
             _save_corpus_matrix(self.splade_corpus, path, "splade")
+        if self.splade_impact_index is not None:
+            self.splade_impact_index.save(os.path.join(path, "splade_impact"))
         if self.colbert_index is not None:
             self.colbert_index.save(os.path.join(path, "colbert"))
+        if self.colbert_ivf is not None:
+            self.colbert_ivf.save(os.path.join(path, "colbert_ivf"))
         if self.ce_doc_tokens is not None:
             np.savez_compressed(
                 os.path.join(path, "ce_doc_tokens.npz"),
@@ -369,18 +461,26 @@ class HybridSearcher:
 
         from fusion_tpu.models.colbert import TokenIndex
 
+        from fusion_tpu.index.inverted import ImpactIndex
+
         self.corpus_ids = np.load(os.path.join(path, "corpus_ids.npy"))
+        has_bm25_impact = os.path.exists(os.path.join(path, "bm25_impact", "impact_index.npz"))
         if os.path.isdir(os.path.join(path, "bm25")):
             self.bm25 = BM25Index.load(os.path.join(path, "bm25"))
-            self.bm25_impacts = self.bm25.build_dense_impacts()
-            if int8_corpus:
-                self.bm25_impacts = _quantize_impacts(self.bm25_impacts)
+            if not has_bm25_impact:
+                self.bm25_impacts = self.bm25.build_dense_impacts()
+                if int8_corpus:
+                    self.bm25_impacts = _quantize_impacts(self.bm25_impacts)
+        if has_bm25_impact:
+            self.bm25_impact_index = ImpactIndex.load(os.path.join(path, "bm25_impact"))
         loaded = _load_corpus_matrix(path, "dense")
         if loaded is not None:
             self.dense_corpus = loaded
         loaded = _load_corpus_matrix(path, "splade")
         if loaded is not None:
             self.splade_corpus = loaded
+        if os.path.exists(os.path.join(path, "splade_impact", "impact_index.npz")):
+            self.splade_impact_index = ImpactIndex.load(os.path.join(path, "splade_impact"))
         if os.path.exists(os.path.join(path, "colbert", "compressed_index.npz")):
             from fusion_tpu.index.compression import CompressedTokenIndex
 
@@ -389,6 +489,10 @@ class HybridSearcher:
         elif os.path.exists(os.path.join(path, "colbert", "token_index.npz")):
             self.colbert_index = TokenIndex.load(os.path.join(path, "colbert"))
             self.colbert_index.prepared()
+        if os.path.exists(os.path.join(path, "colbert_ivf", "ivf_index.npz")):
+            from fusion_tpu.index.plaid import IVFIndex
+
+            self.colbert_ivf = IVFIndex.load(os.path.join(path, "colbert_ivf"))
         ce_path = os.path.join(path, "ce_doc_tokens.npz")
         if os.path.exists(ce_path):
             with np.load(ce_path) as z:
@@ -421,7 +525,11 @@ class HybridSearcher:
                 )
                 terms, weights = self.bm25.encode_queries(bm25_chunk)
                 inputs["bm25_terms"], inputs["bm25_weights"] = terms, weights
-            if self.dense_corpus is not None or self.splade_corpus is not None:
+            if (
+                self.dense_corpus is not None
+                or self.splade_corpus is not None
+                or self.splade_impact_index is not None
+            ):
                 te = (self.dense_model or self.splade_model).text_encoder
                 ids, mask = te.encode(chunk, query_mode=True)
                 inputs["q_ids"], inputs["q_mask"] = jnp.asarray(ids), jnp.asarray(mask)

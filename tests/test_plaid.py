@@ -1,0 +1,90 @@
+"""PLAID-style two-stage compressed search: recall vs exhaustive."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fusion_tpu.index.compression import compress_token_index, maxsim_search_compressed
+from fusion_tpu.index.plaid import IVFIndex, build_ivf, plaid_candidates, plaid_search
+
+
+@pytest.fixture(scope="module")
+def small_index():
+    rng = np.random.default_rng(5)
+    n, ld, d = 96, 8, 16
+    toks = rng.standard_normal((n, ld, d)).astype(np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    lens = rng.integers(3, ld + 1, size=n)
+    mask = (np.arange(ld)[None, :] < lens[:, None]).astype(np.float32)
+    index = compress_token_index(
+        jnp.asarray(toks), jnp.asarray(mask), nbits=2, kmeans_iters=4,
+        num_centroids=32,
+    )
+    ivf = build_ivf(np.asarray(index.centroid_ids), np.asarray(index.mask), 32, cap=96)
+    q_tok = rng.standard_normal((4, 5, d)).astype(np.float32)
+    q_tok /= np.linalg.norm(q_tok, axis=-1, keepdims=True)
+    q_mask = np.ones((4, 5), np.float32)
+    return index, ivf, jnp.asarray(q_tok), jnp.asarray(q_mask)
+
+
+def test_plaid_full_candidates_matches_exhaustive(small_index):
+    """With ncand >= n and exhaustive probing, PLAID must EQUAL the
+    exhaustive compressed search (same decompression, same MaxSim)."""
+    index, ivf, q_tok, q_mask = small_index
+    got = plaid_search(q_tok, q_mask, index, ivf, k=20,
+                       nprobe=32, ncand=96, cand_chunk=32)
+    want = maxsim_search_compressed(q_tok, q_mask, index, k=20, use_pallas=False)
+    g_i, w_i = np.asarray(got.ids), np.asarray(want.ids)
+    g_s, w_s = np.asarray(got.scores), np.asarray(want.scores)
+    for qi in range(g_i.shape[0]):
+        # bf16 rescore matmul vs the fallback's f32 einsum on bf16 tokens:
+        # near-ties at the k boundary may swap one id
+        assert len(set(g_i[qi].tolist()) & set(w_i[qi].tolist())) >= g_i.shape[1] - 1
+    np.testing.assert_allclose(np.sort(g_s, 1), np.sort(w_s, 1), rtol=1e-2, atol=1e-2)
+
+
+def test_plaid_pruned_recall(small_index):
+    """Moderate pruning keeps most of the exhaustive top-10."""
+    index, ivf, q_tok, q_mask = small_index
+    got = plaid_search(q_tok, q_mask, index, ivf, k=10,
+                       nprobe=8, ncand=48, cand_chunk=16)
+    want = maxsim_search_compressed(q_tok, q_mask, index, k=10, use_pallas=False)
+    overlaps = []
+    for qi in range(4):
+        overlaps.append(len(
+            set(np.asarray(got.ids)[qi].tolist())
+            & set(np.asarray(want.ids)[qi].tolist())
+        ))
+    assert np.mean(overlaps) >= 8, overlaps
+
+
+def test_ivf_build_and_roundtrip(tmp_path):
+    cid = np.array([[0, 0, 1], [1, 2, 2], [0, 2, 1]], np.int32)
+    mask = np.array([[1, 1, 1], [1, 1, 0], [1, 1, 1]], np.float32)
+    ivf = build_ivf(cid, mask, num_centroids=4, cap=3)
+    arr = np.asarray(ivf.ivf_doc)
+    assert set(arr[0][arr[0] < 3].tolist()) == {0, 2}  # docs using centroid 0
+    assert set(arr[1][arr[1] < 3].tolist()) == {0, 1, 2}
+    # doc 1's masked token (centroid 2 at a masked slot) — slot 2 of doc 1 is
+    # masked so centroid 2 still appears via its valid slot 1
+    assert set(arr[2][arr[2] < 3].tolist()) == {1, 2}
+    ivf.save(str(tmp_path))
+    ivf2 = IVFIndex.load(str(tmp_path))
+    np.testing.assert_array_equal(arr, np.asarray(ivf2.ivf_doc))
+
+
+def test_plaid_candidates_sentinel_padding(small_index):
+    index, ivf, q_tok, q_mask = small_index
+    cand, scores = plaid_candidates(
+        q_tok, q_mask, index.centroids, ivf.ivf_doc, ivf.n_docs,
+        nprobe=2, ncand=96,
+    )
+    cand = np.asarray(cand)
+    scores = np.asarray(scores)
+    # slots beyond the reachable docs are the sentinel with -inf scores
+    assert ((cand == ivf.n_docs) == ~np.isfinite(scores)).all()
+    # real candidates are unique per query
+    for qi in range(cand.shape[0]):
+        real = cand[qi][cand[qi] < ivf.n_docs]
+        assert len(set(real.tolist())) == len(real)

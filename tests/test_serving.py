@@ -249,3 +249,90 @@ def test_hybrid_searcher_int8_corpus(models):
         assert isinstance(loaded.dense_corpus, QuantizedDenseIndex)
         rl, _ = loaded.search(queries, batch_size=2, use_pallas=False)
         np.testing.assert_array_equal(np.asarray(rl.ids), np.asarray(rq.ids))
+
+
+def test_searcher_scale_mode_bm25_exact(tmp_path):
+    """With cap ≥ every term's df, the impact-ordered BM25 leg is EXACT —
+    scale-mode ranking must equal the dense-impact ranking (modulo the
+    -inf-vs-0 tail for docs sharing no query term)."""
+    prep = TextPreprocessor(spacy_model=None)
+    docs = prep.preprocess(list(CORPUS.values()))
+    std = HybridSearcher.build(CORPUS, bm25_docs=docs, topk=4,
+                               bm25_preprocess=lambda t: prep.preprocess(list(t)))
+    scaled = HybridSearcher.build(CORPUS, bm25_docs=docs, topk=4, scale_mode=True,
+                                  impact_cap=64,
+                                  bm25_preprocess=lambda t: prep.preprocess(list(t)))
+    assert scaled.bm25_impact_index is not None and scaled.bm25_impacts is None
+    f_std, _ = std.search(QUERIES, batch_size=4, use_pallas=False)
+    f_sc, _ = scaled.search(QUERIES, batch_size=4, use_pallas=False)
+    s_std, s_sc = np.asarray(f_std.scores), np.asarray(f_sc.scores)
+    for qi in range(len(QUERIES)):
+        matched = np.isfinite(s_sc[qi]) & (s_std[qi] > 1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(f_sc.ids)[qi][matched], np.asarray(f_std.ids)[qi][matched]
+        )
+        # impact index stores f16 impacts, the dense matrix bf16
+        np.testing.assert_allclose(s_sc[qi][matched], s_std[qi][matched], rtol=6e-3)
+
+    # persistence round-trip restores the impact form (not dense impacts)
+    scaled.save_indexes(str(tmp_path))
+    loaded = HybridSearcher(corpus_ids=np.array([]),
+                            bm25_preprocess=lambda t: prep.preprocess(list(t))
+                            ).load_indexes(str(tmp_path))
+    loaded.topk = 4
+    assert loaded.bm25_impact_index is not None and loaded.bm25_impacts is None
+    f_ld, _ = loaded.search(QUERIES, batch_size=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(f_ld.ids), np.asarray(f_sc.ids))
+
+
+def test_searcher_scale_mode_neural_legs(models, tmp_path):
+    """SPLADE impact + ColBERT PLAID legs: on a tiny corpus with generous
+    caps, scale-mode rankings must strongly agree with the standard forms
+    (random tiny models have near-dense activations, so query pruning can
+    swap near-ties — require top-1 + head-set agreement per system)."""
+    dense, splade, colbert = models
+    kwargs = dict(batch_size=4, topk=8)
+    std_sp = HybridSearcher.build(CORPUS, splade_model=splade, **kwargs)
+    sc_sp = HybridSearcher.build(
+        CORPUS, splade_model=splade, scale_mode=True, impact_cap=64,
+        splade_prune_topk=512, splade_query_terms=512, **kwargs
+    )
+    assert sc_sp.splade_impact_index is not None
+    assert sc_sp.active_systems == ["splade"]
+    f_std, _ = std_sp.search(QUERIES, batch_size=4, use_pallas=False)
+    f_sc, _ = sc_sp.search(QUERIES, batch_size=4, use_pallas=False)
+    for qi in range(len(QUERIES)):
+        a, b = f_std.id_lists()[qi], f_sc.id_lists()[qi]
+        assert a[0] == b[0], (qi, a, b)
+        assert len(set(a[:4]) & set(b[:4])) >= 3, (qi, a, b)
+
+    std_cb = HybridSearcher.build(
+        CORPUS, colbert_model=colbert, colbert_compressed=True, **kwargs
+    )
+    sc_cb = HybridSearcher.build(
+        CORPUS, colbert_model=colbert, colbert_compressed=True,
+        colbert_plaid=True, plaid_nprobe=32, plaid_ncand=8, ivf_cap=8, **kwargs
+    )
+    assert sc_cb.colbert_ivf is not None
+    f_std, _ = std_cb.search(QUERIES, batch_size=4, use_pallas=False)
+    f_sc, _ = sc_cb.search(QUERIES, batch_size=4, use_pallas=False)
+    for qi in range(len(QUERIES)):
+        a, b = f_std.id_lists()[qi], f_sc.id_lists()[qi]
+        assert a[0] == b[0], (qi, a, b)
+        assert len(set(a[:4]) & set(b[:4])) >= 3, (qi, a, b)
+
+    # persistence: splade impact + ivf round-trip
+    sc_sp.save_indexes(str(tmp_path / "sp"))
+    loaded = HybridSearcher(
+        corpus_ids=np.array([]), splade_model=splade, splade_query_terms=512,
+    ).load_indexes(str(tmp_path / "sp"))
+    loaded.topk = 8
+    f_ld, _ = loaded.search(QUERIES, batch_size=4, use_pallas=False)
+    f_sp, _ = sc_sp.search(QUERIES, batch_size=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(f_ld.ids), np.asarray(f_sp.ids))
+    sc_cb.save_indexes(str(tmp_path / "cb"))
+    loaded_cb = HybridSearcher(
+        corpus_ids=np.array([]), colbert_model=colbert,
+        plaid_nprobe=32, plaid_ncand=8,
+    ).load_indexes(str(tmp_path / "cb"))
+    assert loaded_cb.colbert_ivf is not None
