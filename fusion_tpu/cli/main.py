@@ -41,6 +41,15 @@ def _load_lleqa(args):
             with open(args.fixture) as f:
                 raw = json.load(f)
         return MmarcoLoader(lang=lang, raw=raw)
+    if args.dataset.startswith("mrtydi"):
+        from fusion_tpu.data.mrtydi import MrTyDiLoader
+
+        lang = args.dataset.split("-")[-1] if "-" in args.dataset else "en"
+        raw = None
+        if args.fixture:
+            with open(args.fixture) as f:
+                raw = json.load(f)
+        return MrTyDiLoader(lang=lang, raw=raw)
 
     from fusion_tpu.data.lleqa import LLeQALoader
 
@@ -510,6 +519,89 @@ def cmd_hybrid(args):
         json.dump(scores, f, indent=2, default=float)
 
 
+def cmd_serve(args):
+    """Build / query a persistent HybridSearcher (the serving layer).
+
+    build:  encode every requested index once and save to --index_dir
+    search: load --index_dir, answer queries (from --queries_file, one per
+            line, or the dataset split), write a ranking TSV + latency JSON
+    """
+    from fusion_tpu.models.biencoder import BiEncoder
+    from fusion_tpu.models.colbert import ColBERT
+    from fusion_tpu.models.crossencoder import CrossEncoder
+    from fusion_tpu.serving import HybridSearcher
+    from fusion_tpu.utils.rankingio import write_ranking_tsv
+
+    cfg = _encoder_config(args)
+    lengths = dict(max_query_length=32 if args.tiny else 64,
+                   max_doc_length=64 if args.tiny else 256)
+    dense = (BiEncoder.load(args.dpr_path) if args.dpr_path
+             else BiEncoder(cfg, head="dense", **lengths)) if args.run_dpr else None
+    splade = (BiEncoder.load(args.splade_path) if args.splade_path
+              else BiEncoder(cfg, head="splade", **lengths)) if args.run_splade else None
+    colbert = (ColBERT.load(args.colbert_path) if args.colbert_path
+               else ColBERT(cfg, dim=16 if args.tiny else 128, **lengths)) if args.run_colbert else None
+    ce = (CrossEncoder.load(args.monobert_path) if args.monobert_path
+          else CrossEncoder(cfg, max_length=32 if args.tiny else 256)) if args.run_monobert else None
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    if args.task == "build":
+        loader = _load_lleqa(args)
+        data = loader.load()
+        from fusion_tpu.cli.presets import BM25_PRESETS
+
+        bp = BM25_PRESETS["mmarco" if args.dataset.startswith("mmarco") else "lleqa"]
+        from fusion_tpu.data.preprocessor import TextPreprocessor
+
+        prep = TextPreprocessor(spacy_model=None) if args.run_bm25 else None
+        docs = list(data.corpus.values())
+        searcher = HybridSearcher.build(
+            data.corpus,
+            bm25_docs=prep.preprocess(docs) if args.run_bm25 else None,
+            dense_model=dense, splade_model=splade, colbert_model=colbert,
+            cross_encoder=ce, rerank_depth=args.rerank_depth,
+            colbert_compressed=args.compressed or args.colbert_plaid,
+            batch_size=args.batch_size, k1=bp.k1, b=bp.b,
+            fusion_method=args.fusion, topk=min(1000, len(data.corpus)),
+            bm25_preprocess=(lambda t: prep.preprocess(list(t))) if prep else None,
+            int8_corpus=args.int8_corpus,
+            scale_mode=args.scale_mode,
+            colbert_plaid=args.colbert_plaid,
+        )
+        searcher.save_indexes(args.index_dir)
+        print(json.dumps({
+            "index_dir": args.index_dir, "systems": searcher.active_systems,
+            "corpus_docs": len(data.corpus),
+        }))
+        return
+
+    searcher = HybridSearcher(
+        corpus_ids=np.array([]), dense_model=dense, splade_model=splade,
+        colbert_model=colbert, cross_encoder=ce, rerank_depth=args.rerank_depth,
+        fusion_method=args.fusion,
+    ).load_indexes(args.index_dir, int8_corpus=args.int8_corpus)
+    if args.run_bm25:
+        from fusion_tpu.data.preprocessor import TextPreprocessor
+
+        prep = TextPreprocessor(spacy_model=None)
+        searcher.bm25_preprocess = lambda t: prep.preprocess(list(t))
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            queries = [line.strip() for line in f if line.strip()]
+        qids = list(range(len(queries)))
+    else:
+        loader = _load_lleqa(args)
+        data = loader.load()
+        qids, queries, _ = _split_queries(data, args.split)
+    ranked, ms_per_query = searcher.search(queries, batch_size=args.batch_size)
+    out_tsv = os.path.join(args.output_dir, "serve_ranking.tsv")
+    write_ranking_tsv(out_tsv, ranked, qids)
+    print(json.dumps({
+        "num_queries": len(queries), "ms_per_query": round(ms_per_query, 3),
+        "systems": searcher.active_systems, "ranking_tsv": out_tsv,
+    }))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fusion-tpu", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -594,6 +686,30 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rerank_depth", type=int, default=100,
                     help="candidates passed to the monoBERT reranker (paper setup: 100)")
     sp.set_defaults(fn=cmd_hybrid)
+
+    sp = sub.add_parser("serve", help="build / query the persistent HybridSearcher")
+    common(sp)
+    sp.add_argument("--task", default="search", choices=["build", "search"])
+    sp.add_argument("--index_dir", required=True)
+    sp.add_argument("--queries_file", default=None)
+    sp.add_argument("--run_bm25", action="store_true")
+    sp.add_argument("--run_dpr", action="store_true")
+    sp.add_argument("--run_splade", action="store_true")
+    sp.add_argument("--run_colbert", action="store_true")
+    sp.add_argument("--run_monobert", action="store_true")
+    sp.add_argument("--fusion", default="rrf", choices=["bcf", "rrf", "nsf"])
+    sp.add_argument("--dpr_path", default=None)
+    sp.add_argument("--splade_path", default=None)
+    sp.add_argument("--colbert_path", default=None)
+    sp.add_argument("--monobert_path", default=None)
+    sp.add_argument("--rerank_depth", type=int, default=100)
+    sp.add_argument("--compressed", action="store_true")
+    sp.add_argument("--int8_corpus", action="store_true")
+    sp.add_argument("--scale_mode", action="store_true",
+                    help="impact-ordered BM25/SPLADE indexes (mMARCO-scale forms)")
+    sp.add_argument("--colbert_plaid", action="store_true",
+                    help="PLAID two-stage ColBERT (implies --compressed)")
+    sp.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -182,3 +182,26 @@ def test_cli_colbert_compressed_index(tmp_path, fixture_path):
     assert os.path.exists(tmp_path / "index" / "compressed_index.npz")
     run(["colbert", "--task", "test"], tmp_path, fixture_path)
     assert os.path.exists(tmp_path / "performance_colbert.json")
+
+
+def test_cli_serve_build_and_search(tmp_path, fixture_path):
+    idx = str(tmp_path / "indexes")
+    run(["serve", "--task", "build", "--index_dir", idx,
+         "--run_bm25", "--run_splade"], tmp_path, fixture_path)
+    assert (tmp_path / "indexes").is_dir()
+    run(["serve", "--task", "search", "--index_dir", idx,
+         "--run_bm25", "--run_splade", "--split", "dev"], tmp_path, fixture_path)
+    rows = open(tmp_path / "serve_ranking.tsv").read().splitlines()
+    assert rows and all(len(r.split("\t")) == 4 for r in rows)
+
+
+def test_cli_serve_scale_mode(tmp_path, fixture_path):
+    idx = str(tmp_path / "indexes_scale")
+    run(["serve", "--task", "build", "--index_dir", idx,
+         "--run_bm25", "--scale_mode"], tmp_path, fixture_path)
+    import os
+    assert os.path.exists(os.path.join(idx, "bm25_impact", "impact_index.npz"))
+    run(["serve", "--task", "search", "--index_dir", idx,
+         "--run_bm25", "--split", "dev"], tmp_path, fixture_path)
+    rows = open(tmp_path / "serve_ranking.tsv").read().splitlines()
+    assert rows

@@ -260,3 +260,49 @@ def test_mmarco_triplet_rejects_insufficient_negs():
     reader = MmarcoReader("fr", MM_CORPUS, MM_QUERIES, negs_type="hard", negs_per_query=2)
     records = [{"qid": 0, "pos": [0], "neg": {"bm25": [1]}}]
     assert reader.sample_from_hard_negatives(records, scores) == []
+
+
+def test_mrtydi_loader_surface():
+    """MrTyDiLoader: same loader contract as MmarcoLoader (the reference
+    imports data/mrtydi.py but never committed it, SURVEY §2.5)."""
+    from fusion_tpu.data.mrtydi import MRTYDI_LANGUAGES, MrTyDiLoader
+
+    raw = {
+        "corpus": {1: "doc one text", 2: "doc two text", 3: "doc three text"},
+        "train_queries": {10: "query ten"},
+        "train_qrels": {10: [1]},
+        "dev_queries": {20: "query twenty"},
+        "dev_qrels": {20: [2]},
+        "negatives": {10: [3]},
+    }
+    loader = MrTyDiLoader(lang="ja", raw=raw)
+    data = loader.load()
+    assert data.corpus[2] == "doc two text"
+    assert data.queries["dev"] == {20: "query twenty"}
+    assert data.qrels["train"][10] == [1]
+    sampler = loader.biencoder_sampler(negs_per_query=1, seed=0)
+    samples = list(sampler.samples())
+    assert samples and samples[0][0] == "query ten"
+    pairs = loader.crossencoder_pairs(neg_per_pos=1, seed=0)
+    assert any(label == 1.0 for _, _, label in pairs)
+    assert "sw" in MRTYDI_LANGUAGES
+    with pytest.raises(AssertionError):
+        MrTyDiLoader(lang="xx", raw=raw)
+
+
+def test_cli_mrtydi_dispatch(tmp_path):
+    import argparse
+
+    from fusion_tpu.cli.main import _load_lleqa
+
+    raw = {
+        "corpus": {1: "un deux trois"},
+        "dev_queries": {5: "deux"},
+        "dev_qrels": {5: [1]},
+    }
+    fixture = tmp_path / "mrtydi.json"
+    fixture.write_text(json.dumps(raw))
+    args = argparse.Namespace(dataset="mrtydi-ja", fixture=str(fixture))
+    loader = _load_lleqa(args)
+    assert loader.lang == "ja"
+    assert loader.load().corpus[1] == "un deux trois"
