@@ -183,6 +183,90 @@ def activations_to_query_terms(
     return terms, weights
 
 
+def shard_impact_index(index: ImpactIndex, n_shards: int) -> "ShardedImpactIndex":
+    """Split an ImpactIndex into ``n_shards`` doc-range shards, stacked on a
+    leading axis for ``shard_map`` placement over the mesh ``index`` axis.
+
+    Each shard keeps, per term, its doc range's postings re-packed to the
+    front (impact order preserved within the shard). Host-side build work.
+    """
+    docs = np.asarray(index.post_doc)
+    imps = np.asarray(index.post_impact)
+    vp1, cap = docs.shape
+    n = index.n_docs
+    per = -(-n // n_shards)
+    sh_docs = np.full((n_shards, vp1, cap), per, dtype=np.int32)
+    sh_imps = np.zeros((n_shards, vp1, cap), dtype=np.float16)
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, n)
+        in_shard = (docs >= lo) & (docs < hi)
+        # stable front-packing per row keeps impact order
+        order = np.argsort(~in_shard, axis=1, kind="stable")
+        d_s = np.take_along_axis(np.where(in_shard, docs - lo, per), order, axis=1)
+        i_s = np.take_along_axis(np.where(in_shard, imps, 0), order, axis=1)
+        sh_docs[s], sh_imps[s] = d_s, i_s
+    return ShardedImpactIndex(
+        post_doc=jnp.asarray(sh_docs),
+        post_impact=jnp.asarray(sh_imps),
+        n_docs=n,
+        docs_per_shard=per,
+        vocab_size=index.vocab_size,
+        cap=cap,
+    )
+
+
+class ShardedImpactIndex(NamedTuple):
+    post_doc: jax.Array  # int32 [S, V+1, P] (local doc ids; pad = docs_per_shard)
+    post_impact: jax.Array  # f16 [S, V+1, P]
+    n_docs: int
+    docs_per_shard: int
+    vocab_size: int
+    cap: int
+
+
+def sharded_impact_search(
+    q_terms: jax.Array,
+    q_weights: jax.Array,
+    index: ShardedImpactIndex,
+    mesh,
+    k: int = 1000,
+) -> RankedLists:
+    """Index-parallel impact search: each device scores its doc-range shard
+    (queries replicated), per-shard top-k lists all-gather and merge over
+    ICI — the corpus-scale lexical serving form on a pod."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from fusion_tpu.parallel.sharding import INDEX_AXIS
+
+    per = index.docs_per_shard
+    k = min(k, per)
+
+    def local(qt, qw, pd, pi):
+        shard_idx = jax.lax.axis_index(INDEX_AXIS)
+        local_ranked = _impact_search(qt, qw, pd[0], pi[0], per, k)
+        global_ids = jnp.where(
+            local_ranked.ids >= 0, local_ranked.ids + shard_idx * per, -1
+        ).astype(jnp.int32)
+        all_scores = jax.lax.all_gather(local_ranked.scores, INDEX_AXIS)
+        all_ids = jax.lax.all_gather(global_ids, INDEX_AXIS)
+        q = qt.shape[0]
+        merged_scores = all_scores.transpose(1, 0, 2).reshape(q, -1)
+        merged_ids = all_ids.transpose(1, 0, 2).reshape(q, -1)
+        top_scores, pos = jax.lax.top_k(merged_scores, k)
+        return jnp.take_along_axis(merged_ids, pos, axis=-1), top_scores
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    ids, scores = jax.jit(fn)(q_terms, q_weights, index.post_doc, index.post_impact)
+    return RankedLists(ids=ids, scores=scores)
+
+
 def sparse_to_impact_index(sparse_index, cap: int = 4096) -> ImpactIndex:
     """Convert a doc-major fixed-K SparseIndex (host round-trip)."""
     term = np.asarray(sparse_index.entry_term).ravel()

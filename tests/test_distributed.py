@@ -64,3 +64,40 @@ def test_dryrun_entrypoints_run():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_sharded_impact_search_matches_single(rng):
+    """Index-parallel impact search over 8 doc-range shards must agree with
+    the single-device search (global ids, same scores)."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.index.inverted import (
+        build_impact_index,
+        impact_search,
+        shard_impact_index,
+        sharded_impact_search,
+    )
+    from fusion_tpu.parallel.sharding import make_mesh
+
+    v, n, nnz = 40, 64, 600
+    term = rng.integers(0, v, size=nnz)
+    doc = rng.integers(0, n, size=nnz)
+    # dedupe (term, doc) pairs — a doc contributes once per term
+    pairs = np.unique(term * n + doc)
+    term, doc = pairs // n, pairs % n
+    imp = rng.uniform(0.1, 3.0, size=term.size).astype(np.float32)
+    index = build_impact_index(term, doc, imp, vocab_size=v, n_docs=n, cap=64)
+    sharded = shard_impact_index(index, 8)
+
+    q_terms = jnp.asarray(rng.integers(0, v, size=(5, 6)), jnp.int32)
+    q_weights = jnp.asarray(rng.uniform(0.5, 2.0, size=(5, 6)).astype(np.float32))
+    mesh = make_mesh(data=1, model=1, index=8)
+    single = impact_search(q_terms, q_weights, index, k=8)
+    multi = sharded_impact_search(q_terms, q_weights, sharded, mesh, k=8)
+
+    s1, s2 = np.asarray(single.scores), np.asarray(multi.scores)
+    i1, i2 = np.asarray(single.ids), np.asarray(multi.ids)
+    for qi in range(5):
+        real = np.isfinite(s1[qi]) & np.isfinite(s2[qi])
+        np.testing.assert_allclose(s1[qi][real], s2[qi][real], rtol=1e-5)
+        assert i1[qi][real].tolist() == i2[qi][real].tolist()
