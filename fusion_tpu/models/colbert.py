@@ -39,12 +39,26 @@ _PUNCT = set(string.punctuation)
 
 
 class ColBERTModule(nn.Module):
-    cfg: EncoderConfig
+    """Trunk + projection head. ``cfg`` selects the trunk: a plain
+    ``EncoderConfig`` → CamemBERT/RoBERTa encoder; an ``XmodConfig`` →
+    X-MOD encoder with language-adapter routing (the reference trains
+    multilingual ColBERT on X-MOD, colbert_ir.py:43,96-101)."""
+
+    cfg: Any  # EncoderConfig | XmodConfig
     dim: int = 128
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, deterministic=True):
-        hidden = Encoder(self.cfg, name="encoder")(input_ids, attention_mask, deterministic)
+    def __call__(self, input_ids, attention_mask, lang_idx=0, deterministic=True):
+        from fusion_tpu.models.xmod import XmodConfig, XmodEncoder
+
+        if isinstance(self.cfg, XmodConfig):
+            hidden = XmodEncoder(self.cfg, name="encoder")(
+                input_ids, attention_mask, lang_idx, deterministic
+            )
+        else:
+            hidden = Encoder(self.cfg, name="encoder")(
+                input_ids, attention_mask, deterministic
+            )
         return ColBERTHead(dim=self.dim, dtype=self.cfg.dtype, name="colbert")(
             hidden, attention_mask
         )
@@ -132,6 +146,15 @@ class ColBERT:
         )
         self._encode_jit = None
         self._punct_ids = self._punctuation_token_ids(tokenizer)
+        self._lang_idx = 0  # X-MOD adapter routing (no-op for plain trunks)
+
+    def set_language(self, lang: str) -> "ColBERT":
+        """Pin the X-MOD language adapter (reference ``set_xmod_language``;
+        fusion_tpu/utils/xmod.py is the torch-side counterpart)."""
+        assert hasattr(self.cfg, "lang_index"), "set_language needs an X-MOD trunk"
+        self._lang_idx = self.cfg.lang_index(lang)
+        self._encode_jit = None  # lang is baked into the cached executable
+        return self
 
     @staticmethod
     def _punctuation_token_ids(tokenizer) -> set[int]:
@@ -152,7 +175,8 @@ class ColBERT:
     # ------------------------------------------------------------------
     def embed_tokens(self, params, input_ids, attention_mask, train: bool = False):
         return self.module.apply(
-            params, input_ids, attention_mask, deterministic=not train
+            params, input_ids, attention_mask,
+            lang_idx=self._lang_idx, deterministic=not train,
         )
 
     @staticmethod
@@ -331,12 +355,49 @@ class ColBERT:
         return model
 
     @classmethod
+    def from_xmod(
+        cls,
+        model_name_or_path: str,
+        languages: Sequence[str] | None = None,
+        lang: str = "fr",
+        dim: int = 128,
+        seed: int = 42,
+        **kw,
+    ) -> "ColBERT":
+        """Multilingual ColBERT on an X-MOD trunk (reference recipe,
+        colbert_ir.py:43,96-101): import the checkpoint (optionally
+        subsetting adapters to ``languages``), pin ``lang``, fresh head.
+        Train with ``xmod_finetune_labels`` to freeze embeddings+adapters."""
+        from fusion_tpu.data.tokenization import HFTokenizer
+        from fusion_tpu.models.xmod import load_hf_xmod_params
+
+        cfg, hf_params = load_hf_xmod_params(
+            model_name_or_path, languages=tuple(languages) if languages else None
+        )
+        try:
+            tokenizer = HFTokenizer(model_name_or_path)
+        except Exception:
+            tokenizer = None
+        model = cls(cfg, tokenizer=tokenizer, dim=dim, seed=seed, **kw)
+        params = jax.tree_util.tree_map(lambda x: x, model.params)
+        params["params"]["encoder"] = hf_params["params"]
+        model.params = params
+        return model.set_language(lang)
+
+    @classmethod
     def load(cls, path: str, tokenizer=None) -> "ColBERT":
         from flax import serialization
 
         with open(os.path.join(path, CONFIG_FILENAME)) as f:
             config = json.load(f)
-        cfg = EncoderConfig(**config["encoder"])
+        enc_cfg = dict(config["encoder"])
+        if "languages" in enc_cfg:  # X-MOD trunk
+            from fusion_tpu.models.xmod import XmodConfig
+
+            enc_cfg["languages"] = tuple(enc_cfg["languages"])
+            cfg = XmodConfig(**enc_cfg)
+        else:
+            cfg = EncoderConfig(**enc_cfg)
         model = cls(
             cfg,
             tokenizer=tokenizer,

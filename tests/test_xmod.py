@@ -146,3 +146,37 @@ def test_xmod_finetune_labels_and_traced_lang(tiny_hf_xmod):
     o1 = f(params, ids, mask, jnp.int32(1))
     assert np.isfinite(np.asarray(o0)).all()
     assert float(jnp.abs(o0 - o1).max()) > 1e-4
+
+
+def test_colbert_on_xmod_trunk(tiny_hf_xmod, tmp_path):
+    """Multilingual ColBERT: X-MOD trunk routing + save/load + from_xmod."""
+    from fusion_tpu.models.colbert import ColBERT
+    from fusion_tpu.models.xmod import XmodConfig
+
+    cfg = XmodConfig.tiny(vocab_size=256, languages=("fr_XX", "de_DE"))
+    model = ColBERT(cfg, dim=16, max_query_length=8, max_doc_length=16)
+    t_fr, _ = model.set_language("fr").encode_queries(["une question"], batch_size=1)
+    t_de, _ = model.set_language("de_DE").encode_queries(["une question"], batch_size=1)
+    assert np.abs(t_fr - t_de).max() > 1e-5, "adapters must route per language"
+
+    model.set_language("fr")
+    model.save(str(tmp_path / "cbx"))
+    loaded = ColBERT.load(str(tmp_path / "cbx"))
+    assert loaded.cfg.languages == ("fr_XX", "de_DE")
+    t2, _ = loaded.set_language("fr").encode_queries(["une question"], batch_size=1)
+    np.testing.assert_allclose(t_fr, t2, rtol=1e-5)
+
+    # import the tiny HF X-MOD checkpoint as a ColBERT trunk
+    path, _ = tiny_hf_xmod
+    cb = ColBERT.from_xmod(path, languages=["fr_XX", "en_XX"], lang="en_XX",
+                           dim=16, max_query_length=8, max_doc_length=12)
+    toks, mask = cb.encode_queries(["a question"], batch_size=1)
+    assert toks.shape[-1] == 16 and np.isfinite(toks).all()
+    # training-recipe mask applies to the full ColBERT param tree
+    from fusion_tpu.models.xmod import xmod_finetune_labels
+
+    labels = xmod_finetune_labels(cb.params)
+    flat = {str(k): v for k, v in
+            jax.tree_util.tree_flatten_with_path(labels)[0]}
+    assert any("adapters" in k and v == "freeze" for k, v in flat.items())
+    assert any("colbert" in k and v == "train" for k, v in flat.items())
