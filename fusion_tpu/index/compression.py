@@ -222,16 +222,23 @@ class CompressedTokenIndex:
         ``_maxsim_kernel_T``).  The CUDA-parity path: colbert-ai fuses
         decompress_residuals.cpp into its scorer (colbert_ir.py:242,251)."""
         codes = _unpack_codes_jnp(codes_tm, self.nbits, self.dim)
-        base = self.centroids[cid_tm]  # [Ld, B, D]
+        # bf16 gather table: the centroid row-gather is the decompress
+        # bottleneck (measured ~70% of the PLAID rescore) — half-width rows
+        # halve its HBM traffic; the result is bf16 downstream anyway
+        base = self.centroids.astype(jnp.bfloat16)[cid_tm]  # [Ld, B, D]
         levels = 1 << self.nbits
         if levels <= 16:
             # tiny-table lookup as a VPU select chain (TPU gathers serialize)
-            residual = jnp.zeros(codes.shape, jnp.float32)
+            residual = jnp.zeros(codes.shape, jnp.bfloat16)
             for level in range(levels):
-                residual = jnp.where(codes == level, self.bucket_weights[level], residual)
+                residual = jnp.where(
+                    codes == level,
+                    self.bucket_weights[level].astype(jnp.bfloat16),
+                    residual,
+                )
         else:
-            residual = self.bucket_weights[codes]
-        return ((base + residual) * mask_tm[..., None]).astype(jnp.bfloat16)
+            residual = self.bucket_weights.astype(jnp.bfloat16)[codes]
+        return ((base + residual) * mask_tm[..., None].astype(jnp.bfloat16))
 
     def nbytes(self) -> int:
         # metadata only — np.asarray would fetch the index through the tunnel
@@ -263,8 +270,19 @@ class CompressedTokenIndex:
             for level in range(1 << self.nbits):
                 residual = jnp.where(codes == level, self.bucket_weights[level], residual)
             return base + residual
-        base = self.centroids[doc_slice]  # [B, Ld, D]
-        return base + self.bucket_weights[codes]
+        # bf16 gather table (see decompress_tm): halves the row-gather traffic
+        base = self.centroids.astype(jnp.bfloat16)[doc_slice]  # [B, Ld, D]
+        levels = 1 << self.nbits
+        if levels <= 16:
+            residual = jnp.zeros(codes.shape, jnp.bfloat16)
+            for level in range(levels):
+                residual = jnp.where(
+                    codes == level,
+                    self.bucket_weights[level].astype(jnp.bfloat16),
+                    residual,
+                )
+            return base + residual
+        return base + self.bucket_weights.astype(jnp.bfloat16)[codes]
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
