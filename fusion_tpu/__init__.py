@@ -37,6 +37,15 @@ _LAZY = {
     "Metrics": "fusion_tpu.eval.metrics",
     "InformationRetrievalEvaluator": "fusion_tpu.eval.evaluators",
     "RerankingEvaluator": "fusion_tpu.eval.evaluators",
+    # index forms
+    "ImpactIndex": "fusion_tpu.index.inverted",
+    "SparseIndex": "fusion_tpu.index.sparse",
+    "QuantizedDenseIndex": "fusion_tpu.index.dense_quant",
+    "CompressedTokenIndex": "fusion_tpu.index.compression",
+    "IVFIndex": "fusion_tpu.index.plaid",
+    # multilingual trunk
+    "XmodConfig": "fusion_tpu.models.xmod",
+    "XmodEncoder": "fusion_tpu.models.xmod",
 }
 
 
