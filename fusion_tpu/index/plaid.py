@@ -129,19 +129,40 @@ def plaid_candidates(
     probe_scores = ps.reshape(ql_pad, nprobe)[:ql]
     probe_cids = pcids.reshape(ql_pad, nprobe)[:ql]
     probe_scores = probe_scores * q_mask.reshape(ql, 1)  # mask padded tokens
-    # gather IVF rows (contiguous row reads) and flatten per query
-    docs = ivf_doc[probe_cids].reshape(q, lq * nprobe * ivf_doc.shape[1])
+    # gather IVF rows (contiguous row reads) and flatten per query with a
+    # combined (doc, query-token) key so candidate ranking can approximate
+    # the MaxSim structure: per query token take the BEST probing centroid
+    # score, then SUM over query tokens (best-single-probe ranking misorders
+    # candidates once the probe reach exceeds ncand)
+    cap = ivf_doc.shape[1]
+    l = lq * nprobe * cap
+    docs = ivf_doc[probe_cids].reshape(q, l)
     vals = jnp.broadcast_to(
-        probe_scores[:, :, None],
-        (ql, nprobe, ivf_doc.shape[1]),
-    ).reshape(q, lq * nprobe * ivf_doc.shape[1])
-    # 2-key sort by (doc, -score): each doc's run starts at its BEST probe
-    # score — dedup without any run reduction
-    docs_s, negv_s = jax.lax.sort((docs, -vals), num_keys=2)
-    new_run = jnp.concatenate(
-        [jnp.ones((q, 1), bool), docs_s[:, 1:] != docs_s[:, :-1]], axis=1
+        probe_scores[:, :, None], (ql, nprobe, cap)
+    ).reshape(q, l)
+    tok_of = jnp.broadcast_to(
+        (jnp.arange(ql, dtype=jnp.int32) % lq)[:, None, None], (ql, nprobe, cap)
+    ).reshape(q, l)
+    combined = docs * lq + tok_of  # doc-major, token-minor
+    combined = jnp.where(docs < n_docs, combined, n_docs * lq)
+    combined_s, negv_s, docs_s = jax.lax.sort((combined, -vals, docs), num_keys=2)
+    # max per (doc, token) = value at each (doc, token)-run start
+    new_dt = jnp.concatenate(
+        [jnp.ones((q, 1), bool), combined_s[:, 1:] != combined_s[:, :-1]], axis=1
     )
-    cand_scores = jnp.where(new_run & (docs_s < n_docs), -negv_s, -jnp.inf)
+    per_tok = jnp.where(new_dt, -negv_s, 0.0)
+    # segmented scan by DOC sums the per-token maxima (runs ≤ Lq·nprobe)
+    seg = per_tok
+    d = 1
+    while d < lq * nprobe:
+        docs_shift = jnp.pad(docs_s[:, :-d], ((0, 0), (d, 0)), constant_values=-1)
+        seg_shift = jnp.pad(seg[:, :-d], ((0, 0), (d, 0)))
+        seg = seg + jnp.where(docs_shift == docs_s, seg_shift, 0.0)
+        d *= 2
+    is_end = jnp.concatenate(
+        [docs_s[:, 1:] != docs_s[:, :-1], jnp.ones((q, 1), bool)], axis=1
+    )
+    cand_scores = jnp.where(is_end & (docs_s < n_docs), seg, -jnp.inf)
     top_scores, pos = jax.lax.top_k(cand_scores, ncand)
     cand = jnp.take_along_axis(docs_s, pos, axis=1)
     # pad unscored slots with the sentinel so rescoring masks them
