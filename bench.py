@@ -72,11 +72,22 @@ def main():
         " ".join(f"t{t}" for t in rng.choice(vocab_n, size=6, p=zipf_p)) for _ in range(B)
     ]
 
+    from fusion_tpu import native as native_mod
+
     t0 = time.perf_counter()
     bm25 = BM25Index.build(docs_tokens, k1=2.5, b=0.2)
+    t_post = time.perf_counter() - t0
+    t0 = time.perf_counter()
     impacts = bm25.build_dense_impacts()
+    np.asarray(impacts[:1, :1])  # fence the device scatter
+    t_imp = time.perf_counter() - t0
     q_terms, q_weights = bm25.encode_queries(queries_tokens)
-    print(f"# bm25 index build: {time.perf_counter()-t0:.1f}s nnz={bm25.nnz}", file=sys.stderr)
+    print(
+        f"# bm25 index build: postings {t_post:.1f}s "
+        f"({'C++' if native_mod.native_available() else 'numpy'}), "
+        f"dense impacts (device scatter) {t_imp:.1f}s, nnz={bm25.nnz}",
+        file=sys.stderr,
+    )
 
     # ------------------------------------------------------------------
     # neural systems: base-shaped encoders, random weights

@@ -75,7 +75,16 @@ def kmeans(
     """
     n = x.shape[0]
     key = jax.random.PRNGKey(seed)
-    centroids = _kmeanspp_init(x, k, key)
+    # k-means++ runs k SEQUENTIAL distance updates over the whole sample —
+    # at production centroid counts (k ≈ 2^15) that is tens of minutes of
+    # tiny dispatches. Past a threshold, seed from a random permutation of
+    # distinct points instead (faiss's choice) and let Lloyd iterations do
+    # the work; quality difference at large k is negligible.
+    if k <= 4096:
+        centroids = _kmeanspp_init(x, k, key)
+    else:
+        perm = jax.random.permutation(key, n)[:k]
+        centroids = x[perm]
     blk = min(block_points, n)
     n_pad = -(-n // blk) * blk
     xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
