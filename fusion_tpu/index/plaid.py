@@ -214,6 +214,121 @@ def _plaid_rescore(
     return blockwise_topk(block_scores, num_chunks, q, k)
 
 
+class ShardedPlaidIndex(NamedTuple):
+    """Doc-range shards of (compressed index + IVF), stacked on a leading
+    axis for ``shard_map`` placement over the mesh ``index`` axis."""
+
+    centroids: "jax.Array"  # [C, D] (replicated)
+    bucket_weights: "jax.Array"  # [2^nbits] (replicated)
+    centroid_ids: "jax.Array"  # [S, per, Ld]
+    codes: "jax.Array"  # [S, per, Ld, D/p]
+    mask: "jax.Array"  # [S, per, Ld]
+    ivf_doc: "jax.Array"  # [S, C, cap] (LOCAL doc ids; pad = per)
+    nbits: int
+    n_docs: int
+    docs_per_shard: int
+
+
+def shard_plaid_index(index, n_shards: int, ivf_cap: int = 4096) -> ShardedPlaidIndex:
+    """Split a CompressedTokenIndex into doc-range shards and build each
+    shard's IVF over its local doc ids (host-side, offline)."""
+    cid = np.asarray(index.centroid_ids)
+    codes = np.asarray(index.codes)
+    mask = np.asarray(index.mask)
+    n = cid.shape[0]
+    per = -(-n // n_shards)
+    c = index.centroids.shape[0]
+
+    def pad_to(arr):
+        want = n_shards * per
+        if arr.shape[0] < want:
+            pad = np.zeros((want - arr.shape[0],) + arr.shape[1:], arr.dtype)
+            arr = np.concatenate([arr, pad])
+        return arr.reshape(n_shards, per, *arr.shape[1:])
+
+    cid_s, codes_s, mask_s = pad_to(cid), pad_to(codes), pad_to(mask)
+    ivf_s = np.stack([
+        np.asarray(
+            build_ivf(cid_s[s], mask_s[s], c, cap=ivf_cap).ivf_doc
+        )
+        for s in range(n_shards)
+    ])
+    return ShardedPlaidIndex(
+        centroids=index.centroids,
+        bucket_weights=index.bucket_weights,
+        centroid_ids=jnp.asarray(cid_s),
+        codes=jnp.asarray(codes_s),
+        mask=jnp.asarray(mask_s),
+        ivf_doc=jnp.asarray(ivf_s),
+        nbits=index.nbits,
+        n_docs=n,
+        docs_per_shard=per,
+    )
+
+
+def sharded_plaid_search(
+    q_tok: jax.Array,
+    q_mask: jax.Array,
+    sharded: ShardedPlaidIndex,
+    mesh,
+    k: int = 1000,
+    nprobe: int = 4,
+    ncand: int = 4096,
+    cand_chunk: int = 512,
+) -> RankedLists:
+    """Index-parallel PLAID: each device probes + rescores its doc-range
+    shard (queries and centroid table replicated), per-shard top-k lists
+    all-gather and merge over ICI — the multi-chip form of the two-stage
+    pipeline (one v5e holds ~10 GB of compressed index; mMARCO-scale serving
+    shards it over the mesh ``index`` axis)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from fusion_tpu.parallel.sharding import INDEX_AXIS
+
+    per = sharded.docs_per_shard
+    ncand_l = min(ncand, per)
+    chunk = min(cand_chunk, ncand_l)
+    ncand_l -= ncand_l % chunk
+    k = min(k, ncand_l)
+
+    def local(qt, qm, cents, bw, cid, codes, msk, ivf):
+        shard_idx = jax.lax.axis_index(INDEX_AXIS)
+        cand, _ = plaid_candidates(
+            qt, qm, cents, ivf[0], per, nprobe=nprobe, ncand=ncand_l
+        )
+        local_ranked = _plaid_rescore(
+            qt, qm, cents, cid[0], codes[0], msk[0], bw, cand,
+            nbits=sharded.nbits, k=k, cand_chunk=chunk,
+        )
+        global_ids = (local_ranked.ids + shard_idx * per).astype(jnp.int32)
+        all_scores = jax.lax.all_gather(local_ranked.scores, INDEX_AXIS)
+        all_ids = jax.lax.all_gather(global_ids, INDEX_AXIS)
+        q = qt.shape[0]
+        merged_scores = all_scores.transpose(1, 0, 2).reshape(q, -1)
+        merged_ids = all_ids.transpose(1, 0, 2).reshape(q, -1)
+        top_scores, pos = jax.lax.top_k(merged_scores, k)
+        return jnp.take_along_axis(merged_ids, pos, axis=-1), top_scores
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),
+            P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None, None),
+            P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    ids, scores = jax.jit(fn)(
+        q_tok.astype(jnp.float32), q_mask.astype(jnp.float32),
+        sharded.centroids, sharded.bucket_weights,
+        sharded.centroid_ids, sharded.codes, sharded.mask, sharded.ivf_doc,
+    )
+    return RankedLists(ids=ids, scores=scores)
+
+
 def plaid_search(
     q_tok: jax.Array,  # [Q, Lq, D]
     q_mask: jax.Array,  # [Q, Lq]

@@ -88,3 +88,29 @@ def test_plaid_candidates_sentinel_padding(small_index):
     for qi in range(cand.shape[0]):
         real = cand[qi][cand[qi] < ivf.n_docs]
         assert len(set(real.tolist())) == len(real)
+
+
+def test_sharded_plaid_matches_single(small_index):
+    """Index-parallel PLAID over 8 doc-range shards: with exhaustive knobs
+    (candidates cover every shard doc) it must agree with single-device
+    plaid_search on the same index."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.index.plaid import shard_plaid_index, sharded_plaid_search
+    from fusion_tpu.parallel.sharding import make_mesh
+
+    index, ivf, q_tok, q_mask = small_index
+    mesh = make_mesh(data=1, model=1, index=8)
+    sharded = shard_plaid_index(index, 8, ivf_cap=96)
+    single = plaid_search(q_tok, q_mask, index, ivf, k=12,
+                          nprobe=32, ncand=96, cand_chunk=12)
+    multi = sharded_plaid_search(q_tok, q_mask, sharded, mesh, k=12,
+                                 nprobe=32, ncand=96, cand_chunk=12)
+    s1, s2 = np.asarray(single.scores), np.asarray(multi.scores)
+    i1, i2 = np.asarray(single.ids), np.asarray(multi.ids)
+    for qi in range(i1.shape[0]):
+        real = np.isfinite(s1[qi, :12]) & np.isfinite(s2[qi, :12])
+        assert set(i1[qi][real].tolist()) == set(i2[qi][real].tolist()), qi
+        np.testing.assert_allclose(
+            np.sort(s1[qi][real]), np.sort(s2[qi][real]), rtol=1e-3, atol=1e-3
+        )
