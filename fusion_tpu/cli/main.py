@@ -118,6 +118,16 @@ def cmd_bm25(args):
                 rows.append({"k1": k1_v, "b": b_v, **scores})
                 write_metrics_csv(os.path.join(args.output_dir, "bm25_tuning_results.csv"), rows)
         best = max(rows, key=lambda r: r["recall@100"])
+        # tuning heatmap PDF (reference bm25.py:243-246: seaborn heatmap of
+        # recall@100 over the k1×b grid, color scale fixed to 40–60)
+        try:
+            from fusion_tpu.utils.loggers import write_tuning_heatmap
+
+            write_tuning_heatmap(
+                os.path.join(args.output_dir, "bm25_tuning_heatmap.pdf"), rows
+            )
+        except Exception as e:  # matplotlib absent → CSV is the artifact
+            print(f"# heatmap skipped: {e}", file=sys.stderr)
         print(json.dumps({"best": best}))
         return
 

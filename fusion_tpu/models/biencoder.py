@@ -128,12 +128,22 @@ class BiEncoder:
             assert self.pooling in ("mean", "max", "cls")
         self.similarity = similarity
         self.pruning_topk = pruning_topk
-        self.module = EncoderWithMLM(cfg) if head == "splade" else Encoder(cfg)
-        if params is None:
-            if head == "splade":
-                _, params = init_encoder_params(cfg, seed=seed, with_mlm=True)
-            else:
-                _, params = init_encoder_params(cfg, seed=seed, with_mlm=False)
+        from fusion_tpu.models.xmod import XmodConfig, XmodEncoder, XmodEncoderWithMLM
+
+        self._is_xmod = isinstance(cfg, XmodConfig)
+        self._lang_idx = 0
+        if self._is_xmod:
+            self.module = XmodEncoderWithMLM(cfg) if head == "splade" else XmodEncoder(cfg)
+            if params is None:
+                dummy = jnp.ones((1, 4), dtype=jnp.int32)
+                params = self.module.init(
+                    jax.random.PRNGKey(seed), dummy, jnp.ones((1, 4), jnp.int32),
+                    deterministic=True,
+                )
+        else:
+            self.module = EncoderWithMLM(cfg) if head == "splade" else Encoder(cfg)
+            if params is None:
+                _, params = init_encoder_params(cfg, seed=seed, with_mlm=head == "splade")
         self.params = params
         tokenizer = tokenizer or WordHashTokenizer(vocab_size=cfg.vocab_size)
         self.text_encoder = TextEncoder(
@@ -151,18 +161,28 @@ class BiEncoder:
     # ------------------------------------------------------------------
     # functional forward (used by training steps; params explicit)
     # ------------------------------------------------------------------
+    def set_language(self, lang: str) -> "BiEncoder":
+        """Pin the X-MOD language adapter (multilingual DPR/SPLADE trunks;
+        reference imports ``prepare_xmod_for_finetuning`` in
+        single_dense_biencoder.py:32)."""
+        assert self._is_xmod, "set_language needs an X-MOD trunk"
+        self._lang_idx = self.cfg.lang_index(lang)
+        self._encode_jit = None  # lang is baked into the cached executable
+        return self
+
     def embed_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):
         """Token batch → embeddings [B, H] (dense) or [B, V] (splade)."""
+        kw = {"lang_idx": self._lang_idx} if self._is_xmod else {}
         if self.head == "splade":
             _, logits = self.module.apply(
-                params, input_ids, attention_mask, deterministic=not train, rngs=rngs
+                params, input_ids, attention_mask, deterministic=not train, rngs=rngs, **kw
             )
             acts = heads.splade_activation(logits, attention_mask, self.pooling)
             if self.pruning_topk is not None and not train:
                 acts, _ = heads.prune_topk(acts, self.pruning_topk)
             return acts
         hidden = self.module.apply(
-            params, input_ids, attention_mask, deterministic=not train, rngs=rngs
+            params, input_ids, attention_mask, deterministic=not train, rngs=rngs, **kw
         )
         return heads.pool(hidden, attention_mask, self.pooling)
 
@@ -322,7 +342,14 @@ class BiEncoder:
 
         with open(os.path.join(path, CONFIG_FILENAME)) as f:
             config = json.load(f)
-        cfg = EncoderConfig(**config["encoder"])
+        enc_cfg = dict(config["encoder"])
+        if "languages" in enc_cfg:  # X-MOD trunk
+            from fusion_tpu.models.xmod import XmodConfig
+
+            enc_cfg["languages"] = tuple(enc_cfg["languages"])
+            cfg = XmodConfig(**enc_cfg)
+        else:
+            cfg = EncoderConfig(**enc_cfg)
         model = cls(
             cfg,
             tokenizer=tokenizer,
@@ -366,6 +393,33 @@ class BiEncoder:
             params = {"params": params["params"]["encoder"]}
         tokenizer = HFTokenizer(model_name_or_path)
         return cls(cfg, params=params, tokenizer=tokenizer, head=head, **kw)
+
+    @classmethod
+    def from_xmod(
+        cls,
+        model_name_or_path: str,
+        head: str = "dense",
+        languages: Sequence[str] | None = None,
+        lang: str = "fr",
+        **kw,
+    ) -> "BiEncoder":
+        """Multilingual DPR/SPLADE on an X-MOD trunk: import the checkpoint
+        (optionally subsetting adapters), pin ``lang``. SPLADE also imports
+        the LM head (XmodForMaskedLM)."""
+        from fusion_tpu.data.tokenization import HFTokenizer
+        from fusion_tpu.models.xmod import load_hf_xmod_params
+
+        cfg, hf_params = load_hf_xmod_params(
+            model_name_or_path,
+            languages=tuple(languages) if languages else None,
+            with_mlm=head == "splade",
+        )
+        try:
+            tokenizer = HFTokenizer(model_name_or_path)
+        except Exception:
+            tokenizer = None
+        model = cls(cfg, params=hf_params, tokenizer=tokenizer, head=head, **kw)
+        return model.set_language(lang)
 
 
 def decode_splade_vector(

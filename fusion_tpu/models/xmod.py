@@ -174,6 +174,23 @@ class XmodEncoder(nn.Module):
         return x
 
 
+class XmodEncoderWithMLM(nn.Module):
+    """X-MOD trunk + MLM head, returning (hidden, logits) — the multilingual
+    SPLADE trunk (same output contract as ``EncoderWithMLM``)."""
+
+    cfg: XmodConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, lang_idx=0, deterministic=True):
+        from fusion_tpu.models.encoder import MLMHead
+
+        hidden = XmodEncoder(self.cfg, name="encoder")(
+            input_ids, attention_mask, lang_idx, deterministic
+        )
+        logits = MLMHead(self.cfg, name="mlm")(hidden)
+        return hidden, logits
+
+
 # ----------------------------------------------------------------------
 # fine-tuning recipe: freeze embeddings + adapters, train the shared body
 # ----------------------------------------------------------------------
@@ -198,16 +215,21 @@ def load_hf_xmod_params(
     model_name_or_path: str,
     languages: tuple[str, ...] | list[str] | None = None,
     dtype=jnp.float32,
+    with_mlm: bool = False,
 ) -> tuple[XmodConfig, dict]:
     """Convert an HF X-MOD checkpoint to (XmodConfig, params).
 
     ``languages`` subsets the imported adapters (order defines the stacked
     index); default imports every adapter the checkpoint carries.
+    ``with_mlm`` also maps the LM head (XmodForMaskedLM) for SPLADE trunks —
+    the returned tree is then ``{encoder: ..., mlm: ...}``.
     """
-    from transformers import AutoConfig, AutoModel
+    from transformers import AutoConfig, AutoModel, AutoModelForMaskedLM
 
     hf_cfg = AutoConfig.from_pretrained(model_name_or_path)
-    model = AutoModel.from_pretrained(model_name_or_path)
+    model = (AutoModelForMaskedLM if with_mlm else AutoModel).from_pretrained(
+        model_name_or_path
+    )
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     base = "roberta." if any(k.startswith("roberta.") for k in sd) else ""
 
@@ -309,5 +331,24 @@ def load_hf_xmod_params(
             }
         params[f"layer_{i}"] = layer
 
+    if with_mlm:
+        # roberta-style lm_head naming (XmodForMaskedLM; no base prefix)
+        def raw(key):
+            return np.asarray(sd[key], dtype=np.float32)
+
+        mlm = {
+            "transform": {"kernel": raw("lm_head.dense.weight").T,
+                          "bias": raw("lm_head.dense.bias")},
+            "ln": {"scale": raw("lm_head.layer_norm.weight"),
+                   "bias": raw("lm_head.layer_norm.bias")},
+            "decoder": {
+                "kernel": g("embeddings.word_embeddings.weight").T,
+                "bias": raw("lm_head.bias") if "lm_head.bias" in sd
+                else raw("lm_head.decoder.bias"),
+            },
+        }
+        # NOTE: with_mlm returns {encoder, mlm}; trunk-only returns the
+        # encoder subtree at top level (ColBERT/dense consumers re-wrap)
+        params = {"encoder": params, "mlm": mlm}
     params = jax.tree_util.tree_map(jnp.asarray, params)
     return cfg, {"params": params}

@@ -91,3 +91,44 @@ def write_metrics_csv(path: str, rows: list[Mapping[str, Any]]) -> None:
         writer = csv.DictWriter(f, fieldnames=keys)
         writer.writeheader()
         writer.writerows(rows)
+
+
+def write_tuning_heatmap(
+    path: str,
+    rows: list,
+    metric: str = "recall@100",
+    x: str = "b",
+    y: str = "k1",
+    vmin: float = 40.0,
+    vmax: float = 60.0,
+) -> None:
+    """BM25 tuning heatmap PDF (reference bm25.py:243-246: seaborn heatmap
+    of recall@100×100 over the k1×b grid with the color scale pinned to
+    40–60). Pure matplotlib — no seaborn dependency."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    xs = sorted({r[x] for r in rows})
+    ys = sorted({r[y] for r in rows})
+    grid = np.full((len(ys), len(xs)), np.nan)
+    for r in rows:
+        grid[ys.index(r[y]), xs.index(r[x])] = r[metric] * 100.0
+    fig, ax = plt.subplots(figsize=(max(6, len(xs) * 0.6), max(4, len(ys) * 0.35)))
+    im = ax.imshow(grid, aspect="auto", cmap="viridis", vmin=vmin, vmax=vmax)
+    ax.set_xticks(range(len(xs)), [f"{v:g}" for v in xs])
+    ax.set_yticks(range(len(ys)), [f"{v:g}" for v in ys])
+    ax.set_xlabel(x)
+    ax.set_ylabel(y)
+    ax.set_title(f"{metric} × 100")
+    fig.colorbar(im, ax=ax)
+    for i in range(len(ys)):
+        for j in range(len(xs)):
+            if np.isfinite(grid[i, j]):
+                ax.text(j, i, f"{grid[i, j]:.0f}", ha="center", va="center",
+                        fontsize=6, color="white")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, format="pdf", bbox_inches="tight")
+    plt.close(fig)

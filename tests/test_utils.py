@@ -119,3 +119,17 @@ def test_jsonl_logger(tmp_path):
     wl = WandbLogger("proj", "run2", log_dir=str(tmp_path))
     wl.log_eval(0, 1, "m", 1.0)  # falls back to JSONL without wandb
     assert os.path.exists(tmp_path / "run2.jsonl")
+
+
+def test_write_tuning_heatmap(tmp_path):
+    from fusion_tpu.utils.loggers import write_tuning_heatmap
+
+    rows = [
+        {"k1": k1, "b": b, "recall@100": 0.40 + 0.02 * k1 + 0.01 * b}
+        for k1 in (0.5, 1.0, 1.5)
+        for b in (0.2, 0.4)
+    ]
+    out = tmp_path / "heat.pdf"
+    write_tuning_heatmap(str(out), rows)
+    blob = out.read_bytes()
+    assert blob[:5] == b"%PDF-" and len(blob) > 1000

@@ -180,3 +180,60 @@ def test_colbert_on_xmod_trunk(tiny_hf_xmod, tmp_path):
             jax.tree_util.tree_flatten_with_path(labels)[0]}
     assert any("adapters" in k and v == "freeze" for k, v in flat.items())
     assert any("colbert" in k and v == "train" for k, v in flat.items())
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_xmod_mlm(tmp_path_factory):
+    from transformers import XmodConfig as HFXmodConfig, XmodForMaskedLM
+
+    cfg = HFXmodConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=1, pad_token_id=1,
+        bos_token_id=0, eos_token_id=2, layer_norm_eps=1e-5,
+        languages=LANGS, adapter_reduction_factor=2, adapter_layer_norm=False,
+        adapter_reuse_layer_norm=True, ln_before_adapter=True, pre_norm=False,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(1)
+    model = XmodForMaskedLM(cfg).eval()
+    path = tmp_path_factory.mktemp("hf") / "tiny-xmod-mlm"
+    model.save_pretrained(str(path))
+    return str(path), model
+
+
+def test_biencoder_on_xmod_trunk(tiny_hf_xmod_mlm, tmp_path):
+    """Multilingual DPR + SPLADE on X-MOD: routing, MLM-logit parity, IO."""
+    from fusion_tpu.models.biencoder import BiEncoder
+    from fusion_tpu.models.xmod import XmodConfig, XmodEncoderWithMLM, load_hf_xmod_params
+
+    # fresh tiny trunk: language routing changes both heads' outputs
+    cfg = XmodConfig.tiny(vocab_size=256, languages=("fr_XX", "en_XX"))
+    for head in ("dense", "splade"):
+        m = BiEncoder(cfg, head=head, max_query_length=8, max_doc_length=16)
+        e_fr = m.set_language("fr").encode(["le chat"], query_mode=True, batch_size=1)
+        e_en = m.set_language("en_XX").encode(["le chat"], query_mode=True, batch_size=1)
+        assert np.abs(e_fr - e_en).max() > 1e-6, head
+        m.set_language("fr")
+        m.save(str(tmp_path / f"be_{head}"))
+        loaded = BiEncoder.load(str(tmp_path / f"be_{head}"))
+        assert loaded.cfg.languages == ("fr_XX", "en_XX")
+        e2 = loaded.set_language("fr").encode(["le chat"], query_mode=True, batch_size=1)
+        np.testing.assert_allclose(e_fr, e2, rtol=1e-5)
+
+    # MLM-head import parity against the HF torch model (SPLADE trunk)
+    path, hf_model = tiny_hf_xmod_mlm
+    cfg2, params = load_hf_xmod_params(path, with_mlm=True)
+    module = XmodEncoderWithMLM(cfg2)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 119, size=(2, 7)).astype(np.int64)
+    mask = np.ones_like(ids)
+    hf_model.set_default_language("fr_XX")
+    with torch.no_grad():
+        th = hf_model(input_ids=torch.tensor(ids),
+                      attention_mask=torch.tensor(mask)).logits.numpy()
+    _, logits = module.apply(
+        params, jnp.asarray(ids.astype(np.int32)), jnp.asarray(mask.astype(np.int32)),
+        lang_idx=cfg2.lang_index("fr_XX"), deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(logits), th, rtol=2e-3, atol=2e-3)
