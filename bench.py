@@ -35,6 +35,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: remote (tunneled) compilation of the bigger
+    # programs costs minutes (the impact-matrix scatter alone ~5 min);
+    # warm runs load from cache in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fusion_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from fusion_tpu.core.ranked import ranked_from_scores

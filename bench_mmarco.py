@@ -94,6 +94,9 @@ def main():
     legs_set = set(args.legs.split(","))
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fusion_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     on_tpu = jax.default_backend() == "tpu"

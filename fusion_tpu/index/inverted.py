@@ -131,24 +131,19 @@ def _impact_search(
     # argsort+gather serializes on TPU, see fusion/aggregator)
     docs_s, vals_s = jax.lax.sort((docs, vals), num_keys=1)
 
-    # segmented inclusive scan (Hillis-Steele): each doc's entries form a
-    # contiguous run of length ≤ Kq (once per term row), so ceil(log2 Kq)
-    # shift-compare-add steps give every position its within-run prefix sum
-    # — the run TOTAL lands on the run's last element.  (A naive Kq-step
-    # shifted-add was measured ~10x more HBM traffic at Kq=64.)
-    seg = vals_s
-    d = 1
-    while d < kq:
-        docs_shift = jnp.pad(docs_s[:, :-d], ((0, 0), (d, 0)), constant_values=-1)
-        seg_shift = jnp.pad(seg[:, :-d], ((0, 0), (d, 0)))
-        seg = seg + jnp.where(docs_shift == docs_s, seg_shift, 0.0)
-        d *= 2
-    is_end = jnp.concatenate(
-        [docs_s[:, 1:] != docs_s[:, :-1], jnp.ones((q, 1), bool)], axis=1
-    )
+    # each doc's entries form a contiguous run of length ≤ Kq (once per term
+    # row); the log-step segmented scan puts every run's total on its last
+    # element.  (A naive Kq-step shifted-add was measured ~10x more HBM
+    # traffic at Kq=64.)
+    from fusion_tpu.ops.segscan import segmented_run_totals
+
+    seg, is_end = segmented_run_totals(docs_s, vals_s, kq)
     scores = jnp.where(is_end & (docs_s < n_docs), seg, -jnp.inf)
     top_scores, pos = jax.lax.top_k(scores, k)
     top_docs = jnp.take_along_axis(docs_s, pos, axis=1)
+    # slots beyond the matched docs carry PAD_ID — a sentinel doc id would
+    # be treated as a REAL document by rank-based fusion and id remapping
+    top_docs = jnp.where(jnp.isfinite(top_scores), top_docs, -1)
     return RankedLists(ids=top_docs.astype(jnp.int32), scores=top_scores)
 
 

@@ -128,7 +128,11 @@ def plaid_candidates(
     ps, pcids = jax.lax.map(probe, jnp.arange(ql_pad // pc))
     probe_scores = ps.reshape(ql_pad, nprobe)[:ql]
     probe_cids = pcids.reshape(ql_pad, nprobe)[:ql]
-    probe_scores = probe_scores * q_mask.reshape(ql, 1)  # mask padded tokens
+    probe_scores = probe_scores * q_mask.reshape(ql, 1)
+    # padded query tokens must not CONTRIBUTE candidates either: a zeroed
+    # score still beats real candidates with negative probe sums, and their
+    # IVF rows inflate the sort — demote their gathered docs to the sentinel
+    row_valid = q_mask.reshape(ql) > 0
     # gather IVF rows (contiguous row reads) and flatten per query with a
     # combined (doc, query-token) key so candidate ranking can approximate
     # the MaxSim structure: per query token take the BEST probing centroid
@@ -136,7 +140,9 @@ def plaid_candidates(
     # candidates once the probe reach exceeds ncand)
     cap = ivf_doc.shape[1]
     l = lq * nprobe * cap
-    docs = ivf_doc[probe_cids].reshape(q, l)
+    docs = jnp.where(
+        row_valid[:, None, None], ivf_doc[probe_cids], n_docs
+    ).reshape(q, l)
     vals = jnp.broadcast_to(
         probe_scores[:, :, None], (ql, nprobe, cap)
     ).reshape(q, l)
@@ -152,16 +158,9 @@ def plaid_candidates(
     )
     per_tok = jnp.where(new_dt, -negv_s, 0.0)
     # segmented scan by DOC sums the per-token maxima (runs ≤ Lq·nprobe)
-    seg = per_tok
-    d = 1
-    while d < lq * nprobe:
-        docs_shift = jnp.pad(docs_s[:, :-d], ((0, 0), (d, 0)), constant_values=-1)
-        seg_shift = jnp.pad(seg[:, :-d], ((0, 0), (d, 0)))
-        seg = seg + jnp.where(docs_shift == docs_s, seg_shift, 0.0)
-        d *= 2
-    is_end = jnp.concatenate(
-        [docs_s[:, 1:] != docs_s[:, :-1], jnp.ones((q, 1), bool)], axis=1
-    )
+    from fusion_tpu.ops.segscan import segmented_run_totals
+
+    seg, is_end = segmented_run_totals(docs_s, per_tok, lq * nprobe)
     cand_scores = jnp.where(is_end & (docs_s < n_docs), seg, -jnp.inf)
     top_scores, pos = jax.lax.top_k(cand_scores, ncand)
     cand = jnp.take_along_axis(docs_s, pos, axis=1)
@@ -211,7 +210,13 @@ def _plaid_rescore(
         scores = jnp.where(valid, scores, -jnp.inf)
         return scores, sl.astype(jnp.int32)
 
-    return blockwise_topk(block_scores, num_chunks, q, k)
+    out = blockwise_topk(block_scores, num_chunks, q, k)
+    # candidate pads carry -inf scores; their ids become PAD_ID so fusion /
+    # remap / rerank never treat a sentinel as a real document
+    return RankedLists(
+        ids=jnp.where(jnp.isfinite(out.scores), out.ids, -1).astype(jnp.int32),
+        scores=out.scores,
+    )
 
 
 class ShardedPlaidIndex(NamedTuple):
@@ -301,7 +306,9 @@ def sharded_plaid_search(
             qt, qm, cents, cid[0], codes[0], msk[0], bw, cand,
             nbits=sharded.nbits, k=k, cand_chunk=chunk,
         )
-        global_ids = (local_ranked.ids + shard_idx * per).astype(jnp.int32)
+        global_ids = jnp.where(
+            local_ranked.ids >= 0, local_ranked.ids + shard_idx * per, -1
+        ).astype(jnp.int32)
         all_scores = jax.lax.all_gather(local_ranked.scores, INDEX_AXIS)
         all_ids = jax.lax.all_gather(global_ids, INDEX_AXIS)
         q = qt.shape[0]

@@ -366,7 +366,9 @@ class BiEncoder:
             do_lowercase=config["do_lowercase"],
         )
         with open(os.path.join(path, "params.msgpack"), "rb") as f:
-            model.params = serialization.from_bytes(model.params, f.read())
+            from fusion_tpu.models.encoder import restore_params_bytes
+
+            model.params = restore_params_bytes(model.params, f.read())
         return model
 
     def save_checkpoint(self, ckpt_dir: str, step: int, save_total_limit: int = 3) -> None:

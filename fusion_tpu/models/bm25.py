@@ -293,9 +293,17 @@ class BM25Index:
 
             @jax.jit
             def build(entry_term, entry_doc, impacts):
-                w = jnp.zeros((self.vocab_size + 1, self.n_docs + 1), dtype=dtype)
-                w = w.at[entry_term, entry_doc].add(impacts.astype(dtype))
-                return w[:, : self.n_docs]
+                # scatter DOC-major: the posting arrays are lexicographically
+                # sorted by (doc, term) from both builders, so XLA can lower
+                # a sorted scatter instead of the fully serialized random
+                # one (measured: the unsorted [V, N] orientation took
+                # minutes at LLeQA scale on the chip); one [N, V] → [V, N]
+                # transpose finishes the job
+                w = jnp.zeros((self.n_docs + 1, self.vocab_size + 1), dtype=dtype)
+                w = w.at[entry_doc, entry_term].add(
+                    impacts.astype(dtype), indices_are_sorted=True
+                )
+                return w[: self.n_docs, : self.vocab_size + 1].T
 
             impacts = self._impacts(jnp.float32(self.k1), jnp.float32(self.b))
             return build(self.entry_term, self.entry_doc, impacts)

@@ -407,5 +407,7 @@ class ColBERT:
             mask_punctuation=config["mask_punctuation"],
         )
         with open(os.path.join(path, "params.msgpack"), "rb") as f:
-            model.params = serialization.from_bytes(model.params, f.read())
+            from fusion_tpu.models.encoder import restore_params_bytes
+
+            model.params = restore_params_bytes(model.params, f.read())
         return model

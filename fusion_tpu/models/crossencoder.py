@@ -259,5 +259,7 @@ class CrossEncoder:
         cfg = EncoderConfig(**config["encoder"])
         model = cls(cfg, tokenizer=tokenizer, max_length=config["max_length"])
         with open(os.path.join(path, "params.msgpack"), "rb") as f:
-            model.params = serialization.from_bytes(model.params, f.read())
+            from fusion_tpu.models.encoder import restore_params_bytes
+
+            model.params = restore_params_bytes(model.params, f.read())
         return model

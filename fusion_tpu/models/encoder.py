@@ -309,6 +309,49 @@ def load_hf_encoder_params(
     return cfg, {"params": params}
 
 
+def migrate_pre_qkv_params(tree):
+    """Convert a pre-QKV-fusion param tree (separate attention
+    query/key/value projections) to the fused layout (qkv kernel
+    [H, 3, heads, hd]) — lets checkpoints saved before the fusion load
+    unchanged. No-op on already-fused trees."""
+
+    def convert(d):
+        if not isinstance(d, dict):
+            return d
+        if (
+            "attention" in d
+            and isinstance(d["attention"], dict)
+            and "query" in d["attention"]
+        ):
+            att = dict(d["attention"])
+            qkv = {
+                "kernel": np.stack(
+                    [np.asarray(att[n]["kernel"]) for n in ("query", "key", "value")],
+                    axis=1,
+                ),
+                "bias": np.stack(
+                    [np.asarray(att[n]["bias"]) for n in ("query", "key", "value")],
+                    axis=0,
+                ),
+            }
+            for n in ("query", "key", "value"):
+                att.pop(n)
+            att["qkv"] = qkv
+            d = {**d, "attention": att}
+        return {k: convert(v) for k, v in d.items()}
+
+    return convert(tree)
+
+
+def restore_params_bytes(target, blob: bytes):
+    """flax ``from_bytes`` with pre-QKV checkpoint migration."""
+    from flax import serialization
+
+    raw = serialization.msgpack_restore(blob)
+    raw = migrate_pre_qkv_params(raw)
+    return serialization.from_state_dict(target, raw)
+
+
 def init_encoder_params(cfg: EncoderConfig, seed: int = 0, with_mlm: bool = True):
     """Random-init parameter tree for tests and from-scratch training."""
     model = EncoderWithMLM(cfg) if with_mlm else Encoder(cfg)

@@ -237,11 +237,13 @@ class HybridSearcher:
                 )
             else:
                 out.colbert_index = colbert_model.index(documents, batch_size=batch_size)
-            # cache the search layout eagerly (a first call from inside the
-            # jitted program would see tracers and couldn't cache)
-            out.colbert_index.prepared()
             if colbert_plaid:
                 assert colbert_compressed, "PLAID search needs the compressed index"
+                # NOTE: the IVF build runs on host from the doc-major arrays;
+                # index building is offline work — on a tunneled device the
+                # centroid-id fetch costs minutes at full mMARCO scale (build
+                # the index where it was encoded, or synthesize on device as
+                # bench_mmarco does)
                 from fusion_tpu.index.plaid import build_ivf
 
                 out.colbert_ivf = build_ivf(
@@ -250,6 +252,12 @@ class HybridSearcher:
                     out.colbert_index.centroids.shape[0],
                     cap=ivf_cap,
                 )
+            else:
+                # cache the exhaustive search layout eagerly (a first call
+                # from inside the jitted program would see tracers and
+                # couldn't cache); PLAID never reads the token-major copies,
+                # so building them there would double the index HBM
+                out.colbert_index.prepared()
         if cross_encoder is not None:
             out.ce_doc_tokens, out.ce_doc_mask = cross_encoder.prepare_corpus_tokens(
                 documents, max_doc_tokens=ce_max_doc_tokens
@@ -418,9 +426,22 @@ class HybridSearcher:
                 )
                 scores = jnp.where(head_ids >= 0, jax.nn.sigmoid(logits), -jnp.inf)
                 neg, re_ids = jax.lax.sort((-scores, head_ids), num_keys=1)
+                head_scores = -neg
+                tail_ids = fused.ids[:, kr:]
+                tail_scores = fused.scores[:, kr:]
+                if tail_scores.shape[1]:
+                    # keep the RankedLists descending-score invariant across
+                    # the head/tail boundary: sigmoid head scores live in
+                    # (0, 1) while fused tail scores are on the fusion scale
+                    # — shift the head above the per-row tail maximum
+                    tail0 = tail_scores[:, :1]
+                    offset = jnp.where(jnp.isfinite(tail0), tail0, 0.0) + 1.0
+                    head_scores = jnp.where(
+                        jnp.isfinite(head_scores), head_scores + offset, head_scores
+                    )
                 fused = RankedLists(
-                    ids=jnp.concatenate([re_ids, fused.ids[:, kr:]], axis=1),
-                    scores=jnp.concatenate([-neg, fused.scores[:, kr:]], axis=1),
+                    ids=jnp.concatenate([re_ids, tail_ids], axis=1),
+                    scores=jnp.concatenate([head_scores, tail_scores], axis=1),
                 )
             return fused.ids, fused.scores
 
@@ -481,15 +502,17 @@ class HybridSearcher:
             self.splade_corpus = loaded
         if os.path.exists(os.path.join(path, "splade_impact", "impact_index.npz")):
             self.splade_impact_index = ImpactIndex.load(os.path.join(path, "splade_impact"))
+        has_ivf = os.path.exists(os.path.join(path, "colbert_ivf", "ivf_index.npz"))
         if os.path.exists(os.path.join(path, "colbert", "compressed_index.npz")):
             from fusion_tpu.index.compression import CompressedTokenIndex
 
             self.colbert_index = CompressedTokenIndex.load(os.path.join(path, "colbert"))
-            self.colbert_index.prepared()
+            if not has_ivf:  # PLAID never reads the token-major copies
+                self.colbert_index.prepared()
         elif os.path.exists(os.path.join(path, "colbert", "token_index.npz")):
             self.colbert_index = TokenIndex.load(os.path.join(path, "colbert"))
             self.colbert_index.prepared()
-        if os.path.exists(os.path.join(path, "colbert_ivf", "ivf_index.npz")):
+        if has_ivf:
             from fusion_tpu.index.plaid import IVFIndex
 
             self.colbert_ivf = IVFIndex.load(os.path.join(path, "colbert_ivf"))

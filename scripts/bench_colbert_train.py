@@ -84,7 +84,11 @@ def main():
     for _ in range(args.steps):
         state, metrics = step_fn(state, batch)
     np.asarray(metrics["loss"])
-    dt = max((time.perf_counter() - t0 - t_single) / (args.steps - 1), 1e-9)
+    elapsed = time.perf_counter() - t0
+    if args.steps > 1:
+        dt = max((elapsed - t_single) / (args.steps - 1), 1e-9)
+    else:
+        dt = max(elapsed, 1e-9)
 
     enc_tokens = bs * (lq + ld * args.nway)
     print(json.dumps({

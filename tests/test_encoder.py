@@ -141,3 +141,41 @@ def test_grad_flows(tiny, rng):
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_pre_qkv_checkpoint_migration(tmp_path):
+    """Checkpoints saved before the QKV fusion (separate query/key/value
+    projections) must load unchanged through the migrating restorer."""
+    import numpy as np
+    from flax import serialization
+
+    import jax.numpy as jnp
+
+    from fusion_tpu.models.biencoder import BiEncoder
+    from fusion_tpu.models.encoder import EncoderConfig, restore_params_bytes
+
+    cfg = EncoderConfig.tiny(vocab_size=256)
+    model = BiEncoder(cfg, head="dense", max_query_length=8, max_doc_length=16)
+    ref = model.encode(["le chat"], query_mode=True, batch_size=1)
+
+    # forge the OLD layout: split every fused qkv kernel/bias back out
+    def split(d):
+        if not isinstance(d, dict):
+            return d
+        if "attention" in d and "qkv" in d.get("attention", {}):
+            att = dict(d["attention"])
+            kern, bias = np.asarray(att["qkv"]["kernel"]), np.asarray(att["qkv"]["bias"])
+            for i, n in enumerate(("query", "key", "value")):
+                att[n] = {"kernel": kern[:, i], "bias": bias[i]}
+            del att["qkv"]
+            d = {**d, "attention": att}
+        return {k: split(v) for k, v in d.items()}
+
+    old_state = split(serialization.to_state_dict(model.params))
+    blob = serialization.msgpack_serialize(old_state)
+
+    restored = restore_params_bytes(model.params, blob)
+    model2 = BiEncoder(cfg, params=restored, head="dense",
+                       max_query_length=8, max_doc_length=16)
+    got = model2.encode(["le chat"], query_mode=True, batch_size=1)
+    np.testing.assert_allclose(ref, got, rtol=1e-6)

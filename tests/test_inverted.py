@@ -97,3 +97,25 @@ def test_impact_index_save_load(tmp_path, rng):
     w = jnp.ones((3, 4), jnp.float32)
     r1, r2 = impact_search(q, w, inv, k=20), impact_search(q, w, inv2, k=20)
     np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
+
+
+def test_impact_search_pads_with_pad_id_not_sentinel():
+    """Regression (round-2 review): a query matching fewer docs than k must
+    pad with PAD_ID (-1); a sentinel doc id would accumulate rank mass in
+    RRF fusion and remap to a real corpus id."""
+    from fusion_tpu.fusion.aggregator import Aggregator
+
+    term = np.array([3])
+    doc = np.array([2])
+    imp = np.array([1.0], np.float32)
+    inv = build_impact_index(term, doc, imp, vocab_size=10, n_docs=5, cap=4)
+    q = jnp.asarray([[3, 10, 10, 10]], jnp.int32)
+    w = jnp.asarray([[1.0, 0, 0, 0]], jnp.float32)
+    r = impact_search(q, w, inv, k=4)
+    ids, scores = np.asarray(r.ids)[0], np.asarray(r.scores)[0]
+    assert ids[0] == 2
+    assert (ids[1:] == -1).all(), ids
+    # fused through RRF, the phantom must not appear
+    fused = Aggregator.fuse({"bm25": r}, method="rrf", return_topk=4)
+    f_ids = np.asarray(fused.ids)[0]
+    assert 5 not in f_ids.tolist() and f_ids[0] == 2
