@@ -414,8 +414,13 @@ class HybridSearcher:
                 kr = min(self.rerank_depth, fused.depth)
                 head_ids = fused.ids[:, :kr]
                 safe = jnp.clip(head_ids, 0, self.ce_doc_tokens.shape[0] - 1)
-                d_ids = self.ce_doc_tokens[safe]
-                d_mask = self.ce_doc_mask[safe] * (head_ids >= 0)[..., None]
+                # the corpus token matrix may be stored uint16/int8 (memory
+                # bill at corpus scale) — upcast only the gathered candidates
+                d_ids = self.ce_doc_tokens[safe].astype(jnp.int32)
+                d_mask = (
+                    self.ce_doc_mask[safe].astype(jnp.int32)
+                    * (head_ids >= 0)[..., None]
+                )
                 logits = self.cross_encoder.rerank_tokens(
                     self.cross_encoder.params,
                     inputs["ce_ids"],
@@ -519,8 +524,10 @@ class HybridSearcher:
         ce_path = os.path.join(path, "ce_doc_tokens.npz")
         if os.path.exists(ce_path):
             with np.load(ce_path) as z:
-                self.ce_doc_tokens = jnp.asarray(z["ids"], dtype=jnp.int32)
-                self.ce_doc_mask = jnp.asarray(z["mask"], dtype=jnp.int32)
+                # keep the compact stored dtypes (uint16 ids / int8 mask);
+                # the rerank program upcasts gathered candidates only
+                self.ce_doc_tokens = jnp.asarray(z["ids"])
+                self.ce_doc_mask = jnp.asarray(z["mask"])
         self._jitted.clear()
         return self
 
