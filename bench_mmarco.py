@@ -110,7 +110,7 @@ def main():
     # ------------------------------------------------------------------
     # DPR leg: int8 corpus, 768-d
     # ------------------------------------------------------------------
-    if "dense" in legs_set:
+    if "dense" in legs_set or "dense_fused" in legs_set:
         from fusion_tpu.index.dense_quant import QuantizedDenseIndex, quantized_dense_search
 
         H = 768
@@ -134,15 +134,30 @@ def main():
         index = QuantizedDenseIndex(values=vals, scales=scales, normalized=True)
         q_embs = jax.random.normal(jax.random.PRNGKey(1), (B, H), jnp.float32)
 
-        fn = functools.partial(
-            quantized_dense_search, k=TOPK, doc_block=262_144, local_topk=local_topk
-        )
-        dt = time_batch(fn, (q_embs, index), label="dense int8")
-        legs["dense_int8"] = {
-            "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
-            "index_gb": round(index.nbytes() / 1e9, 2), "dim": H,
-            "build_s": round(build_s, 1),
-        }
+        if "dense" in legs_set:
+            fn = functools.partial(
+                quantized_dense_search, k=TOPK, doc_block=262_144, local_topk=local_topk
+            )
+            dt = time_batch(fn, (q_embs, index), label="dense int8")
+            legs["dense_int8"] = {
+                "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
+                "index_gb": round(index.nbytes() / 1e9, 2), "dim": H,
+                "build_s": round(build_s, 1),
+            }
+        if "dense_fused" in legs_set:
+            # fused Pallas matmul + binned streaming top-k (ops/dense_topk.py)
+            from fusion_tpu.ops.dense_topk import fused_dense_topk
+
+            fn = functools.partial(
+                fused_dense_topk, k=TOPK, doc_block=2048, use_pallas=on_tpu
+            )
+            dt = time_batch(fn, (q_embs, index), label="dense fused-binned")
+            legs["dense_int8_fused"] = {
+                "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
+                "index_gb": round(index.nbytes() / 1e9, 2), "dim": H,
+                "form": "fused Pallas matmul + 16-doc binned argmax-packed "
+                        "top-k, one approx_max_k over bin maxima",
+            }
         del vals, scales, index, q_embs
         gc.collect()
 

@@ -42,6 +42,34 @@ def _quantize_impacts(impacts: jax.Array) -> QuantizedDenseIndex:
     )
 
 
+def rerank_head_merge(
+    fused: RankedLists, head_ids: jax.Array, logits: jax.Array
+) -> RankedLists:
+    """Re-sort the fused head by cross-encoder logits, keep the tail.
+
+    monoBERT final stage post-processing (reference hybrid.py:457-462): head
+    scores become sigmoid(logit) shifted above the per-row fused-tail
+    maximum so the whole row keeps the RankedLists descending invariant;
+    the tail beyond the rerank depth is unchanged (recall@k beyond the
+    rerank depth must not move)."""
+    kr = head_ids.shape[1]
+    scores = jnp.where(head_ids >= 0, jax.nn.sigmoid(logits), -jnp.inf)
+    neg, re_ids = jax.lax.sort((-scores, head_ids), num_keys=1)
+    head_scores = -neg
+    tail_ids = fused.ids[:, kr:]
+    tail_scores = fused.scores[:, kr:]
+    if tail_scores.shape[1]:
+        tail0 = tail_scores[:, :1]
+        offset = jnp.where(jnp.isfinite(tail0), tail0, 0.0) + 1.0
+        head_scores = jnp.where(
+            jnp.isfinite(head_scores), head_scores + offset, head_scores
+        )
+    return RankedLists(
+        ids=jnp.concatenate([re_ids, tail_ids], axis=1),
+        scores=jnp.concatenate([head_scores, tail_scores], axis=1),
+    )
+
+
 def _corpus_search(q, corpus, k: int, similarity: str) -> RankedLists:
     """Exact bf16 MIPS or int8 quantized search, by corpus representation."""
     if isinstance(corpus, QuantizedDenseIndex):
@@ -429,25 +457,7 @@ class HybridSearcher:
                     d_mask,
                     pair_chunk=self.rerank_chunk,
                 )
-                scores = jnp.where(head_ids >= 0, jax.nn.sigmoid(logits), -jnp.inf)
-                neg, re_ids = jax.lax.sort((-scores, head_ids), num_keys=1)
-                head_scores = -neg
-                tail_ids = fused.ids[:, kr:]
-                tail_scores = fused.scores[:, kr:]
-                if tail_scores.shape[1]:
-                    # keep the RankedLists descending-score invariant across
-                    # the head/tail boundary: sigmoid head scores live in
-                    # (0, 1) while fused tail scores are on the fusion scale
-                    # — shift the head above the per-row tail maximum
-                    tail0 = tail_scores[:, :1]
-                    offset = jnp.where(jnp.isfinite(tail0), tail0, 0.0) + 1.0
-                    head_scores = jnp.where(
-                        jnp.isfinite(head_scores), head_scores + offset, head_scores
-                    )
-                fused = RankedLists(
-                    ids=jnp.concatenate([re_ids, tail_ids], axis=1),
-                    scores=jnp.concatenate([head_scores, tail_scores], axis=1),
-                )
+                fused = rerank_head_merge(fused, head_ids, logits)
             return fused.ids, fused.scores
 
         self._jitted[key] = jax.jit(program)
@@ -531,6 +541,47 @@ class HybridSearcher:
         self._jitted.clear()
         return self
 
+    # which query encodings the device program needs (overridable by the
+    # sharded searcher, whose index state lives in shard fields)
+    @property
+    def _wants_bm25_queries(self) -> bool:
+        return self.bm25 is not None
+
+    @property
+    def _wants_encoder_queries(self) -> bool:
+        return (
+            self.dense_corpus is not None
+            or self.splade_corpus is not None
+            or self.splade_impact_index is not None
+        )
+
+    @property
+    def _wants_colbert_queries(self) -> bool:
+        return self.colbert_index is not None
+
+    def _prepare_inputs(self, chunk: Sequence[str]) -> dict:
+        """Host side of a batch: tokenize queries for every active system."""
+        inputs = {}
+        if self._wants_bm25_queries:
+            bm25_chunk = (
+                self.bm25_preprocess(chunk) if self.bm25_preprocess is not None else chunk
+            )
+            terms, weights = self.bm25.encode_queries(bm25_chunk)
+            inputs["bm25_terms"], inputs["bm25_weights"] = terms, weights
+        if self._wants_encoder_queries:
+            te = (self.dense_model or self.splade_model).text_encoder
+            ids, mask = te.encode(chunk, query_mode=True)
+            inputs["q_ids"], inputs["q_mask"] = jnp.asarray(ids), jnp.asarray(mask)
+        if self._wants_colbert_queries:
+            ids, mask = self.colbert_model.text_encoder.encode(chunk, query_mode=True)
+            inputs["cb_ids"], inputs["cb_mask"] = jnp.asarray(ids), jnp.asarray(mask)
+        if self._rerank_active:
+            ids, mask = self.cross_encoder.encode_queries_raw(
+                chunk, max_query_tokens=self.ce_query_length
+            )
+            inputs["ce_ids"], inputs["ce_mask"] = jnp.asarray(ids), jnp.asarray(mask)
+        return inputs
+
     def search(
         self,
         queries: Sequence[str],
@@ -548,29 +599,7 @@ class HybridSearcher:
             real = len(chunk)
             while len(chunk) < batch_size and len(queries) > batch_size:
                 chunk.append("")
-            inputs = {}
-            if self.bm25 is not None:
-                bm25_chunk = (
-                    self.bm25_preprocess(chunk) if self.bm25_preprocess is not None else chunk
-                )
-                terms, weights = self.bm25.encode_queries(bm25_chunk)
-                inputs["bm25_terms"], inputs["bm25_weights"] = terms, weights
-            if (
-                self.dense_corpus is not None
-                or self.splade_corpus is not None
-                or self.splade_impact_index is not None
-            ):
-                te = (self.dense_model or self.splade_model).text_encoder
-                ids, mask = te.encode(chunk, query_mode=True)
-                inputs["q_ids"], inputs["q_mask"] = jnp.asarray(ids), jnp.asarray(mask)
-            if self.colbert_index is not None:
-                ids, mask = self.colbert_model.text_encoder.encode(chunk, query_mode=True)
-                inputs["cb_ids"], inputs["cb_mask"] = jnp.asarray(ids), jnp.asarray(mask)
-            if self._rerank_active:
-                ids, mask = self.cross_encoder.encode_queries_raw(
-                    chunk, max_query_tokens=self.ce_query_length
-                )
-                inputs["ce_ids"], inputs["ce_mask"] = jnp.asarray(ids), jnp.asarray(mask)
+            inputs = self._prepare_inputs(chunk)
             program = self._device_program(len(chunk), use_pallas)
             ids, scores = program(inputs)
             out_ids.append(np.asarray(ids)[:real])

@@ -1,0 +1,151 @@
+"""ShardedHybridSearcher: the full 4-system + rerank pipeline as one mesh
+program must match the single-device HybridSearcher on the same indexes.
+
+Runs on the virtual 8-device CPU mesh (conftest).  Index caps are set large
+enough that every sharded form is exact, so the comparison is strict
+(set-equality per rank head + score tolerance for float-order effects).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from fusion_tpu.data.preprocessor import TextPreprocessor
+from fusion_tpu.models.biencoder import BiEncoder
+from fusion_tpu.models.colbert import ColBERT
+from fusion_tpu.models.crossencoder import CrossEncoder
+from fusion_tpu.models.encoder import EncoderConfig
+from fusion_tpu.parallel.sharding import make_mesh
+from fusion_tpu.serving import HybridSearcher
+from fusion_tpu.serving_sharded import ShardedHybridSearcher
+
+WORDS = (
+    "chat chien tribunal jugement contrat travail loi consommateur voiture "
+    "route oiseau foret tapis salon jardin souris fromage pain livre page "
+    "juge avocat peine article code civil penal commerce societe"
+).split()
+
+
+def _mk_corpus(n=24, words_per_doc=6, seed=3):
+    rng = np.random.default_rng(seed)
+    corpus = {}
+    for i in range(n):
+        picks = rng.choice(WORDS, size=words_per_doc, replace=False)
+        corpus[100 + i] = " ".join(picks)
+    return corpus
+
+
+CORPUS = _mk_corpus()
+QUERIES = ["chat tapis salon", "tribunal jugement peine", "contrat travail code"]
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = EncoderConfig.tiny(vocab_size=512)
+    return (
+        BiEncoder(cfg, head="dense", max_query_length=8, max_doc_length=16),
+        BiEncoder(cfg, head="splade", max_query_length=8, max_doc_length=16),
+        ColBERT(cfg, dim=16, max_query_length=8, max_doc_length=16),
+        CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=32),
+    )
+
+
+@pytest.fixture(scope="module")
+def built(models):
+    dense, splade, colbert, ce = models
+    prep = TextPreprocessor(spacy_model=None)
+    docs = prep.preprocess(list(CORPUS.values()))
+    searcher = HybridSearcher.build(
+        CORPUS,
+        bm25_docs=docs,
+        dense_model=dense,
+        splade_model=splade,
+        colbert_model=colbert,
+        cross_encoder=ce,
+        rerank_depth=4,
+        batch_size=4,
+        topk=8,
+        bm25_preprocess=lambda t: prep.preprocess(list(t)),
+        int8_corpus=True,
+        scale_mode=True,
+        impact_cap=64,
+        splade_prune_topk=512,
+        splade_query_terms=512,
+        colbert_compressed=True,
+        colbert_nbits=4,
+        colbert_plaid=True,
+        plaid_nprobe=64,
+        plaid_ncand=24,  # == n_docs → candidate stage is exhaustive (exact)
+        ivf_cap=64,
+    )
+    return searcher
+
+
+def test_sharded_hybrid_matches_single_device(built):
+    mesh = make_mesh(data=1, model=1, index=len(jax.devices()))
+    sharded = ShardedHybridSearcher.from_searcher(built, mesh)
+    assert sharded.active_systems == ["bm25", "dpr", "splade", "colbert", "monobert"]
+
+    single, _ = built.search(QUERIES, batch_size=4, use_pallas=False)
+    multi, _ = sharded.search(QUERIES, batch_size=4, use_pallas=False)
+    assert multi.ids.shape == single.ids.shape
+
+    s_ids, m_ids = np.asarray(single.ids), np.asarray(multi.ids)
+    s_sc, m_sc = np.asarray(single.scores), np.asarray(multi.scores)
+    for qi in range(len(QUERIES)):
+        # reranked head: same candidate set, same top-1
+        assert m_ids[qi, 0] == s_ids[qi, 0], (qi, m_ids[qi], s_ids[qi])
+        assert set(m_ids[qi, :4]) == set(s_ids[qi, :4]), (qi, m_ids[qi], s_ids[qi])
+        # full row: same docs retrieved overall
+        assert set(m_ids[qi]) == set(s_ids[qi]), (qi, m_ids[qi], s_ids[qi])
+        finite = np.isfinite(s_sc[qi]) & np.isfinite(m_sc[qi])
+        # scores agree where the permutation agrees
+        agree = (s_ids[qi] == m_ids[qi]) & finite
+        np.testing.assert_allclose(s_sc[qi][agree], m_sc[qi][agree], rtol=2e-3, atol=2e-4)
+        # descending-score invariant survives the sharded rerank merge
+        row = m_sc[qi][np.isfinite(m_sc[qi])]
+        assert np.all(np.diff(row) <= 1e-6)
+
+
+def test_sharded_bm25_only_exact(built):
+    """Single-leg sharded program (no fusion, no rerank): exact ids+scores."""
+    mesh = make_mesh(data=1, model=1, index=len(jax.devices()))
+    prep = TextPreprocessor(spacy_model=None)
+    docs = prep.preprocess(list(CORPUS.values()))
+    single = HybridSearcher.build(
+        CORPUS, bm25_docs=docs, topk=8, scale_mode=True, impact_cap=64,
+        bm25_preprocess=lambda t: prep.preprocess(list(t)),
+    )
+    sharded = ShardedHybridSearcher.from_searcher(single, mesh)
+    assert sharded.active_systems == ["bm25"]
+    r1, _ = single.search(QUERIES, batch_size=4, use_pallas=False)
+    r2, _ = sharded.search(QUERIES, batch_size=4, use_pallas=False)
+    i1, i2 = np.asarray(r1.ids), np.asarray(r2.ids)
+    s1, s2 = np.asarray(r1.scores), np.asarray(r2.scores)
+    for qi in range(len(QUERIES)):
+        f1, f2 = np.isfinite(s1[qi]), np.isfinite(s2[qi])
+        np.testing.assert_array_equal(f1, f2)
+        assert set(i1[qi][f1]) == set(i2[qi][f2])
+        np.testing.assert_allclose(np.sort(s1[qi][f1]), np.sort(s2[qi][f2]), rtol=1e-5)
+
+
+def test_sharded_dense_splade_matrix_form(models):
+    """Dense-matrix SPLADE/DPR legs (non-scale_mode build) shard too."""
+    dense, splade, _, _ = models
+    mesh = make_mesh(data=1, model=1, index=len(jax.devices()))
+    single = HybridSearcher.build(
+        CORPUS, dense_model=dense, splade_model=splade, batch_size=4, topk=8,
+        int8_corpus=True,
+    )
+    sharded = ShardedHybridSearcher.from_searcher(single, mesh)
+    assert sharded.active_systems == ["dpr", "splade"]
+    assert sharded.dense_leg is not None and sharded.splade_leg is not None
+    r1, _ = single.search(QUERIES, batch_size=4, use_pallas=False)
+    r2, _ = sharded.search(QUERIES, batch_size=4, use_pallas=False)
+    i1, i2 = np.asarray(r1.ids), np.asarray(r2.ids)
+    for qi in range(len(QUERIES)):
+        assert i1[qi, 0] == i2[qi, 0]
+        assert set(i1[qi]) == set(i2[qi])
+        np.testing.assert_allclose(
+            np.asarray(r1.scores)[qi], np.asarray(r2.scores)[qi], rtol=2e-3, atol=2e-4
+        )

@@ -153,3 +153,56 @@ def test_blockwise_topk_exact():
     want = ranked_from_scores(scores, TOPK)
     np.testing.assert_allclose(fetch(got.scores), fetch(want.scores), rtol=1e-6)
     np.testing.assert_array_equal(fetch(got.ids), fetch(want.ids))
+
+
+def test_fused_dense_topk_kernel_matches_reference():
+    """Fused matmul+binned-top-k Pallas kernel (ops/dense_topk.py) vs the
+    XLA reference path with IDENTICAL bin/packing semantics: the packed bin
+    maxima are bit-defined, so ids must agree exactly up to approx_max_k's
+    bin boundary effects and scores to bf16-matmul reduction order."""
+    from fusion_tpu.index.dense_quant import quantize_dense_index
+    from fusion_tpu.ops.dense_topk import fused_dense_topk
+
+    rng = np.random.default_rng(5)
+    n, h, k = 65536, 768, 1000
+    corpus = jnp.asarray(rng.standard_normal((n, h)), dtype=jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((Q, h)), dtype=jnp.float32)
+    idx = jax.jit(quantize_dense_index, static_argnames=("similarity",))(
+        corpus, similarity="cos_sim"
+    )
+    got = fused_dense_topk(queries, idx, k=k, use_pallas=True)
+    want = fused_dense_topk(queries, idx, k=k, use_pallas=False)
+    got_ids, want_ids = fetch(got.ids), fetch(want.ids)
+    got_sc, want_sc = fetch(got.scores), fetch(want.scores)
+    for qi in range(Q):
+        overlap = len(set(got_ids[qi, :100].tolist()) & set(want_ids[qi, :100].tolist()))
+        assert overlap >= 97, f"query {qi}: top-100 overlap {overlap}"
+        full = len(set(got_ids[qi].tolist()) & set(want_ids[qi].tolist()))
+        assert full >= int(0.95 * k), f"query {qi}: top-{k} overlap {full}"
+    np.testing.assert_allclose(
+        np.sort(got_sc[:, :100], axis=1), np.sort(want_sc[:, :100], axis=1),
+        atol=1e-2, rtol=1e-2,
+    )
+
+
+def test_fused_dense_topk_vs_exact_search():
+    """Recall of the binned kernel against the EXACT int8 search at bench
+    shapes: ≥ 0.97 top-1000 overlap (bin collisions + approx_max_k)."""
+    from fusion_tpu.index.dense_quant import quantize_dense_index, quantized_dense_search
+    from fusion_tpu.ops.dense_topk import fused_dense_topk
+
+    rng = np.random.default_rng(6)
+    n, h, k = 65536, 768, 1000
+    corpus = jnp.asarray(rng.standard_normal((n, h)), dtype=jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((Q, h)), dtype=jnp.float32)
+    idx = jax.jit(quantize_dense_index, static_argnames=("similarity",))(
+        corpus, similarity="cos_sim"
+    )
+    got = fused_dense_topk(queries, idx, k=k, use_pallas=True)
+    exact = quantized_dense_search(queries, idx, k=k)
+    got_ids, want_ids = fetch(got.ids), fetch(exact.ids)
+    overlaps = [
+        len(set(got_ids[qi].tolist()) & set(want_ids[qi].tolist())) / k
+        for qi in range(Q)
+    ]
+    assert float(np.mean(overlaps)) >= 0.97, overlaps
