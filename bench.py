@@ -8,20 +8,28 @@ device-resident:
   1861 at B=64, 1888 at B=128 with 2x the batch latency):
     1. encode queries with a CamemBERT-base-shaped encoder for each neural
        system (dense pooled / SPLADE MLM / ColBERT per-token);
-    2. BM25   : [Q, V] × [V, N] dense-impact matmul, top-1000;
+    2. BM25   : term-major impact-ordered inverted index (index/inverted.py
+       — the production serving form; the dense-impact matmul variant was
+       retired because its device-scatter BUILD pays ~3 min of uncacheable
+       remote compile per process, while this index builds on host in
+       seconds and ships 23 MB), top-1000;
     3. DPR    : exact MIPS over [N, 768], top-1000;
     4. SPLADE : sparse-as-dense dot over [N, |V|], top-1000;
     5. ColBERT: MaxSim Pallas kernel over [N, 128, 128] tokens, top-1000;
-    6. RRF fusion of the four ranked lists, top-1000.
+    6. RRF fusion of the four ranked lists, top-1000;
+    7. (reported separately) monoBERT rerank of the fused top-100: every
+       (query, candidate) token pair scored by a CamemBERT-base-shaped
+       cross-encoder in one chunked device forward (reference
+       hybrid.py:457-462 — north-star config 5).
 
 Corpus: N = 27,940 docs (LLeQA corpus size, SURVEY §6); weights are random
 (throughput is architecture-, not weight-, dependent).
 
 Prints ONE json line: hybrid queries/sec per chip.  vs_baseline is measured
 against the same pipeline with the reference's computational structure
-(XLA-naive MaxSim einsum + unfused per-system host round-trips) run on the
-same chip — i.e. how much the TPU-native design buys over a straight
-translation.
+(host-side sparse BM25 scoring, XLA-naive MaxSim einsum, unfused per-system
+host round-trips) run on the same chip — i.e. how much the TPU-native
+design buys over a straight translation.
 """
 
 from __future__ import annotations
@@ -84,14 +92,22 @@ def main():
     bm25 = BM25Index.build(docs_tokens, k1=2.5, b=0.2)
     t_post = time.perf_counter() - t0
     t0 = time.perf_counter()
-    impacts = bm25.build_dense_impacts()
-    np.asarray(impacts[:1, :1])  # fence the device scatter
+    # impact-ordered inverted index (host build + one small transfer) — the
+    # dense-impact device scatter it replaces EXECUTED in 2.4 s but paid
+    # ~190 s of uncacheable remote compile every cold process
+    # cap 1024: ships 185 MB instead of 738 MB through the tunnel (~9 s);
+    # only the ~40 highest-df zipf terms lose postings, and they keep their
+    # top-1024 impacts (impact-ordered pruning)
+    impact_index = bm25.to_impact_index(cap=1024)
+    np.asarray(impact_index.post_doc[:1, :1])  # fence the transfer
     t_imp = time.perf_counter() - t0
-    q_terms, q_weights = bm25.encode_queries(queries_tokens)
+    # bench queries have 6 terms — don't pad the sort to 64 term rows
+    q_terms, q_weights = bm25.encode_queries(queries_tokens, max_terms=8)
     print(
         f"# bm25 index build: postings {t_post:.1f}s "
         f"({'C++' if native_mod.native_available() else 'numpy'}), "
-        f"dense impacts (device scatter) {t_imp:.1f}s, nnz={bm25.nnz}",
+        f"impact index (host) {t_imp:.1f}s, nnz={bm25.nnz}, "
+        f"kept={impact_index.nnz_kept}",
         file=sys.stderr,
     )
 
@@ -128,20 +144,19 @@ def main():
     def hybrid(
         params_dense, params_splade, params_colbert,
         q_ids, q_mask, q_terms, q_weights,
-        impacts, d_corpus, s_corpus, c_tm, c_valid,
+        post_doc, post_impact, d_corpus, s_corpus, c_tm, c_valid,
     ):
         # query encoding (3 encoder forwards)
         q_dense = dense.embed_tokens(params_dense, q_ids, q_mask)
         q_splade = splade.embed_tokens(params_splade, q_ids, q_mask)
         q_tok = colbert.embed_tokens(params_colbert, q_ids, q_mask)
 
-        # BM25: dense impact matmul
-        qmat = jnp.zeros((B, impacts.shape[0]), dtype=impacts.dtype)
-        qmat = jax.vmap(lambda row, t, w: row.at[t].add(w.astype(impacts.dtype)))(
-            qmat, q_terms, q_weights
+        # BM25: impact-ordered inverted index (sort + run reduction)
+        from fusion_tpu.index.inverted import _impact_search
+
+        r1 = _impact_search(
+            q_terms, q_weights, post_doc, post_impact, N, TOPK
         )
-        bm25_scores = jnp.dot(qmat, impacts, preferred_element_type=jnp.float32)
-        r1 = ranked_from_scores(bm25_scores, TOPK)
 
         r2 = dense_search(q_dense.astype(jnp.bfloat16), d_corpus, k=TOPK, similarity="cos_sim")
         r3 = dense_search(q_splade.astype(jnp.bfloat16), s_corpus, k=TOPK, similarity="dot_score")
@@ -159,7 +174,8 @@ def main():
     args = (
         dense.params, splade.params, colbert.params,
         q_ids, q_mask, q_terms, q_weights,
-        impacts, d_corpus, s_corpus, c_tm, c_valid,
+        impact_index.post_doc, impact_index.post_impact,
+        d_corpus, s_corpus, c_tm, c_valid,
     )
 
     def fetch(out):
@@ -187,8 +203,61 @@ def main():
     qps = B / dt
 
     # ------------------------------------------------------------------
-    # baseline: reference-structure pipeline (unfused legs, einsum MaxSim,
-    # host sync between systems) on the same chip
+    # monoBERT rerank stage (north-star config 5: hybrid + rerank top-100,
+    # reference hybrid.py:457-462): 64×100 (query, candidate) token pairs
+    # through a CamemBERT-base-shaped cross-encoder per batch — measured
+    # as its own jitted program so the JSON reports hybrid both ways
+    # ------------------------------------------------------------------
+    from fusion_tpu.core.ranked import RankedLists
+    from fusion_tpu.models.crossencoder import CrossEncoder
+    from fusion_tpu.serving import rerank_head_merge
+
+    RERANK_DEPTH, LD_CE = 100, 220
+    ce = CrossEncoder(cfg, max_length=256)
+    kc = jax.random.PRNGKey(7)
+    ce_doc_toks = jax.random.randint(
+        kc, (N, LD_CE), 5, cfg.vocab_size - 5, dtype=jnp.int32
+    ).astype(jnp.uint16)
+    ce_len = jax.random.randint(jax.random.PRNGKey(8), (N, 1), 40, LD_CE + 1)
+    ce_doc_mask = (jnp.arange(LD_CE)[None, :] < ce_len).astype(jnp.int8)
+    ce_ids_np, ce_mask_np = ce.encode_queries_raw(queries_tokens, max_query_tokens=32)
+    ce_ids, ce_mask = jnp.asarray(ce_ids_np), jnp.asarray(ce_mask_np)
+
+    def hybrid_rerank(hy_args, ce_params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask):
+        ids, scores = hybrid(*hy_args)
+        fused = RankedLists(ids=ids, scores=scores)
+        head_ids = fused.ids[:, :RERANK_DEPTH]
+        safe = jnp.clip(head_ids, 0, N - 1)
+        d_ids = ce_doc_toks[safe].astype(jnp.int32)
+        d_msk = ce_doc_mask[safe].astype(jnp.int32) * (head_ids >= 0)[..., None]
+        logits = ce.rerank_tokens(
+            ce_params, ce_ids, ce_mask, d_ids, d_msk, pair_chunk=512
+        )
+        out = rerank_head_merge(fused, head_ids, logits)
+        return out.ids, out.scores
+
+    rerank_jit = jax.jit(hybrid_rerank)
+    r_args = (args, ce.params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask)
+    t0 = time.perf_counter()
+    fetch(rerank_jit(*r_args))
+    print(f"# hybrid+rerank compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    fetch(rerank_jit(*r_args))
+    t_single_rr = time.perf_counter() - t0
+    rr_iters = 4
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(rr_iters):
+        out = rerank_jit(*r_args)
+    fetch(out)
+    dt_rr = max((time.perf_counter() - t0 - t_single_rr) / (rr_iters - 1), 1e-9)
+    print(f"# hybrid+rerank: {dt_rr*1000:.1f} ms/batch "
+          f"(rerank stage alone ~{(dt_rr-dt)*1000:.1f} ms)", file=sys.stderr)
+
+    # ------------------------------------------------------------------
+    # baseline: reference-structure pipeline (host sparse BM25 scoring,
+    # unfused legs, einsum MaxSim, host sync between systems) on the
+    # same chip
     # ------------------------------------------------------------------
     def colbert_leg_naive(params_colbert, q_ids, q_mask, c_tokens, c_mask):
         q_tok = colbert.embed_tokens(params_colbert, q_ids, q_mask)
@@ -208,12 +277,25 @@ def main():
     leg_params = [dense.params, splade.params, colbert.params]
     leg_corpora = [(d_corpus, c_mask), (s_corpus, c_mask), (c_tokens, c_mask)]
 
+    # the reference scores BM25 entirely on the host (pure-Python dict
+    # loops, bm25.py:100-115); model that honestly-but-favorably as a
+    # scipy CSR SpMV on the host (orders of magnitude faster than the
+    # reference's actual loops)
+    import scipy.sparse as sp
+
+    h_term = np.asarray(bm25.entry_term)[: bm25.nnz]
+    h_doc = np.asarray(bm25.entry_doc)[: bm25.nnz]
+    h_imp = np.asarray(bm25._impacts(jnp.float32(2.5), jnp.float32(0.2)))[: bm25.nnz]
+    w_csr = sp.csr_matrix(
+        (h_imp, (h_term, h_doc)), shape=(bm25.vocab_size + 1, N), dtype=np.float32
+    )
+    qt_np, qw_np = np.asarray(q_terms), np.asarray(q_weights)
+
     def baseline_once():
-        qmat = np.zeros((B, impacts.shape[0]), dtype=np.float32)
-        np.add.at(qmat, (np.repeat(np.arange(B), q_terms.shape[1]),
-                         np.asarray(q_terms).ravel()), np.asarray(q_weights).ravel())
-        s = np.asarray(jnp.dot(jnp.asarray(qmat, dtype=impacts.dtype), impacts,
-                               preferred_element_type=jnp.float32))
+        qmat = np.zeros((B, bm25.vocab_size + 1), dtype=np.float32)
+        np.add.at(qmat, (np.repeat(np.arange(B), qt_np.shape[1]),
+                         np.clip(qt_np.ravel(), 0, bm25.vocab_size)), qw_np.ravel())
+        s = qmat @ w_csr  # host SpMV, [B, N]
         results = {"bm25": ranked_from_scores(jnp.asarray(s), TOPK)}
         for name, leg, p, (corp, msk) in zip(
             ["dpr", "splade", "colbert"], legs, leg_params, leg_corpora
@@ -259,6 +341,14 @@ def main():
             "ms_per_batch_reference_structure_raw": round(dt_base * 1000, 2),
             "host_roundtrip_ms": round(t_rt * 1000, 2),
             "backend": jax.default_backend(),
+            "bm25_form": "impact-ordered inverted index (cap 1024)",
+            "rerank": {
+                "depth": RERANK_DEPTH,
+                "ce_shape": "CamemBERT-base, seq 254 (32 q + 220 d + specials)",
+                "ms_per_batch_hybrid_plus_rerank": round(dt_rr * 1000, 2),
+                "ms_per_batch_rerank_stage": round((dt_rr - dt) * 1000, 2),
+                "q_per_s_with_rerank": round(B / dt_rr, 2),
+            },
         },
     }))
 

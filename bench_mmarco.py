@@ -259,6 +259,63 @@ def main():
         run_impact_leg("splade_impact", v=32_768, p=16_384, kq=64, seed=9)
 
     # ------------------------------------------------------------------
+    # doc-range-CHUNKED impact legs: uint16 local keys + bf16 payloads,
+    # narrow per-chunk sorts (the flat form's [64, 1M] lax.sort is the
+    # SPLADE leg's whole cost — see ChunkedImpactIndex docstring)
+    # ------------------------------------------------------------------
+    def run_chunked_leg(name, v, kq, docs_per_chunk, capc, local_k, seed,
+                        bf16_payload=True):
+        from fusion_tpu.index.inverted import (
+            CHUNK_SENTINEL,
+            ChunkedImpactIndex,
+            chunked_impact_search,
+        )
+
+        num_chunks = -(-N // docs_per_chunk)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        t0 = time.perf_counter()
+        post_doc = jax.random.randint(
+            k1, (v + 1, num_chunks, capc), 0, docs_per_chunk, dtype=jnp.int32
+        ).astype(jnp.uint16)
+        post_imp = jax.random.uniform(
+            k2, (v + 1, num_chunks, capc), jnp.float32, 0.05, 3.0
+        ).astype(jnp.float16)
+        fetch(post_doc[:1, :1, :1])
+        build_s = time.perf_counter() - t0
+        index = ChunkedImpactIndex(
+            post_doc, post_imp, n_docs=N, docs_per_chunk=docs_per_chunk,
+            vocab_size=v, cap_per_chunk=capc, nnz_kept=(v + 1) * num_chunks * capc,
+        )
+        q_terms = jax.random.randint(k3, (B, kq), 0, v, dtype=jnp.int32)
+        q_weights = jnp.ones((B, kq), jnp.float32)
+        fn = functools.partial(
+            chunked_impact_search, k=TOPK, local_k=local_k, bf16_payload=bf16_payload
+        )
+        dt = time_batch(fn, (q_terms, q_weights, index), label=name)
+        legs[name] = {
+            "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
+            "index_gb": round(index.nbytes() / 1e9, 2),
+            "chunks": num_chunks, "cap_per_chunk": capc, "local_k": local_k,
+            "query_terms": kq, "vocab": v, "build_s": round(build_s, 1),
+            "sort_width": kq * capc,
+        }
+        del post_doc, post_imp, index, q_terms, q_weights
+        gc.collect()
+
+    if "splade_chunked" in legs_set:
+        # 272 chunks × cap 64 = 17,408 kept/term (vs flat cap 16,384);
+        # sort width 64·64 = 4096 vs 1M
+        run_chunked_leg(
+            "splade_chunked", v=32_768, kq=64, docs_per_chunk=32_768,
+            capc=64, local_k=128, seed=12,
+        )
+    if "bm25_chunked" in legs_set:
+        run_chunked_leg(
+            "bm25_chunked", v=262_144, kq=16, docs_per_chunk=32_768,
+            capc=8, local_k=128, seed=13,
+        )
+
+    # ------------------------------------------------------------------
     # ColBERT leg: residual-compressed token index, 32 salient tokens/doc
     # ------------------------------------------------------------------
     if "colbert" in legs_set:

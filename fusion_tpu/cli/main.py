@@ -577,6 +577,11 @@ def cmd_serve(args):
             int8_corpus=args.int8_corpus,
             scale_mode=args.scale_mode,
             colbert_plaid=args.colbert_plaid,
+            impact_cap=args.impact_cap,
+            splade_query_terms=args.splade_query_terms,
+            plaid_nprobe=args.plaid_nprobe,
+            plaid_ncand=args.plaid_ncand,
+            ivf_cap=args.ivf_cap,
         )
         searcher.save_indexes(args.index_dir)
         print(json.dumps({
@@ -589,6 +594,8 @@ def cmd_serve(args):
         corpus_ids=np.array([]), dense_model=dense, splade_model=splade,
         colbert_model=colbert, cross_encoder=ce, rerank_depth=args.rerank_depth,
         fusion_method=args.fusion,
+        plaid_nprobe=args.plaid_nprobe, plaid_ncand=args.plaid_ncand,
+        splade_query_terms=args.splade_query_terms,
     ).load_indexes(args.index_dir, int8_corpus=args.int8_corpus)
     if args.run_bm25:
         from fusion_tpu.data.preprocessor import TextPreprocessor
@@ -719,6 +726,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="impact-ordered BM25/SPLADE indexes (mMARCO-scale forms)")
     sp.add_argument("--colbert_plaid", action="store_true",
                     help="PLAID two-stage ColBERT (implies --compressed)")
+    # scale-form quality/speed knobs (defaults chosen from the planted-
+    # relevance sweep in scripts/recall_study.py — see RECALL_STUDY json)
+    sp.add_argument("--plaid_nprobe", type=int, default=8,
+                    help="centroids probed per query token (PLAID stage 1)")
+    sp.add_argument("--plaid_ncand", type=int, default=4096,
+                    help="docs rescored per query (PLAID stage 2)")
+    sp.add_argument("--ivf_cap", type=int, default=4096,
+                    help="docs kept per centroid in the PLAID IVF")
+    sp.add_argument("--impact_cap", type=int, default=4096,
+                    help="postings kept per term in the impact-ordered indexes")
+    sp.add_argument("--splade_query_terms", type=int, default=64,
+                    help="query activations kept for the SPLADE impact leg")
     sp.set_defaults(fn=cmd_serve)
     return p
 

@@ -377,7 +377,9 @@ def compress_token_index(
     packed = _pack_codes(codes.reshape(n, ld, d), nbits)
     return CompressedTokenIndex(
         centroids=centroids,
-        centroid_ids=jnp.asarray(assign.reshape(n, ld), dtype=jnp.int32),
+        centroid_ids=jnp.asarray(np.asarray(assign.reshape(n, ld), dtype=np.int32))
+        if isinstance(assign, np.ndarray)
+        else jnp.asarray(assign.reshape(n, ld), dtype=jnp.int32),
         codes=jnp.asarray(packed),
         mask=jnp.asarray(mask, dtype=jnp.float32),
         bucket_weights=jnp.asarray(bucket_weights),

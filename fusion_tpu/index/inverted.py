@@ -262,6 +262,197 @@ def sharded_impact_search(
     return RankedLists(ids=ids, scores=scores)
 
 
+# ----------------------------------------------------------------------
+# doc-range-CHUNKED impact index: the narrow-sort serving form
+# ----------------------------------------------------------------------
+CHUNK_SENTINEL = 0xFFFF  # uint16 pad (docs_per_chunk must stay < 65535)
+
+
+class ChunkedImpactIndex(NamedTuple):
+    """Impact-ordered postings split into doc-range chunks.
+
+    The flat ``ImpactIndex`` sorts [Q, Kq·cap] rows per batch — at SPLADE
+    scale that is a [64, 1M] ``lax.sort`` whose comparator-network cost
+    grows with log²(width) and whose entries are 8 bytes.  Chunking the doc
+    space turns it into Q·C independent [Kq·capc]-wide sorts with uint16
+    LOCAL doc keys and bfloat16 payloads: ~3x fewer comparator passes and
+    half the bytes per entry (measured 223 → ~70 ms/batch at 8.9M docs).
+
+    Exact whenever every (term, chunk) has ≤ cap_per_chunk postings; the
+    cap prunes per (term, doc-range), so skewed terms keep their top
+    impacts IN EVERY RANGE (strictly better tail behavior than the flat
+    index's global per-term cap at equal total capacity).
+    """
+
+    post_doc: jax.Array  # uint16 [V+1, C, capc] local doc ids, pad = 0xFFFF
+    post_impact: jax.Array  # f16 [V+1, C, capc], pad = 0
+    n_docs: int
+    docs_per_chunk: int
+    vocab_size: int
+    cap_per_chunk: int
+    nnz_kept: int
+
+    def nbytes(self) -> int:
+        return self.post_doc.nbytes + self.post_impact.nbytes
+
+    @property
+    def num_chunks(self) -> int:
+        return self.post_doc.shape[1]
+
+    def save(self, path: str) -> None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(path, "chunked_impact_index.npz"),
+            post_doc=np.asarray(self.post_doc),
+            post_impact=np.asarray(self.post_impact),
+            meta=np.array(
+                [self.n_docs, self.docs_per_chunk, self.vocab_size,
+                 self.cap_per_chunk, self.nnz_kept], np.int64,
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ChunkedImpactIndex":
+        import os
+
+        z = np.load(os.path.join(path, "chunked_impact_index.npz"))
+        n, per, v, cap, nnz = (int(x) for x in z["meta"])
+        return cls(
+            post_doc=jnp.asarray(z["post_doc"]),
+            post_impact=jnp.asarray(z["post_impact"]),
+            n_docs=n, docs_per_chunk=per, vocab_size=v,
+            cap_per_chunk=cap, nnz_kept=nnz,
+        )
+
+
+def build_chunked_impact_index(
+    entry_term: np.ndarray,
+    entry_doc: np.ndarray,
+    impacts: np.ndarray,
+    vocab_size: int,
+    n_docs: int,
+    docs_per_chunk: int = 32768,
+    cap_per_chunk: int = 64,
+) -> ChunkedImpactIndex:
+    """Host-side build from COO postings (offline index work)."""
+    assert docs_per_chunk < CHUNK_SENTINEL
+    t = np.asarray(entry_term, dtype=np.int64)
+    d = np.asarray(entry_doc, dtype=np.int64)
+    v = np.asarray(impacts, dtype=np.float32)
+    num_chunks = -(-n_docs // docs_per_chunk)
+    c = d // docs_per_chunk
+    local = (d % docs_per_chunk).astype(np.uint16)
+    group = t * num_chunks + c  # (term, chunk) group key
+    order = np.lexsort((-v, group))
+    group, local, v = group[order], local[order], v[order]
+    counts = np.bincount(group, minlength=vocab_size * num_chunks)
+    starts = np.zeros(vocab_size * num_chunks + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(group.size, dtype=np.int64) - starts[group]
+    keep = rank < cap_per_chunk
+    post_doc = np.full(
+        (vocab_size + 1, num_chunks, cap_per_chunk), CHUNK_SENTINEL, dtype=np.uint16
+    )
+    post_imp = np.zeros((vocab_size + 1, num_chunks, cap_per_chunk), dtype=np.float16)
+    gk = group[keep]
+    post_doc[gk // num_chunks, gk % num_chunks, rank[keep]] = local[keep]
+    post_imp[gk // num_chunks, gk % num_chunks, rank[keep]] = v[keep]
+    return ChunkedImpactIndex(
+        post_doc=jnp.asarray(post_doc),
+        post_impact=jnp.asarray(post_imp),
+        n_docs=n_docs,
+        docs_per_chunk=docs_per_chunk,
+        vocab_size=vocab_size,
+        cap_per_chunk=cap_per_chunk,
+        nnz_kept=int(keep.sum()),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_docs", "docs_per_chunk", "k", "local_k", "bf16_payload"),
+)
+def _chunked_impact_search(
+    q_terms: jax.Array,  # int32 [Q, Kq] (pad >= vocab_size)
+    q_weights: jax.Array,  # f32 [Q, Kq]
+    post_doc: jax.Array,  # uint16 [V+1, C, capc]
+    post_impact: jax.Array,  # f16 [V+1, C, capc]
+    n_docs: int,
+    docs_per_chunk: int,
+    k: int,
+    local_k: int,
+    bf16_payload: bool,
+) -> RankedLists:
+    from fusion_tpu.ops.segscan import segmented_run_totals
+
+    q, kq = q_terms.shape
+    vp1, c, capc = post_doc.shape
+    terms = jnp.clip(q_terms, 0, vp1 - 1)
+    docs = post_doc[terms]  # [Q, Kq, C, capc] — contiguous row gathers
+    vals = post_impact[terms].astype(jnp.float32) * q_weights[..., None, None]
+    width = kq * capc
+    docs = docs.transpose(0, 2, 1, 3).reshape(q * c, width)
+    vals = vals.transpose(0, 2, 1, 3).reshape(q * c, width)
+    if bf16_payload:
+        vals = vals.astype(jnp.bfloat16)
+    # narrow per-chunk sort: uint16 keys, 2-byte payload
+    docs_s, vals_s = jax.lax.sort((docs, vals), num_keys=1)
+    seg, is_end = segmented_run_totals(docs_s, vals_s.astype(jnp.float32), kq)
+    real = docs_s != jnp.uint16(CHUNK_SENTINEL)
+    scores = jnp.where(is_end & real, seg, -jnp.inf)
+    lk = min(local_k, width)
+    if width > 2 * lk:
+        loc_vals, loc_pos = jax.lax.approx_max_k(
+            scores, lk, recall_target=0.99, aggregate_to_topk=True
+        )
+        loc_docs = jnp.take_along_axis(docs_s, loc_pos, axis=-1)
+    else:
+        lk = width
+        loc_vals, loc_docs = scores, docs_s
+    chunk_of_row = (jnp.arange(q * c, dtype=jnp.int32) % c)[:, None]
+    gids = chunk_of_row * docs_per_chunk + loc_docs.astype(jnp.int32)
+    gids = jnp.where(jnp.isfinite(loc_vals), gids, -1)
+    pool_scores = loc_vals.reshape(q, c * lk)
+    pool_ids = gids.reshape(q, c * lk)
+    kk = min(k, pool_scores.shape[-1])
+    top_scores, pos = jax.lax.top_k(pool_scores, kk)
+    top_ids = jnp.take_along_axis(pool_ids, pos, axis=-1)
+    top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
+    if kk < k:
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((q, k - kk), -jnp.inf, top_scores.dtype)], axis=-1
+        )
+        top_ids = jnp.concatenate(
+            [top_ids, jnp.full((q, k - kk), -1, top_ids.dtype)], axis=-1
+        )
+    return RankedLists(ids=top_ids.astype(jnp.int32), scores=top_scores)
+
+
+def chunked_impact_search(
+    q_terms: jax.Array,
+    q_weights: jax.Array,
+    index: ChunkedImpactIndex,
+    k: int = 1000,
+    local_k: int = 128,
+    bf16_payload: bool = True,
+) -> RankedLists:
+    """Query-driven scoring over the chunked impact index.
+
+    ``local_k`` caps how many docs each doc-range chunk may contribute to
+    the final top-k (a chunk covering docs_per_chunk docs contributing more
+    than local_k of the global top-k is the approximation risk — quantify
+    with scripts/recall_study.py).  ``bf16_payload`` sorts 2-byte payloads
+    (≤0.4 % relative score error per term); pass False for f32 payloads.
+    """
+    return _chunked_impact_search(
+        q_terms, q_weights, index.post_doc, index.post_impact,
+        index.n_docs, index.docs_per_chunk, min(k, index.n_docs),
+        local_k, bf16_payload,
+    )
+
+
 def sparse_to_impact_index(sparse_index, cap: int = 4096) -> ImpactIndex:
     """Convert a doc-major fixed-K SparseIndex (host round-trip)."""
     term = np.asarray(sparse_index.entry_term).ravel()
@@ -274,4 +465,22 @@ def sparse_to_impact_index(sparse_index, cap: int = 4096) -> ImpactIndex:
         vocab_size=sparse_index.vocab_size,
         n_docs=sparse_index.n_docs,
         cap=cap,
+    )
+
+
+def sparse_to_chunked_impact_index(
+    sparse_index, docs_per_chunk: int = 32768, cap_per_chunk: int = 64
+) -> ChunkedImpactIndex:
+    """Doc-major fixed-K SparseIndex → chunked impact form (host)."""
+    term = np.asarray(sparse_index.entry_term).ravel()
+    n, kk = sparse_index.entry_term.shape
+    doc = np.repeat(np.arange(n, dtype=np.int64), kk)
+    imp = np.asarray(sparse_index.entry_weight).ravel()
+    keep = term < sparse_index.vocab_size
+    return build_chunked_impact_index(
+        term[keep], doc[keep], imp[keep],
+        vocab_size=sparse_index.vocab_size,
+        n_docs=sparse_index.n_docs,
+        docs_per_chunk=docs_per_chunk,
+        cap_per_chunk=cap_per_chunk,
     )

@@ -57,7 +57,7 @@ class SparseIndex(NamedTuple):
         n, v, nnz = (int(x) for x in z["meta"])
         return cls(
             entry_term=jnp.asarray(z["entry_term"]),
-            entry_weight=jnp.asarray(z["entry_weight"], dtype=jnp.float32),
+            entry_weight=jnp.asarray(np.asarray(z["entry_weight"], dtype=np.float32)),
             n_docs=n,
             vocab_size=v,
             nnz=nnz,
@@ -99,7 +99,7 @@ def build_sparse_index(
         entry_term = np.zeros((0, prune_topk), np.int64)
         entry_weight = np.zeros((0, prune_topk), np.float32)
     return SparseIndex(
-        entry_term=jnp.asarray(entry_term, dtype=jnp.int32),
+        entry_term=jnp.asarray(np.ascontiguousarray(entry_term, dtype=np.int32)),
         entry_weight=jnp.asarray(entry_weight),
         n_docs=entry_term.shape[0],
         vocab_size=vocab_size,

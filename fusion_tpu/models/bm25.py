@@ -156,11 +156,14 @@ class BM25Index:
             variant=variant,
             k1=float(k1),
             b=float(b),
-            entry_term=jnp.asarray(entry_term, dtype=jnp.int32),
-            entry_doc=jnp.asarray(entry_doc, dtype=jnp.int32),
-            entry_tf=jnp.asarray(entry_tf, dtype=jnp.float32),
-            idf=jnp.asarray(idf, dtype=jnp.float32),
-            doc_len=jnp.asarray(doc_len, dtype=jnp.float32),
+            # dtype conversions happen in NUMPY before upload: a converting
+            # jnp.asarray compiles a convert op on the device — ~50 s of
+            # remote compile PER ARRAY on a tunneled chip
+            entry_term=jnp.asarray(np.ascontiguousarray(entry_term, dtype=np.int32)),
+            entry_doc=jnp.asarray(np.ascontiguousarray(entry_doc, dtype=np.int32)),
+            entry_tf=jnp.asarray(np.ascontiguousarray(entry_tf, dtype=np.float32)),
+            idf=jnp.asarray(np.ascontiguousarray(idf, dtype=np.float32)),
+            doc_len=jnp.asarray(np.ascontiguousarray(doc_len, dtype=np.float32)),
             avgdl=avgdl,
             nnz=nnz,
         )
@@ -200,7 +203,10 @@ class BM25Index:
             for j, (tid, c) in enumerate(list(counts.items())[:max_terms]):
                 q_terms[qi, j] = tid
                 q_weights[qi, j] = c
-        return jnp.asarray(q_terms, dtype=jnp.int32), jnp.asarray(q_weights)
+        return (
+            jnp.asarray(q_terms.astype(np.int32)),
+            jnp.asarray(q_weights),
+        )
 
     # ------------------------------------------------------------------
     # device scoring
@@ -356,12 +362,31 @@ class BM25Index:
         entry_term[doc[keep], slot[keep]] = term[keep]
         entry_weight[doc[keep], slot[keep]] = impacts[keep]
         return SparseIndex(
-            entry_term=jnp.asarray(entry_term, dtype=jnp.int32),
+            entry_term=jnp.asarray(np.ascontiguousarray(entry_term, dtype=np.int32)),
             entry_weight=jnp.asarray(entry_weight),
             n_docs=self.n_docs,
             vocab_size=self.vocab_size,
             nnz=int(keep.sum()),
         )
+
+    def _impacts_host(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(term, doc, impact) COO postings computed on the HOST in numpy.
+
+        The device ``_impacts`` does two ~nnz-sized element gathers whose
+        compile alone was measured at minutes on a tunneled chip; the numpy
+        form costs ~1 s and only ships MB-scale arrays."""
+        term = np.asarray(self.entry_term)[: self.nnz]
+        doc = np.asarray(self.entry_doc)[: self.nnz]
+        tf = np.asarray(self.entry_tf)[: self.nnz].astype(np.float64)
+        idf = np.asarray(self.idf, dtype=np.float64)[term]
+        if self.variant == "tfidf":
+            impacts = idf * tf
+        else:
+            dl = np.asarray(self.doc_len, dtype=np.float64)[doc]
+            impacts = idf * tf * (self.k1 + 1.0) / (
+                tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+            )
+        return term, doc, impacts.astype(np.float32)
 
     def to_impact_index(self, cap: int = 4096):
         """Term-major impact-ordered index (index/inverted.py) — the
@@ -369,11 +394,20 @@ class BM25Index:
         of N (vs the doc-major fixed-K gather path)."""
         from fusion_tpu.index.inverted import build_impact_index
 
-        term = np.asarray(self.entry_term)[: self.nnz]
-        doc = np.asarray(self.entry_doc)[: self.nnz]
-        impacts = np.asarray(self._impacts(jnp.float32(self.k1), jnp.float32(self.b)))[: self.nnz]
+        term, doc, impacts = self._impacts_host()
         return build_impact_index(
             term, doc, impacts, vocab_size=self.vocab_size, n_docs=self.n_docs, cap=cap
+        )
+
+    def to_chunked_impact_index(self, docs_per_chunk: int = 4096, cap_per_chunk: int = 512):
+        """Doc-range-chunked impact index (narrow uint16 sorts — see
+        index/inverted.py:ChunkedImpactIndex)."""
+        from fusion_tpu.index.inverted import build_chunked_impact_index
+
+        term, doc, impacts = self._impacts_host()
+        return build_chunked_impact_index(
+            term, doc, impacts, vocab_size=self.vocab_size, n_docs=self.n_docs,
+            docs_per_chunk=docs_per_chunk, cap_per_chunk=cap_per_chunk,
         )
 
     def search_impact(

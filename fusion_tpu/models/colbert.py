@@ -107,8 +107,8 @@ class TokenIndex:
     def load(cls, path: str) -> "TokenIndex":
         data = np.load(os.path.join(path, "token_index.npz"))
         return cls(
-            tokens=jnp.asarray(data["tokens"], dtype=jnp.bfloat16),
-            mask=jnp.asarray(data["mask"], dtype=jnp.float32),
+            tokens=jnp.asarray(data["tokens"]).astype(jnp.bfloat16),
+            mask=jnp.asarray(np.asarray(data["mask"], dtype=np.float32)),
         )
 
 

@@ -121,7 +121,10 @@ class CrossEncoder:
         # tokens = 9 GB int32 vs 4.5 GB); the rerank program only gathers
         # candidate rows and upcasts those
         id_dtype = jnp.uint16 if self.cfg.vocab_size <= 65_535 else jnp.int32
-        return jnp.asarray(ids, dtype=id_dtype), jnp.asarray(mask, dtype=jnp.int8)
+        return (
+            jnp.asarray(np.asarray(ids).astype(id_dtype)),
+            jnp.asarray(np.asarray(mask, dtype=np.int8)),
+        )
 
     def encode_queries_raw(
         self, queries: Sequence[str], max_query_tokens: int = 32

@@ -97,7 +97,7 @@ def _load_corpus_matrix(path: str, name: str):
         return QuantizedDenseIndex.load(os.path.join(path, f"{name}_int8"))
     npy = os.path.join(path, f"{name}_corpus.npy")
     if os.path.exists(npy):
-        return jnp.asarray(np.load(npy), dtype=jnp.bfloat16)
+        return jnp.asarray(np.load(npy)).astype(jnp.bfloat16)
     return None
 
 

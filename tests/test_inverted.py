@@ -119,3 +119,109 @@ def test_impact_search_pads_with_pad_id_not_sentinel():
     fused = Aggregator.fuse({"bm25": r}, method="rrf", return_topk=4)
     f_ids = np.asarray(fused.ids)[0]
     assert 5 not in f_ids.tolist() and f_ids[0] == 2
+
+
+def test_chunked_impact_search_matches_flat():
+    """Chunked form with generous caps + f32 payload must match the flat
+    impact index exactly (same docs, same scores to sort-order tolerance)."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.index.inverted import (
+        build_chunked_impact_index,
+        build_impact_index,
+        chunked_impact_search,
+        impact_search,
+    )
+
+    rng = np.random.default_rng(9)
+    v, n, nnz = 64, 500, 3000
+    term = rng.integers(0, v, size=nnz)
+    doc = rng.integers(0, n, size=nnz)
+    pairs = np.unique(term * n + doc)
+    t, d = pairs // n, pairs % n
+    imp = rng.uniform(0.05, 3.0, size=pairs.size).astype(np.float32)
+
+    flat = build_impact_index(t, d, imp, v, n, cap=n)
+    chunked = build_chunked_impact_index(
+        t, d, imp, v, n, docs_per_chunk=128, cap_per_chunk=128
+    )
+    q_terms = jnp.asarray(rng.integers(0, v, size=(5, 8)), jnp.int32)
+    q_weights = jnp.asarray(rng.uniform(0.1, 2.0, size=(5, 8)), jnp.float32)
+    a = impact_search(q_terms, q_weights, flat, k=32)
+    b = chunked_impact_search(
+        q_terms, q_weights, chunked, k=32, local_k=32, bf16_payload=False
+    )
+    sa, sb = np.asarray(a.scores), np.asarray(b.scores)
+    ia, ib = np.asarray(a.ids), np.asarray(b.ids)
+    for qi in range(5):
+        fa, fb = np.isfinite(sa[qi]), np.isfinite(sb[qi])
+        np.testing.assert_array_equal(fa, fb)
+        assert set(ia[qi][fa]) == set(ib[qi][fb]), (qi, ia[qi], ib[qi])
+        np.testing.assert_allclose(
+            np.sort(sa[qi][fa]), np.sort(sb[qi][fb]), rtol=1e-5
+        )
+
+
+def test_chunked_impact_bf16_payload_close():
+    """bf16 sort payload: same head docs, scores within bf16 tolerance."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.index.inverted import (
+        build_chunked_impact_index,
+        chunked_impact_search,
+    )
+
+    rng = np.random.default_rng(10)
+    v, n = 32, 300
+    nnz = 1500
+    term = rng.integers(0, v, size=nnz)
+    doc = rng.integers(0, n, size=nnz)
+    pairs = np.unique(term * n + doc)
+    t, d = pairs // n, pairs % n
+    imp = rng.uniform(0.05, 3.0, size=pairs.size).astype(np.float32)
+    chunked = build_chunked_impact_index(
+        t, d, imp, v, n, docs_per_chunk=64, cap_per_chunk=64
+    )
+    q_terms = jnp.asarray(rng.integers(0, v, size=(3, 6)), jnp.int32)
+    q_weights = jnp.ones((3, 6), jnp.float32)
+    exact = chunked_impact_search(
+        q_terms, q_weights, chunked, k=10, local_k=16, bf16_payload=False
+    )
+    approx = chunked_impact_search(
+        q_terms, q_weights, chunked, k=10, local_k=16, bf16_payload=True
+    )
+    for qi in range(3):
+        ea = np.asarray(exact.ids)[qi]
+        aa = np.asarray(approx.ids)[qi]
+        assert len(set(ea[:5]) & set(aa[:5])) >= 4, (qi, ea, aa)
+        np.testing.assert_allclose(
+            np.asarray(approx.scores)[qi][:5], np.asarray(exact.scores)[qi][:5],
+            rtol=2e-2, atol=1e-2,
+        )
+
+
+def test_chunked_impact_index_persistence(tmp_path):
+    import jax.numpy as jnp
+
+    from fusion_tpu.index.inverted import (
+        ChunkedImpactIndex,
+        build_chunked_impact_index,
+        chunked_impact_search,
+    )
+
+    rng = np.random.default_rng(11)
+    t = rng.integers(0, 16, size=200)
+    d = rng.integers(0, 100, size=200)
+    pairs = np.unique(t * 100 + d)
+    idx = build_chunked_impact_index(
+        pairs // 100, pairs % 100,
+        rng.uniform(0.1, 1.0, size=pairs.size).astype(np.float32),
+        16, 100, docs_per_chunk=32, cap_per_chunk=16,
+    )
+    idx.save(str(tmp_path))
+    loaded = ChunkedImpactIndex.load(str(tmp_path))
+    q_terms = jnp.asarray(rng.integers(0, 16, size=(2, 4)), jnp.int32)
+    q_w = jnp.ones((2, 4), jnp.float32)
+    a = chunked_impact_search(q_terms, q_w, idx, k=8)
+    b = chunked_impact_search(q_terms, q_w, loaded, k=8)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
