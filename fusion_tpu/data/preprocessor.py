@@ -7,10 +7,14 @@ never touch the device), so we keep the same host-side architecture:
 
   * if spaCy + a French model are installed, use them (full parity);
   * otherwise fall back to a self-contained French pipeline: regex word
-    tokenization, a French stopword list, digit filtering, and a light
-    suffix-stripping lemmatizer.  This keeps the framework dependency-free
-    while preserving the *shape* of the pipeline; BM25 quality parity on
-    LLeQA requires the spaCy path (SURVEY.md §7.3).
+    tokenization, a French stopword list, digit filtering, and the NLTK
+    French Snowball stemmer when nltk is importable (a stemmer conflates
+    inflection families the way BM25 needs even though its output is not
+    a human-readable lemma — measured on planted French morphology it
+    recovers most of the oracle-conflation recall, see
+    scripts/preprocessor_study.py / PREPROC_STUDY_r03.json), else a light
+    suffix-stripping lemmatizer.  Full parity with the reference's scores
+    still requires the spaCy path (SURVEY.md §7.3).
 
 Output contract matches the reference: one whitespace-joined token string
 per input text, consumed by ``BM25Index.build``.
@@ -91,7 +95,7 @@ class TextPreprocessor:
     (src/data/preprocessor.py:15-39).
     """
 
-    def __init__(self, spacy_model: str | None = "fr_core_news_md"):
+    def __init__(self, spacy_model: str | None = "fr_core_news_md", stemmer: str = "auto"):
         self.nlp = None
         if spacy_model is not None:
             try:  # pragma: no cover - spaCy not present in the build image
@@ -100,6 +104,18 @@ class TextPreprocessor:
                 self.nlp = spacy.load(spacy_model)
             except Exception:
                 self.nlp = None
+        self._stem = None
+        if stemmer == "auto":
+            try:
+                from nltk.stem.snowball import FrenchStemmer
+
+                self._stem = FrenchStemmer().stem
+            except Exception:
+                self._stem = None
+        elif stemmer == "light":
+            pass  # keep the suffix-rule lemmatizer
+        else:
+            raise ValueError(f"stemmer must be 'auto' or 'light', got {stemmer!r}")
 
     def preprocess(
         self,
@@ -133,7 +149,7 @@ class TextPreprocessor:
                 head, _, tail = low.partition("'")
                 low = tail if head in FRENCH_STOPWORDS and tail else low
             if lemmatize:
-                low = _light_lemma(low)
+                low = self._stem(low) if self._stem is not None else _light_lemma(low)
             if not low:
                 continue
             tokens.append(low if lowercase else tok)

@@ -391,12 +391,16 @@ def _chunked_impact_search(
     vp1, c, capc = post_doc.shape
     terms = jnp.clip(q_terms, 0, vp1 - 1)
     docs = post_doc[terms]  # [Q, Kq, C, capc] — contiguous row gathers
-    vals = post_impact[terms].astype(jnp.float32) * q_weights[..., None, None]
+    if bf16_payload:
+        # stay 2-byte end to end: f16 gather × f16 weights, f16 payload
+        # sort (impacts and query weights are O(1)-scale — far from f16
+        # range limits); the segscan accumulates in f32 after the sort
+        vals = post_impact[terms] * q_weights[..., None, None].astype(jnp.float16)
+    else:
+        vals = post_impact[terms].astype(jnp.float32) * q_weights[..., None, None]
     width = kq * capc
     docs = docs.transpose(0, 2, 1, 3).reshape(q * c, width)
     vals = vals.transpose(0, 2, 1, 3).reshape(q * c, width)
-    if bf16_payload:
-        vals = vals.astype(jnp.bfloat16)
     # narrow per-chunk sort: uint16 keys, 2-byte payload
     docs_s, vals_s = jax.lax.sort((docs, vals), num_keys=1)
     seg, is_end = segmented_run_totals(docs_s, vals_s.astype(jnp.float32), kq)

@@ -51,6 +51,13 @@ class EncoderConfig:
     # rematerialize each transformer layer in the backward pass (trades
     # FLOPs for activation memory — jax.checkpoint)
     remat: bool = False
+    # 'einsum': fused-softmax einsum attention (f32 logits; XLA-fused).
+    # 'flash': the Pallas flash-attention kernel — never materializes the
+    # [B, H, L, L] probability tensor, which under remat is recomputed in
+    # the backward pass and dominates the ColBERT train step (the f32
+    # probs at bs 1024 × L 256 are 3.2 GB of recompute traffic PER LAYER).
+    # Requires dropout == 0 in training mode and L a multiple of 128.
+    attention_impl: str = "einsum"
 
     @classmethod
     def tiny(cls, vocab_size: int = 128, **kw) -> "EncoderConfig":
@@ -113,12 +120,37 @@ class SelfAttention(nn.Module):
         )(x)  # [B, L, 3, heads, hd]
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = 1.0 / math.sqrt(head_dim)
-        # [B, H, Tq, Tk] logits in f32 for stable softmax
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
-        bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
-        probs = jax.nn.softmax(logits + bias, axis=-1).astype(c.dtype)
-        probs = nn.Dropout(c.dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        # duck-typed configs (XmodConfig) may predate the field
+        use_flash = (
+            getattr(c, "attention_impl", "einsum") == "flash"
+            and jax.default_backend() == "tpu"
+            and x.shape[1] % 128 == 0
+            and (deterministic or c.dropout == 0.0)
+        )
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            # padding via segment ids: pad tokens (segment 0) are excluded
+            # from real tokens' (segment 1) softmax and vice versa
+            seg = (attention_mask > 0).astype(jnp.int32)
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3).astype(c.dtype),  # [B, heads, L, hd]
+                k.transpose(0, 2, 1, 3).astype(c.dtype),
+                v.transpose(0, 2, 1, 3).astype(c.dtype),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                causal=False,
+                sm_scale=scale,
+            ).transpose(0, 2, 1, 3)
+        else:
+            # [B, H, Tq, Tk] logits in f32 for stable softmax
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+            bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+            probs = jax.nn.softmax(logits + bias, axis=-1).astype(c.dtype)
+            probs = nn.Dropout(c.dropout)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(c.hidden_size, axis=(-2, -1), dtype=c.dtype, name="out")(ctx)
         return out
 

@@ -59,6 +59,8 @@ class XmodConfig:
     dropout: float = 0.1
     dtype: Any = jnp.float32
     remat: bool = False
+    # see EncoderConfig.attention_impl ('einsum' | 'flash')
+    attention_impl: str = "einsum"
     # X-MOD specifics (facebook/xmod-base defaults)
     languages: tuple[str, ...] = ("en_XX",)
     adapter_reduction_factor: int = 2

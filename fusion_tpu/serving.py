@@ -594,6 +594,11 @@ class HybridSearcher:
             use_pallas = jax.default_backend() == "tpu"
         out_ids, out_scores = [], []
         t0 = time.perf_counter()
+        # One-deep software pipeline: dispatch batch i (async under jit),
+        # then tokenize batch i+1 on the host WHILE the device executes i,
+        # and only then fetch i's results.  Without this the host fetch
+        # fences every batch and tokenization serializes with the device.
+        pending = None
         for start in range(0, len(queries), batch_size):
             chunk = list(queries[start : start + batch_size])
             real = len(chunk)
@@ -602,8 +607,15 @@ class HybridSearcher:
             inputs = self._prepare_inputs(chunk)
             program = self._device_program(len(chunk), use_pallas)
             ids, scores = program(inputs)
-            out_ids.append(np.asarray(ids)[:real])
-            out_scores.append(np.asarray(scores)[:real])
+            if pending is not None:
+                p_ids, p_scores, p_real = pending
+                out_ids.append(np.asarray(p_ids)[:p_real])
+                out_scores.append(np.asarray(p_scores)[:p_real])
+            pending = (ids, scores, real)
+        if pending is not None:
+            p_ids, p_scores, p_real = pending
+            out_ids.append(np.asarray(p_ids)[:p_real])
+            out_scores.append(np.asarray(p_scores)[:p_real])
         elapsed = time.perf_counter() - t0
         ranked = RankedLists(
             ids=jnp.asarray(np.concatenate(out_ids, axis=0)),

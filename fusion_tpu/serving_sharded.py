@@ -80,7 +80,10 @@ def _shard_dense_matrix(corpus, similarity: str, n_shards: int) -> ShardedDenseL
             vals = vals / np.maximum(norms, 1e-12)
         scales = np.ones(vals.shape[0], dtype=np.float32)
     n, h = vals.shape
-    per = -(-n // n_shards)
+    # round docs/shard up to the fused kernel's doc_block so dense_impl=
+    # 'fused' never re-pads (copies) the shard inside the serving program
+    per = -(-n // n_shards)  # ceil(n / n_shards)
+    per = -(-per // 2048) * 2048  # next multiple of 2048
     pad = n_shards * per - n
     if pad:
         vals = np.concatenate([vals, np.zeros((pad, h), vals.dtype)])
@@ -168,6 +171,10 @@ class ShardedHybridSearcher(HybridSearcher):
     ce_msk_shards: jax.Array | None = None  # [S, per, Ld] int8
     dense_doc_block: int = 65536
     dense_local_topk: str | None = None  # 'approx' at corpus scale
+    # 'block' = exact blockwise matmul + merge; 'fused' = the Pallas
+    # matmul+binned-top-k kernel (ops/dense_topk.py) — use at corpus scale
+    # only (recall loss ≈ k²·8/per_shard per query; <1 doc at 1M docs/shard)
+    dense_impl: str = "block"
     plaid_cand_chunk: int = 512
     _programs: dict = field(default_factory=dict, repr=False)
 
@@ -430,11 +437,27 @@ class ShardedHybridSearcher(HybridSearcher):
                 per = leg.docs_per_shard
                 kl = min(topk, per)
                 lo = shard_idx * per
-                local = _local_dense_search(
-                    q_embs.astype(jnp.float32), vals[0], scales[0], lo,
-                    leg.normalized, leg.n_docs, kl,
-                    self.dense_doc_block, self.dense_local_topk,
-                )
+                if self.dense_impl == "fused":
+                    from fusion_tpu.ops.dense_topk import fused_dense_topk
+
+                    local = fused_dense_topk(
+                        q_embs.astype(jnp.float32),
+                        (vals[0], scales[0], leg.normalized),
+                        k=kl, use_pallas=use_pallas,
+                    )
+                    # pad rows (zero scale → score exactly 0) may occupy
+                    # tail slots on the final shard; mask them out here
+                    bad = lo + local.ids >= leg.n_docs
+                    local = RankedLists(
+                        ids=jnp.where(bad, -1, local.ids),
+                        scores=jnp.where(bad, -jnp.inf, local.scores),
+                    )
+                else:
+                    local = _local_dense_search(
+                        q_embs.astype(jnp.float32), vals[0], scales[0], lo,
+                        leg.normalized, leg.n_docs, kl,
+                        self.dense_doc_block, self.dense_local_topk,
+                    )
                 gids = jnp.where(local.ids >= 0, local.ids + lo, -1).astype(jnp.int32)
                 return _merge_shards(gids, local.scores, topk)
 

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--doc_len", type=int, default=256)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    ap.add_argument("--attention", default="einsum", choices=["einsum", "flash"],
+                    help="flash = Pallas flash-attention kernel (no [L, L] probs recompute under remat)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +46,8 @@ def main():
         # CamemBERT-base shape; remat is REQUIRED at this scale — without it
         # the 12-layer activation set for the 896-doc negative forward sums
         # to ~400 GB of temps (measured via compiled memory_analysis)
-        cfg = EncoderConfig(dropout=0.0, dtype=jnp.bfloat16, remat=True)
+        cfg = EncoderConfig(dropout=0.0, dtype=jnp.bfloat16, remat=True,
+                            attention_impl=args.attention)
     bs, npq = args.batch, args.nway - 1
     lq, ld = args.query_len, args.doc_len
 
@@ -99,6 +102,7 @@ def main():
             "batch": bs, "nway": args.nway, "query_len": lq, "doc_len": ld,
             "examples_per_s": round(bs / dt, 1),
             "tokens_per_step": enc_tokens,
+            "attention": args.attention,
             "backend": jax.default_backend(),
         },
     }))

@@ -136,7 +136,14 @@ def test_preprocessor_pipeline():
     assert "," not in out[0]
     # stopwords stripped
     assert not any(w in out[0].split() for w in ("les", "la"))
-    assert "rouge" in out[1]
+    # inflection families conflate to one index term (the property BM25
+    # recall depends on — see scripts/preprocessor_study.py)
+    assert prep.preprocess(["La voiture ROUGE."]) == prep.preprocess(
+        ["les voitures rouges"]
+    )
+    # the light-rule fallback (no nltk) keeps readable lemmas
+    light = TextPreprocessor(spacy_model=None, stemmer="light")
+    assert "rouge" in light.preprocess(["La voiture ROUGE."])[0]
 
 
 def test_empty_query_and_padding():

@@ -129,6 +129,29 @@ def test_sharded_bm25_only_exact(built):
         np.testing.assert_allclose(np.sort(s1[qi][f1]), np.sort(s2[qi][f2]), rtol=1e-5)
 
 
+def test_sharded_dense_fused_impl(models):
+    """dense_impl='fused' (binned matmul+top-k semantics, XLA reference on
+    CPU) matches the exact blockwise leg — at this shape every real doc
+    lands in its own bin (ids < lanes), so the binned search is exact."""
+    dense, _, _, _ = models
+    mesh = make_mesh(data=1, model=1, index=len(jax.devices()))
+    single = HybridSearcher.build(
+        CORPUS, dense_model=dense, batch_size=4, topk=8, int8_corpus=True
+    )
+    sharded = ShardedHybridSearcher.from_searcher(single, mesh)
+    fused = ShardedHybridSearcher.from_searcher(single, mesh)
+    fused.dense_impl = "fused"
+    r1, _ = sharded.search(QUERIES, batch_size=4, use_pallas=False)
+    r2, _ = fused.search(QUERIES, batch_size=4, use_pallas=False)
+    i1, i2 = np.asarray(r1.ids), np.asarray(r2.ids)
+    s1, s2 = np.asarray(r1.scores), np.asarray(r2.scores)
+    for qi in range(len(QUERIES)):
+        f1 = np.isfinite(s1[qi])
+        np.testing.assert_array_equal(i1[qi][f1], i2[qi][f1])
+        # fused clears 4 mantissa bits of the packed score
+        np.testing.assert_allclose(s1[qi][f1], s2[qi][f1], rtol=1e-3, atol=1e-3)
+
+
 def test_sharded_dense_splade_matrix_form(models):
     """Dense-matrix SPLADE/DPR legs (non-scale_mode build) shard too."""
     dense, splade, _, _ = models

@@ -186,18 +186,28 @@ def test_fused_dense_topk_kernel_matches_reference():
 
 
 def test_fused_dense_topk_vs_exact_search():
-    """Recall of the binned kernel against the EXACT int8 search at bench
-    shapes: ≥ 0.97 top-1000 overlap (bin collisions + approx_max_k)."""
+    """Recall of the binned kernel against the EXACT int8 search at a
+    CORPUS-scale doc count.
+
+    Bin collisions lose ≈ k²/(2·nbins) docs/query, so recall is a function
+    of N: at the 65k-doc shape of the exactness test above there are only
+    4096 bins and binned top-1000 tops out near 0.89 (measured) — small
+    corpora belong on the exact path.  At N=1M (65536 bins) the expected loss is ~8 docs
+    (≥0.97 with margin); at the design scale of 8.9M it is <1.  The corpus
+    is GENERATED ON DEVICE — 3 GB of host f32 cannot cross the tunnel."""
     from fusion_tpu.index.dense_quant import quantize_dense_index, quantized_dense_search
     from fusion_tpu.ops.dense_topk import fused_dense_topk
 
     rng = np.random.default_rng(6)
-    n, h, k = 65536, 768, 1000
-    corpus = jnp.asarray(rng.standard_normal((n, h)), dtype=jnp.float32)
+    n, h, k = 1_048_576, 768, 1000
+
+    @jax.jit
+    def build(key):
+        corpus = jax.random.normal(key, (n, h), dtype=jnp.float32)
+        return quantize_dense_index(corpus, similarity="cos_sim")
+
+    idx = build(jax.random.PRNGKey(6))
     queries = jnp.asarray(rng.standard_normal((Q, h)), dtype=jnp.float32)
-    idx = jax.jit(quantize_dense_index, static_argnames=("similarity",))(
-        corpus, similarity="cos_sim"
-    )
     got = fused_dense_topk(queries, idx, k=k, use_pallas=True)
     exact = quantized_dense_search(queries, idx, k=k)
     got_ids, want_ids = fetch(got.ids), fetch(exact.ids)
@@ -206,3 +216,40 @@ def test_fused_dense_topk_vs_exact_search():
         for qi in range(Q)
     ]
     assert float(np.mean(overlaps)) >= 0.97, overlaps
+
+
+def test_flash_attention_encoder_parity():
+    """Encoder forward with attention_impl='flash' (Pallas flash attention,
+    padding via segment ids) vs the einsum/f32-softmax reference — same
+    params, bf16 compute, padded batch."""
+    from fusion_tpu.models.encoder import EncoderConfig, init_encoder_params
+
+    rng = np.random.default_rng(12)
+    cfg_e = EncoderConfig(
+        vocab_size=1024, hidden_size=256, num_layers=2, num_heads=4,
+        intermediate_size=512, dropout=0.0, dtype=jnp.bfloat16,
+    )
+    cfg_f = EncoderConfig(
+        vocab_size=1024, hidden_size=256, num_layers=2, num_heads=4,
+        intermediate_size=512, dropout=0.0, dtype=jnp.bfloat16,
+        attention_impl="flash",
+    )
+    model_e, params = init_encoder_params(cfg_e, with_mlm=False)
+    model_f, _ = init_encoder_params(cfg_f, with_mlm=False)
+    b, l = 8, 128
+    ids = jnp.asarray(rng.integers(5, 1000, size=(b, l)), jnp.int32)
+    lens = rng.integers(16, l + 1, size=b)
+    mask = jnp.asarray((np.arange(l)[None] < lens[:, None]).astype(np.int32))
+    he = fetch(jax.jit(model_e.apply)(params, ids, mask))
+    hf = fetch(jax.jit(model_f.apply)(params, ids, mask))
+    m = np.asarray(mask)[..., None]
+    # compare REAL positions only (pad rows attend only pads under flash)
+    np.testing.assert_allclose(he * m, hf * m, atol=0.15, rtol=0.05)
+    # cosine similarity of real token states ~ 1
+    a = (he * m).reshape(-1, 256)
+    bb = (hf * m).reshape(-1, 256)
+    keep = np.linalg.norm(a, axis=1) > 0
+    cos = np.sum(a[keep] * bb[keep], 1) / (
+        np.linalg.norm(a[keep], axis=1) * np.linalg.norm(bb[keep], axis=1) + 1e-9
+    )
+    assert cos.min() > 0.995, cos.min()
