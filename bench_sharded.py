@@ -55,6 +55,10 @@ def main():
 
     import jax
 
+    if args.tiny:
+        # CPU smoke: NEVER claim the tunneled TPU for a shape check (env
+        # vars do not override the axon plugin; this config call does)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/fusion_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -75,6 +79,7 @@ def main():
         CAP_B, CAP_S, IVF_CAP, LD, D, LD_CE = 16, 32, 16, 8, 32, 32
         cfg = EncoderConfig.tiny(vocab_size=V_S)
         ce_cfg = EncoderConfig.tiny(vocab_size=V_S)
+        H = cfg.hidden_size  # dense leg must match the tiny trunk width
         TOPK = min(TOPK, 64)
     else:
         N, V_B, V_S, C, H = args.n_docs, 262_144, 32_768, 131_072, 768
@@ -200,7 +205,8 @@ def main():
             ids, scores = program(inputs)
             fetch(ids)
             times.append(time.perf_counter() - t0 - rtt)
-        dt = float(np.median(times))
+        # the RTT refund can exceed tiny CPU timings — clamp, never negative
+        dt = max(float(np.median(times)), 1e-4)
         print(f"# {label}: {dt * 1000:.1f} ms/batch (compile+first {compile_s:.1f}s, "
               f"rtt {rtt * 1000:.1f} ms)", file=sys.stderr)
         return dt

@@ -144,6 +144,24 @@ class SelfAttention(nn.Module):
                 causal=False,
                 sm_scale=scale,
             ).transpose(0, 2, 1, 3)
+        elif getattr(c, "attention_impl", "einsum") == "einsum_bf16":
+            # 2-byte [B, H, Tq, Tk] buffers: the matmul accumulates f32 but
+            # the STORED logits are bf16 (cast fused into the matmul
+            # epilogue), and softmax upcasts elementwise inside one fused
+            # reduce — halves the dominant HBM traffic of the train step
+            # (logits+probs are recomputed under remat).  ~0.4 % softmax
+            # error; keep 'einsum' for f32-exact serving scores.
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+            bias = jnp.where(
+                attention_mask[:, None, None, :] > 0, 0.0, -1e9
+            ).astype(jnp.bfloat16)
+            probs = jax.nn.softmax(
+                (logits * scale + bias).astype(jnp.float32), axis=-1
+            ).astype(c.dtype)
+            probs = nn.Dropout(c.dropout)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         else:
             # [B, H, Tq, Tk] logits in f32 for stable softmax
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale

@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--doc_len", type=int, default=256)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
-    ap.add_argument("--attention", default="einsum", choices=["einsum", "flash"],
+    ap.add_argument("--attention", default="einsum",
+                    choices=["einsum", "einsum_bf16", "flash"],
                     help="flash = Pallas flash-attention kernel (no [L, L] probs recompute under remat)")
     args = ap.parse_args()
 

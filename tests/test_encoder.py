@@ -179,3 +179,31 @@ def test_pre_qkv_checkpoint_migration(tmp_path):
                        max_query_length=8, max_doc_length=16)
     got = model2.encode(["le chat"], query_mode=True, batch_size=1)
     np.testing.assert_allclose(ref, got, rtol=1e-6)
+
+
+def test_einsum_bf16_attention_parity(rng):
+    """attention_impl='einsum_bf16' (2-byte logit/prob buffers) tracks the
+    f32-softmax reference closely enough for training (softmax error ~0.4%)."""
+    cfg_f = EncoderConfig.tiny(vocab_size=256, hidden_size=64, num_heads=4)
+    model_f, params = init_encoder_params(cfg_f, seed=1, with_mlm=False)
+    cfg_b = EncoderConfig.tiny(
+        vocab_size=256, hidden_size=64, num_heads=4, attention_impl="einsum_bf16"
+    )
+    model_b, _ = init_encoder_params(cfg_b, seed=1, with_mlm=False)
+    ids = jnp.asarray(rng.integers(5, 250, size=(4, 16)), jnp.int32)
+    mask = jnp.asarray((np.arange(16)[None] < np.array([16, 12, 8, 16])[:, None]
+                        ).astype(np.int32))
+    hf = np.asarray(model_f.apply(params, ids, mask))
+    hb = np.asarray(model_b.apply(params, ids, mask))
+    m = np.asarray(mask)[..., None]
+    cos = np.sum(hf * hb * m, -1) / (
+        np.linalg.norm(hf * m, axis=-1) * np.linalg.norm(hb * m, axis=-1) + 1e-9
+    )
+    assert cos[np.asarray(mask) > 0].min() > 0.999
+
+    # gradients flow and stay finite through the bf16 softmax
+    def loss(p):
+        return jnp.sum(model_b.apply(p, ids, mask).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
