@@ -77,6 +77,7 @@ def _encoder_config(args):
     return EncoderConfig(
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         remat=not getattr(args, "no_remat", False),
+        attention_impl=getattr(args, "attention_impl", "einsum"),
     )
 
 
@@ -633,6 +634,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--bf16", action="store_true", default=True)
         sp.add_argument("--no_remat", action="store_true",
                         help="disable per-layer activation rematerialization")
+        sp.add_argument("--attention_impl", default="einsum",
+                        choices=["einsum", "einsum_bf16", "flash"],
+                        help="einsum_bf16 = 2-byte attention buffers (~0.4%% "
+                             "softmax error); flash = Pallas flash attention")
         sp.add_argument("--batch_size", type=int, default=32)
         sp.add_argument("--model_path", default=None)
         sp.add_argument("--steps", type=int, default=None)

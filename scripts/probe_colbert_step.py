@@ -49,9 +49,14 @@ def main():
     def fetch(x):
         return np.asarray(x)
 
+    def tiny_fence(out):
+        """Fetch ONE element — fencing on the full output would ship
+        hundreds of MB through the ~30 MB/s tunnel and dominate the time."""
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        fetch(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
+
     def timeit(fn, *a):
-        out = fn(*a)
-        fetch(jax.tree_util.tree_leaves(out)[0])  # compile + first
+        tiny_fence(fn(*a))  # compile + first
         t0 = time.perf_counter()
         for _ in range(3):
             fetch(jnp.zeros(()))
@@ -59,8 +64,7 @@ def main():
         ts = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            out = fn(*a)
-            fetch(jax.tree_util.tree_leaves(out)[0])
+            tiny_fence(fn(*a))
             ts.append(time.perf_counter() - t0 - rtt)
         return float(np.median(ts))
 

@@ -54,9 +54,15 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--only", default=None,
                     choices=[None, "dense", "lexical", "splade", "colbert"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (env vars do not override the "
+                         "axon TPU plugin — a smoke run must never claim the chip)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fusion_tpu_jax_cache_tpu")
@@ -349,8 +355,8 @@ def main():
         best = None
         for ivf_cap in (1024, 4096):
             ivf = build_ivf(cid_np, mask, n_cent, cap=ivf_cap)
-            for nprobe in (2, 4, 8, 16, 32):
-                for ncand in (1024, 4096):
+            for nprobe in (2, 4, 8, 16, 32, 64):
+                for ncand in (1024, 4096, 8192):
                     got = plaid_search(q_tok, q_mask, index, ivf, k=K,
                                        nprobe=nprobe, ncand=min(ncand, NCB),
                                        cand_chunk=512)
