@@ -223,36 +223,50 @@ def main():
     ce_ids_np, ce_mask_np = ce.encode_queries_raw(queries_tokens, max_query_tokens=32)
     ce_ids, ce_mask = jnp.asarray(ce_ids_np), jnp.asarray(ce_mask_np)
 
-    def hybrid_rerank(hy_args, ce_params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask):
-        ids, scores = hybrid(*hy_args)
-        fused = RankedLists(ids=ids, scores=scores)
-        head_ids = fused.ids[:, :RERANK_DEPTH]
-        safe = jnp.clip(head_ids, 0, N - 1)
-        d_ids = ce_doc_toks[safe].astype(jnp.int32)
-        d_msk = ce_doc_mask[safe].astype(jnp.int32) * (head_ids >= 0)[..., None]
-        logits = ce.rerank_tokens(
-            ce_params, ce_ids, ce_mask, d_ids, d_msk, pair_chunk=512
-        )
-        out = rerank_head_merge(fused, head_ids, logits)
-        return out.ids, out.scores
+    def make_rerank(ce_obj):
+        def hybrid_rerank(hy_args, ce_params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask):
+            ids, scores = hybrid(*hy_args)
+            fused = RankedLists(ids=ids, scores=scores)
+            head_ids = fused.ids[:, :RERANK_DEPTH]
+            safe = jnp.clip(head_ids, 0, N - 1)
+            d_ids = ce_doc_toks[safe].astype(jnp.int32)
+            d_msk = ce_doc_mask[safe].astype(jnp.int32) * (head_ids >= 0)[..., None]
+            logits = ce_obj.rerank_tokens(
+                ce_params, ce_ids, ce_mask, d_ids, d_msk, pair_chunk=512
+            )
+            out = rerank_head_merge(fused, head_ids, logits)
+            return out.ids, out.scores
 
-    rerank_jit = jax.jit(hybrid_rerank)
-    r_args = (args, ce.params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask)
-    t0 = time.perf_counter()
-    fetch(rerank_jit(*r_args))
-    print(f"# hybrid+rerank compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    fetch(rerank_jit(*r_args))
-    t_single_rr = time.perf_counter() - t0
-    rr_iters = 4
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(rr_iters):
-        out = rerank_jit(*r_args)
-    fetch(out)
-    dt_rr = max((time.perf_counter() - t0 - t_single_rr) / (rr_iters - 1), 1e-9)
-    print(f"# hybrid+rerank: {dt_rr*1000:.1f} ms/batch "
-          f"(rerank stage alone ~{(dt_rr-dt)*1000:.1f} ms)", file=sys.stderr)
+        return jax.jit(hybrid_rerank)
+
+    def time_rerank(ce_obj, label):
+        rerank_jit = make_rerank(ce_obj)
+        r_args = (args, ce.params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask)
+        t0 = time.perf_counter()
+        fetch(rerank_jit(*r_args))
+        print(f"# hybrid+rerank[{label}] compile+first run: "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        fetch(rerank_jit(*r_args))
+        t_single_rr = time.perf_counter() - t0
+        rr_iters = 4
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(rr_iters):
+            out = rerank_jit(*r_args)
+        fetch(out)
+        dt_rr = max((time.perf_counter() - t0 - t_single_rr) / (rr_iters - 1), 1e-9)
+        print(f"# hybrid+rerank[{label}]: {dt_rr*1000:.1f} ms/batch "
+              f"(rerank stage alone ~{(dt_rr-dt)*1000:.1f} ms)", file=sys.stderr)
+        return dt_rr
+
+    dt_rr = time_rerank(ce, "einsum")
+    # einsum_bf16: 2-byte attention buffers (~0.4 % softmax error) — the
+    # serving-speed option; SAME params, only the attention impl differs
+    from dataclasses import replace as _cfg_replace
+
+    ce_b = CrossEncoder(_cfg_replace(cfg, attention_impl="einsum_bf16"), max_length=256)
+    dt_rr_b = time_rerank(ce_b, "einsum_bf16")
 
     # ------------------------------------------------------------------
     # baseline: reference-structure pipeline (host sparse BM25 scoring,
@@ -348,6 +362,8 @@ def main():
                 "ms_per_batch_hybrid_plus_rerank": round(dt_rr * 1000, 2),
                 "ms_per_batch_rerank_stage": round((dt_rr - dt) * 1000, 2),
                 "q_per_s_with_rerank": round(B / dt_rr, 2),
+                "ms_per_batch_rerank_stage_bf16attn": round((dt_rr_b - dt) * 1000, 2),
+                "q_per_s_with_rerank_bf16attn": round(B / dt_rr_b, 2),
             },
         },
     }))

@@ -324,40 +324,100 @@ class HybridSearcher:
 
         topk = self.topk
 
-        def program(inputs: dict) -> tuple[jax.Array, jax.Array]:
+        # Large arrays (indexes, corpus matrices, model params) are passed
+        # as jit ARGUMENTS, never closed over: a closed-over jax.Array is
+        # captured as an mlir CONSTANT at lowering — at corpus scale that
+        # bakes GBs into the executable (compile blow-up + a second HBM
+        # copy).  ``ops`` carries only array leaves; static metadata rides
+        # in the rebuilt index objects via ``._replace``.
+        from fusion_tpu.index.compression import CompressedTokenIndex
+
+        ops: dict[str, object] = {}
+        if self.bm25_impact_index is not None:
+            ii = self.bm25_impact_index
+            ops["bm25_ii"] = (ii.post_doc, ii.post_impact)
+        elif self.bm25 is not None:
+            imp = self.bm25_impacts
+            ops["bm25_imp"] = (
+                (imp.values, imp.scales) if isinstance(imp, QuantizedDenseIndex) else imp
+            )
+        if self.dense_corpus is not None:
+            dc = self.dense_corpus
+            ops["dense_corpus"] = (
+                (dc.values, dc.scales) if isinstance(dc, QuantizedDenseIndex) else dc
+            )
+            ops["dense_params"] = self.dense_model.params
+        if self.splade_impact_index is not None:
+            si = self.splade_impact_index
+            ops["sp_ii"] = (si.post_doc, si.post_impact)
+            ops["splade_params"] = self.splade_model.params
+        elif self.splade_corpus is not None:
+            sc = self.splade_corpus
+            ops["splade_corpus"] = (
+                (sc.values, sc.scales) if isinstance(sc, QuantizedDenseIndex) else sc
+            )
+            ops["splade_params"] = self.splade_model.params
+        if self.colbert_index is not None:
+            ops["cb_params"] = self.colbert_model.params
+            ci = self.colbert_index
+            if isinstance(ci, CompressedTokenIndex):
+                ops["cb_comp"] = (
+                    ci.centroids, ci.centroid_ids, ci.codes, ci.mask, ci.bucket_weights
+                )
+                if self.colbert_ivf is not None:
+                    ops["cb_ivf"] = self.colbert_ivf.ivf_doc
+            else:
+                ops["cb_prepared"] = ci.prepared()  # (corpus_tm, doc_valid)
+        if self._rerank_active:
+            ops["ce_params"] = self.cross_encoder.params
+            ops["ce_tok"] = self.ce_doc_tokens
+            ops["ce_msk"] = self.ce_doc_mask
+
+        def program(inputs: dict, ops: dict) -> tuple[jax.Array, jax.Array]:
+            import dataclasses
+
             results: dict[str, RankedLists] = {}
-            if self.bm25_impact_index is not None:
+            if "bm25_ii" in ops:
                 from fusion_tpu.index.inverted import impact_search
 
+                index = self.bm25_impact_index._replace(
+                    post_doc=ops["bm25_ii"][0], post_impact=ops["bm25_ii"][1]
+                )
                 results["bm25"] = impact_search(
                     inputs["bm25_terms"],
                     inputs["bm25_weights"].astype(jnp.float32),
-                    self.bm25_impact_index,
-                    k=min(topk, self.bm25_impact_index.n_docs),
+                    index,
+                    k=min(topk, index.n_docs),
                 )
-            elif self.bm25 is not None:
-                imp = self.bm25_impacts
-                v = imp.values.shape[1] if isinstance(imp, QuantizedDenseIndex) else imp.shape[0]
-                qdt = jnp.float32 if isinstance(imp, QuantizedDenseIndex) else imp.dtype
+            elif "bm25_imp" in ops:
+                quantized = isinstance(self.bm25_impacts, QuantizedDenseIndex)
+                imp = ops["bm25_imp"]
+                v = imp[0].shape[1] if quantized else imp.shape[0]
+                qdt = jnp.float32 if quantized else imp.dtype
                 qmat = jnp.zeros((batch, v), dtype=qdt)
                 qmat = jax.vmap(lambda row, t, w: row.at[t].add(w.astype(qdt)))(
                     qmat, inputs["bm25_terms"], inputs["bm25_weights"]
                 )
-                if isinstance(imp, QuantizedDenseIndex):
+                if quantized:
                     results["bm25"] = quantized_dense_search(
-                        qmat, imp, k=min(topk, self.bm25.n_docs)
+                        qmat,
+                        self.bm25_impacts._replace(values=imp[0], scales=imp[1]),
+                        k=min(topk, self.bm25.n_docs),
                     )
                 else:
                     scores = jnp.dot(qmat, imp, preferred_element_type=jnp.float32)
                     results["bm25"] = ranked_from_scores(scores, min(topk, self.bm25.n_docs))
-            if self.dense_corpus is not None:
+            if "dense_corpus" in ops:
                 q = self.dense_model.embed_tokens(
-                    self.dense_model.params, inputs["q_ids"], inputs["q_mask"]
+                    ops["dense_params"], inputs["q_ids"], inputs["q_mask"]
                 )
+                dc = ops["dense_corpus"]
+                if isinstance(self.dense_corpus, QuantizedDenseIndex):
+                    dc = self.dense_corpus._replace(values=dc[0], scales=dc[1])
                 results["dpr"] = _corpus_search(
-                    q, self.dense_corpus, topk, self.dense_model.similarity
+                    q, dc, topk, self.dense_model.similarity
                 )
-            if self.splade_impact_index is not None:
+            if "sp_ii" in ops:
                 from fusion_tpu.index.inverted import (
                     activations_to_query_terms,
                     impact_search,
@@ -365,55 +425,65 @@ class HybridSearcher:
                 from fusion_tpu.models.heads import l2_normalize
 
                 q = self.splade_model.embed_tokens(
-                    self.splade_model.params, inputs["q_ids"], inputs["q_mask"]
+                    ops["splade_params"], inputs["q_ids"], inputs["q_mask"]
                 ).astype(jnp.float32)
                 if self.splade_model.similarity == "cos_sim":
                     q = l2_normalize(q)
                 q_terms, q_weights = activations_to_query_terms(
                     q, self.splade_query_terms
                 )
+                index = self.splade_impact_index._replace(
+                    post_doc=ops["sp_ii"][0], post_impact=ops["sp_ii"][1]
+                )
                 results["splade"] = impact_search(
-                    q_terms, q_weights, self.splade_impact_index,
-                    k=min(topk, self.splade_impact_index.n_docs),
+                    q_terms, q_weights, index, k=min(topk, index.n_docs)
                 )
-            elif self.splade_corpus is not None:
+            elif "splade_corpus" in ops:
                 q = self.splade_model.embed_tokens(
-                    self.splade_model.params, inputs["q_ids"], inputs["q_mask"]
+                    ops["splade_params"], inputs["q_ids"], inputs["q_mask"]
                 )
+                sc = ops["splade_corpus"]
+                if isinstance(self.splade_corpus, QuantizedDenseIndex):
+                    sc = self.splade_corpus._replace(values=sc[0], scales=sc[1])
                 results["splade"] = _corpus_search(
-                    q, self.splade_corpus, topk, self.splade_model.similarity
+                    q, sc, topk, self.splade_model.similarity
                 )
             if self.colbert_index is not None:
                 q_tok = self.colbert_model.embed_tokens(
-                    self.colbert_model.params, inputs["cb_ids"], inputs["cb_mask"]
+                    ops["cb_params"], inputs["cb_ids"], inputs["cb_mask"]
                 )
-                from fusion_tpu.index.compression import (
-                    CompressedTokenIndex,
-                    maxsim_search_compressed,
-                )
+                from fusion_tpu.index.compression import maxsim_search_compressed
 
-                if self.colbert_ivf is not None:
+                if "cb_comp" in ops:
+                    cc = ops["cb_comp"]
+                    index = dataclasses.replace(
+                        self.colbert_index,
+                        centroids=cc[0], centroid_ids=cc[1], codes=cc[2],
+                        mask=cc[3], bucket_weights=cc[4], _prepared=None,
+                    )
+                if "cb_ivf" in ops:
                     from fusion_tpu.index.plaid import plaid_search
 
+                    ivf = self.colbert_ivf._replace(ivf_doc=ops["cb_ivf"])
                     results["colbert"] = plaid_search(
                         q_tok.astype(jnp.float32),
                         inputs["cb_mask"].astype(jnp.float32),
-                        self.colbert_index,
-                        self.colbert_ivf,
+                        index,
+                        ivf,
                         k=topk,
                         nprobe=self.plaid_nprobe,
-                        ncand=min(self.plaid_ncand, self.colbert_ivf.n_docs),
+                        ncand=min(self.plaid_ncand, ivf.n_docs),
                     )
-                elif isinstance(self.colbert_index, CompressedTokenIndex):
+                elif "cb_comp" in ops:
                     results["colbert"] = maxsim_search_compressed(
                         q_tok,
                         inputs["cb_mask"].astype(jnp.float32),
-                        self.colbert_index,
+                        index,
                         k=topk,
                         use_pallas=use_pallas,
                     )
                 else:
-                    corpus_tm, doc_valid = self.colbert_index.prepared()
+                    corpus_tm, doc_valid = ops["cb_prepared"]
                     results["colbert"] = maxsim_search_tm(
                         q_tok.astype(jnp.bfloat16),
                         inputs["cb_mask"].astype(jnp.float32),
@@ -441,16 +511,16 @@ class HybridSearcher:
                 # recall@k beyond the rerank depth is unchanged.
                 kr = min(self.rerank_depth, fused.depth)
                 head_ids = fused.ids[:, :kr]
-                safe = jnp.clip(head_ids, 0, self.ce_doc_tokens.shape[0] - 1)
+                safe = jnp.clip(head_ids, 0, ops["ce_tok"].shape[0] - 1)
                 # the corpus token matrix may be stored uint16/int8 (memory
                 # bill at corpus scale) — upcast only the gathered candidates
-                d_ids = self.ce_doc_tokens[safe].astype(jnp.int32)
+                d_ids = ops["ce_tok"][safe].astype(jnp.int32)
                 d_mask = (
-                    self.ce_doc_mask[safe].astype(jnp.int32)
+                    ops["ce_msk"][safe].astype(jnp.int32)
                     * (head_ids >= 0)[..., None]
                 )
                 logits = self.cross_encoder.rerank_tokens(
-                    self.cross_encoder.params,
+                    ops["ce_params"],
                     inputs["ce_ids"],
                     inputs["ce_mask"],
                     d_ids,
@@ -460,7 +530,12 @@ class HybridSearcher:
                 fused = rerank_head_merge(fused, head_ids, logits)
             return fused.ids, fused.scores
 
-        self._jitted[key] = jax.jit(program)
+        jitted = jax.jit(program)
+
+        def call(inputs: dict):
+            return jitted(inputs, ops)
+
+        self._jitted[key] = call
         return self._jitted[key]
 
     # ------------------------------------------------------------------

@@ -563,7 +563,15 @@ class ShardedHybridSearcher(HybridSearcher):
             # cross-encoder params ride as the LAST operand (replicated)
             add(ce_params, P())
 
-        def program(inputs: dict) -> tuple[jax.Array, jax.Array]:
+        enc_params: dict[str, object] = {}
+        if self.dense_leg is not None:
+            enc_params["dense"] = self.dense_model.params
+        if self.splade_shards is not None or self.splade_leg is not None:
+            enc_params["splade"] = self.splade_model.params
+        if self.plaid_shards is not None:
+            enc_params["colbert"] = self.colbert_model.params
+
+        def program(inputs: dict, enc_params: dict, *arrs) -> tuple[jax.Array, jax.Array]:
             # replicated query encodings (host tokens → embeddings)
             queries: dict[str, jax.Array] = {}
             if "bm25" in slots:
@@ -571,11 +579,11 @@ class ShardedHybridSearcher(HybridSearcher):
                 queries["bm25_weights"] = inputs["bm25_weights"]
             if "dense" in slots:
                 queries["q_dense"] = self.dense_model.embed_tokens(
-                    self.dense_model.params, inputs["q_ids"], inputs["q_mask"]
+                    enc_params["dense"], inputs["q_ids"], inputs["q_mask"]
                 )
             if "splade_imp" in slots or "splade_dense" in slots:
                 q = self.splade_model.embed_tokens(
-                    self.splade_model.params, inputs["q_ids"], inputs["q_mask"]
+                    enc_params["splade"], inputs["q_ids"], inputs["q_mask"]
                 )
                 if "splade_imp" in slots:
                     qf = q.astype(jnp.float32)
@@ -589,7 +597,7 @@ class ShardedHybridSearcher(HybridSearcher):
                     queries["q_splade"] = q
             if "plaid" in slots:
                 queries["q_colbert"] = self.colbert_model.embed_tokens(
-                    self.colbert_model.params, inputs["cb_ids"], inputs["cb_mask"]
+                    enc_params["colbert"], inputs["cb_ids"], inputs["cb_mask"]
                 )
                 queries["cb_mask"] = inputs["cb_mask"]
             if rerank:
@@ -604,7 +612,15 @@ class ShardedHybridSearcher(HybridSearcher):
                 out_specs=(P(), P()),
                 check_vma=False,
             )
-            return fn(queries, *shard_args)
+            return fn(queries, *arrs)
 
-        self._programs[key] = jax.jit(program)
+        # shard arrays ride as jit ARGUMENTS — closing over them captures
+        # them as mlir constants at lowering (GBs baked into the executable
+        # at corpus scale: compile blow-up + a second HBM copy)
+        jitted = jax.jit(program)
+
+        def call(inputs: dict):
+            return jitted(inputs, enc_params, *shard_args)
+
+        self._programs[key] = call
         return self._programs[key]
