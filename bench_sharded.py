@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--topk", type=int, default=1000)
     ap.add_argument("--rerank_depth", type=int, default=100)
     ap.add_argument("--dense_impl", default="fused", choices=["block", "fused"])
+    ap.add_argument("--ce_attention", default="einsum",
+                    choices=["einsum", "einsum_bf16", "flash"])
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
     args = ap.parse_args()
@@ -97,7 +99,11 @@ def main():
     dense = BiEncoder(cfg, head="dense", max_query_length=LQ, max_doc_length=128)
     splade = BiEncoder(cfg, head="splade", max_query_length=LQ, max_doc_length=128)
     colbert = ColBERT(cfg, dim=D, max_query_length=LQ, max_doc_length=128)
-    ce = CrossEncoder(ce_cfg, max_length=LQ + LD_CE)
+    import dataclasses as _dc
+
+    ce = CrossEncoder(
+        _dc.replace(ce_cfg, attention_impl=args.ce_attention), max_length=LQ + LD_CE
+    )
 
     # ---- on-device synthesis of ONE shard of every index ----------------
     print(f"# synthesizing shard: per={per} docs (N={N}, S={S})", file=sys.stderr)
@@ -186,6 +192,21 @@ def main():
         "ce_mask": jnp.ones((B, LQ), jnp.int32),
     }
 
+    tiny = jnp.zeros((), jnp.float32) + 1.0
+    fetch(tiny)
+
+    def measure_rtt():
+        """Tunnel round-trip floor: MIN of repeated tiny fetches on an
+        ALREADY-materialized scalar (a mean can swallow a stray program
+        completion and over-refund — observed 208 ms 'rtt' that clamped a
+        ~200 ms batch to zero)."""
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fetch(tiny)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
     def run(depth, label):
         searcher.rerank_depth = depth
         searcher._programs.clear()
@@ -194,21 +215,18 @@ def main():
         ids, scores = program(inputs)
         fetch(ids)
         compile_s = time.perf_counter() - t0
-        # tunnel RTT refund (measured per call, as in bench_mmarco)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            fetch(ids[:1, :1])
-        rtt = (time.perf_counter() - t0) / 3
+        rtt = measure_rtt()
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
             ids, scores = program(inputs)
             fetch(ids)
-            times.append(time.perf_counter() - t0 - rtt)
-        # the RTT refund can exceed tiny CPU timings — clamp, never negative
-        dt = max(float(np.median(times)), 1e-4)
-        print(f"# {label}: {dt * 1000:.1f} ms/batch (compile+first {compile_s:.1f}s, "
-              f"rtt {rtt * 1000:.1f} ms)", file=sys.stderr)
+            times.append(time.perf_counter() - t0)
+        raw = float(np.median(times))
+        dt = max(raw - rtt, 1e-4)
+        print(f"# {label}: {dt * 1000:.1f} ms/batch (raw {raw * 1000:.1f}, "
+              f"compile+first {compile_s:.1f}s, rtt {rtt * 1000:.1f} ms)",
+              file=sys.stderr)
         return dt
 
     dt_hybrid = run(0, "sharded hybrid, 4 legs + fusion")
@@ -217,6 +235,7 @@ def main():
     detail = {
         "corpus_docs": N, "shards": S, "docs_per_shard": per, "batch": B,
         "topk": TOPK, "dense_impl": args.dense_impl,
+        "ce_attention": args.ce_attention,
         "shard_index_gb": round(idx_gb, 2),
         "est_total_index_gb": round(idx_gb * S, 1),
         "ms_per_batch_4legs_fusion": round(dt_hybrid * 1000, 2),
