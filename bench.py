@@ -202,6 +202,16 @@ def main():
     dt = max((time.perf_counter() - t0 - t_single) / (iters - 1), 1e-9)
     qps = B / dt
 
+    # tunnel round-trip cost (refunded from host-hop stages below: on local
+    # hardware a small fetch is ~0.1 ms, not the tunnel RTT)
+    tiny = jnp.zeros((32, 1000), jnp.float32)
+    bump = jax.jit(lambda x, i: x + i)
+    np.asarray(bump(tiny, 1))  # compile + warm the transfer path
+    t0 = time.perf_counter()
+    for i in range(8):
+        np.asarray(bump(tiny, i))
+    t_rt = (time.perf_counter() - t0) / 8
+
     # ------------------------------------------------------------------
     # monoBERT rerank stage (north-star config 5: hybrid + rerank top-100,
     # reference hybrid.py:457-462): 64×100 (query, candidate) token pairs
@@ -218,8 +228,8 @@ def main():
     ce_doc_toks = jax.random.randint(
         kc, (N, LD_CE), 5, cfg.vocab_size - 5, dtype=jnp.int32
     ).astype(jnp.uint16)
-    ce_len = jax.random.randint(jax.random.PRNGKey(8), (N, 1), 40, LD_CE + 1)
-    ce_doc_mask = (jnp.arange(LD_CE)[None, :] < ce_len).astype(jnp.int8)
+    ce_len_np = rng.integers(40, LD_CE + 1, size=(N, 1))
+    ce_doc_mask = (jnp.arange(LD_CE)[None, :] < jnp.asarray(ce_len_np)).astype(jnp.int8)
     ce_ids_np, ce_mask_np = ce.encode_queries_raw(queries_tokens, max_query_tokens=32)
     ce_ids, ce_mask = jnp.asarray(ce_ids_np), jnp.asarray(ce_mask_np)
 
@@ -267,6 +277,46 @@ def main():
 
     ce_b = CrossEncoder(_cfg_replace(cfg, attention_impl="einsum_bf16"), max_length=256)
     dt_rr_b = time_rerank(ce_b, "einsum_bf16")
+
+    # length-bucketed rerank (serving: HybridSearcher(rerank_buckets=...)):
+    # each pair padded to its doc's bucket width, not the corpus max — the
+    # candidate ids hop to the host to build gather indices, so each batch
+    # pays 2 host round-trips (refunded at the measured tunnel RTT; on
+    # local hardware they are ~0.1 ms)
+    ce_doc_lens = ce_len_np.ravel().astype(np.int32)
+    BUCKETS = (64, 128, 192, LD_CE)
+    merge_jit = jax.jit(
+        lambda ids, scores, head, logits: (
+            lambda o: (o.ids, o.scores)
+        )(rerank_head_merge(RankedLists(ids=ids, scores=scores), head, logits))
+    )
+
+    def time_rerank_bucketed(ce_obj, label):
+        def once():
+            ids, scores = hybrid_jit(*args)
+            head = np.asarray(ids[:, :RERANK_DEPTH])
+            logits = ce_obj.rerank_tokens_bucketed(
+                ce.params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask,
+                head, ce_doc_lens, buckets=BUCKETS, pair_chunk=512,
+            )
+            return merge_jit(ids, scores, jnp.asarray(head), logits)
+
+        t0 = time.perf_counter()
+        fetch(once())
+        print(f"# hybrid+rerank[{label}] compile+first run: "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        rr_iters = 4
+        t0 = time.perf_counter()
+        for _ in range(rr_iters):
+            fetch(once())
+        raw = (time.perf_counter() - t0) / rr_iters
+        adj = max(raw - 2 * t_rt, dt)
+        print(f"# hybrid+rerank[{label}]: {adj*1000:.1f} ms/batch rtt-refunded "
+              f"(raw {raw*1000:.1f}; stage alone ~{(adj-dt)*1000:.1f} ms)",
+              file=sys.stderr)
+        return adj, raw
+
+    dt_rr_bk, dt_rr_bk_raw = time_rerank_bucketed(ce_b, "einsum_bf16+buckets")
 
     # ------------------------------------------------------------------
     # baseline: reference-structure pipeline (host sparse BM25 scoring,
@@ -331,15 +381,8 @@ def main():
 
     # correct for the tunnel round-trip on this testbed: the baseline's
     # per-system host syncs are inherent to its structure, but on local
-    # hardware they cost ~0.1 ms, not the tunnel RTT. Measure the RTT with
-    # a tiny fetch and refund it for the 6 host round-trips per batch.
-    tiny = jnp.zeros((32, 1000), jnp.float32)
-    bump = jax.jit(lambda x, i: x + i)
-    np.asarray(bump(tiny, 1))  # compile + warm the transfer path
-    t0 = time.perf_counter()
-    for i in range(8):
-        np.asarray(bump(tiny, i))
-    t_rt = (time.perf_counter() - t0) / 8
+    # hardware they cost ~0.1 ms, not the tunnel RTT — refund the measured
+    # RTT for the 6 host round-trips per batch.
     dt_base_adj = max(dt_base - 6 * t_rt, dt)
     qps_base = B / dt_base_adj
 
@@ -364,6 +407,13 @@ def main():
                 "q_per_s_with_rerank": round(B / dt_rr, 2),
                 "ms_per_batch_rerank_stage_bf16attn": round((dt_rr_b - dt) * 1000, 2),
                 "q_per_s_with_rerank_bf16attn": round(B / dt_rr_b, 2),
+                "ms_per_batch_rerank_stage_bf16attn_bucketed": round(
+                    (dt_rr_bk - dt) * 1000, 2
+                ),
+                "ms_per_batch_rerank_bucketed_raw": round(dt_rr_bk_raw * 1000, 2),
+                "q_per_s_with_rerank_bucketed": round(B / dt_rr_bk, 2),
+                "buckets": list(BUCKETS),
+                "doc_len_mix": "uniform 40-220 tokens",
             },
         },
     }))

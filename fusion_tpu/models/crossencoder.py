@@ -105,8 +105,11 @@ class CrossEncoder:
     # device-resident rerank path (serving)
     # ------------------------------------------------------------------
     def prepare_corpus_tokens(
-        self, documents: Sequence[str], max_doc_tokens: int | None = None
-    ) -> tuple[jax.Array, jax.Array]:
+        self,
+        documents: Sequence[str],
+        max_doc_tokens: int | None = None,
+        return_lens: bool = False,
+    ):
         """Tokenize the corpus ONCE into fixed-shape device arrays.
 
         Returns raw doc token ids/mask ``int32[N, Ld]`` with no special
@@ -121,16 +124,64 @@ class CrossEncoder:
         # tokens = 9 GB int32 vs 4.5 GB); the rerank program only gathers
         # candidate rows and upcasts those
         id_dtype = jnp.uint16 if self.cfg.vocab_size <= 65_535 else jnp.int32
-        return (
+        mask_np = np.asarray(mask, dtype=np.int8)
+        out = (
             jnp.asarray(np.asarray(ids).astype(id_dtype)),
-            jnp.asarray(np.asarray(mask, dtype=np.int8)),
+            jnp.asarray(mask_np),
         )
+        if return_lens:
+            # host-side token counts for the length-bucketed rerank path —
+            # computed BEFORE upload (a device round-trip at corpus scale
+            # would ship the whole mask back through the tunnel)
+            return out + (mask_np.sum(axis=1).astype(np.int32),)
+        return out
 
     def encode_queries_raw(
         self, queries: Sequence[str], max_query_tokens: int = 32
     ) -> tuple[np.ndarray, np.ndarray]:
         """Raw query tokens (no specials) for the device rerank program."""
         return self.tokenizer(queries, max_length=max_query_tokens, add_special_tokens=False)
+
+    def _pair_layout(self, q_ids, q_mask, d_ids, d_mask):
+        """[n, Lq] + [n, Ld] → fixed-slot pair tokens [n, 2 + Lq + Ld].
+
+        Layout ``[CLS | q (Lq slots) | SEP | d (Ld slots)]`` — query padding
+        stays mid-sequence with attention 0, so no data-dependent packing is
+        needed under jit; mid-sequence pad slots hold the pad id so position
+        ids stay consistent with the host path (roberta positions skip pads).
+        """
+        n = q_ids.shape[0]
+        tok = self.tokenizer
+        cls_col = jnp.full((n, 1), tok.cls_token_id, jnp.int32)
+        sep_col = jnp.full((n, 1), tok.sep_token_id, jnp.int32)
+        ones = jnp.ones((n, 1), jnp.int32)
+        ids = jnp.concatenate(
+            [cls_col, q_ids.astype(jnp.int32), sep_col, d_ids.astype(jnp.int32)], axis=-1
+        )
+        mask = jnp.concatenate(
+            [ones, q_mask.astype(jnp.int32), ones, d_mask.astype(jnp.int32)], axis=-1
+        )
+        return jnp.where(mask > 0, ids, tok.pad_token_id), mask
+
+    def _score_pairs_chunked(self, params, flat_ids, flat_mask, pair_chunk: int):
+        """[n, L] pair tokens → [n] logits, ``lax.map`` over pair_chunk-sized
+        chunks to bound activation memory."""
+        n, seq = flat_ids.shape
+        tok = self.tokenizer
+        pc = min(pair_chunk, n)
+        nchunks = -(-n // pc)
+        padn = nchunks * pc - n
+        if padn:
+            pad_ids = jnp.full((padn, seq), tok.pad_token_id, jnp.int32)
+            # keep CLS attended on filler rows so softmax stays finite
+            pad_mask = jnp.zeros((padn, seq), jnp.int32).at[:, 0].set(1)
+            flat_ids = jnp.concatenate([flat_ids, pad_ids])
+            flat_mask = jnp.concatenate([flat_mask, pad_mask])
+        logits = jax.lax.map(
+            lambda c: self.score_tokens(params, c[0], c[1], train=False),
+            (flat_ids.reshape(nchunks, pc, seq), flat_mask.reshape(nchunks, pc, seq)),
+        )
+        return logits.reshape(-1)[:n]
 
     def rerank_tokens(
         self,
@@ -143,44 +194,116 @@ class CrossEncoder:
     ) -> jax.Array:
         """Jittable candidate scoring: [Q, K] relevance logits in one program.
 
-        Pairs use a fixed-slot layout ``[CLS | q (Lq slots) | SEP | d (Ld
-        slots)]`` — query padding stays mid-sequence with attention 0, so no
-        data-dependent packing is needed under jit.  (The host ``predict``
-        path keeps the HF densely-packed pair encoding for checkpoint
-        parity.)  The [Q*K] pair batch runs through ``lax.map`` in
-        ``pair_chunk``-sized chunks to bound activation memory.
+        Every pair is padded to the full doc width; see
+        ``rerank_tokens_bucketed`` for the length-bucketed serving variant.
         """
         q, k, ld = doc_ids.shape
         lq = q_ids.shape[1]
-        tok = self.tokenizer
-        cls_col = jnp.full((q, k, 1), tok.cls_token_id, jnp.int32)
-        sep_col = jnp.full((q, k, 1), tok.sep_token_id, jnp.int32)
-        ones = jnp.ones((q, k, 1), jnp.int32)
-        qe = jnp.broadcast_to(q_ids[:, None, :], (q, k, lq)).astype(jnp.int32)
-        qm = jnp.broadcast_to(q_mask[:, None, :], (q, k, lq)).astype(jnp.int32)
-        seq = 2 + lq + ld
-        ids = jnp.concatenate([cls_col, qe, sep_col, doc_ids.astype(jnp.int32)], axis=-1)
-        mask = jnp.concatenate([ones, qm, ones, doc_mask.astype(jnp.int32)], axis=-1)
-        # mid-sequence pad slots must hold the pad id so position ids stay
-        # consistent with the host path (roberta positions skip pads)
-        ids = jnp.where(mask > 0, ids, tok.pad_token_id)
-        n = q * k
-        pc = min(pair_chunk, n)
-        nchunks = -(-n // pc)
-        flat_ids = ids.reshape(n, seq)
-        flat_mask = mask.reshape(n, seq)
-        padn = nchunks * pc - n
-        if padn:
-            pad_ids = jnp.full((padn, seq), tok.pad_token_id, jnp.int32)
-            # keep CLS attended on filler rows so softmax stays finite
-            pad_mask = jnp.zeros((padn, seq), jnp.int32).at[:, 0].set(1)
-            flat_ids = jnp.concatenate([flat_ids, pad_ids])
-            flat_mask = jnp.concatenate([flat_mask, pad_mask])
-        logits = jax.lax.map(
-            lambda c: self.score_tokens(params, c[0], c[1], train=False),
-            (flat_ids.reshape(nchunks, pc, seq), flat_mask.reshape(nchunks, pc, seq)),
+        qe = jnp.broadcast_to(q_ids[:, None, :], (q, k, lq)).reshape(q * k, lq)
+        qm = jnp.broadcast_to(q_mask[:, None, :], (q, k, lq)).reshape(q * k, lq)
+        ids, mask = self._pair_layout(
+            qe, qm, doc_ids.reshape(q * k, ld), doc_mask.reshape(q * k, ld)
         )
-        return logits.reshape(-1)[:n].reshape(q, k)
+        return self._score_pairs_chunked(params, ids, mask, pair_chunk).reshape(q, k)
+
+    # -- length-bucketed rerank (host-orchestrated) ---------------------
+    _BUCKET_CHUNK_GRID = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+
+    def _bucket_fns(self, ld: int, cap: int, pc: int):
+        """Jitted scorer + scatter for one (doc width, capacity) bucket shape."""
+        cache = getattr(self, "_bucket_jit_cache", None)
+        if cache is None:
+            cache = self._bucket_jit_cache = {}
+        key = (ld, cap, pc)
+        if key not in cache:
+
+            def score(params, q_ids, q_mask, doc_tokens, doc_mask, q_row, cand, pvalid):
+                # gather candidate doc rows, truncate to the bucket width;
+                # corpus tokens may be stored uint16/int8 — upcast the
+                # gathered candidates only
+                d_ids = doc_tokens[cand][:, :ld].astype(jnp.int32)
+                d_msk = doc_mask[cand][:, :ld].astype(jnp.int32) * pvalid[:, None]
+                qe = q_ids[q_row].astype(jnp.int32)
+                qm = q_mask[q_row].astype(jnp.int32)
+                ids, mask = self._pair_layout(qe, qm, d_ids, d_msk)
+                return self._score_pairs_chunked(params, ids, mask, pc)
+
+            def scatter(buf, slot, vals):
+                # filler entries carry slot == len(buf) - 1 (trimmed after)
+                return buf.at[slot].set(vals)
+
+            cache[key] = (jax.jit(score), jax.jit(scatter))
+        return cache[key]
+
+    def rerank_tokens_bucketed(
+        self,
+        params,
+        q_ids: jax.Array,  # [Q, Lq] device
+        q_mask: jax.Array,
+        doc_tokens: jax.Array,  # [N, Ld_full] device (uint16/int32)
+        doc_mask: jax.Array,  # [N, Ld_full] device (int8/int32)
+        head_ids: np.ndarray,  # [Q, Kr] HOST candidate ids (pad -1)
+        doc_lens: np.ndarray,  # [N] HOST token counts
+        buckets: Sequence[int] = (64, 128, 192, 256),
+        pair_chunk: int = 512,
+    ) -> jax.Array:
+        """Length-bucketed candidate scoring: [Q, Kr] logits on device.
+
+        Pads each (query, candidate) pair only to the smallest bucket width
+        that fits its document instead of the corpus-wide max — encoder
+        FLOPs scale with tokens, so a 40–220-token length mix runs ~1.5x
+        faster than the flat ``rerank_tokens`` path.  EXACT vs the
+        full-width path: pad slots carry attention 0 (excluded from softmax
+        by the additive bias) and do not shift roberta position ids (the
+        non-pad cumsum skips them), so a doc scores identically at any
+        width ≥ its length.
+
+        Host-orchestrated: candidate ids must be on the host (one small
+        fetch per batch — ~0.1 ms on local PCIe), which is why this is not
+        part of the single fused device program.  Compiled shapes are
+        bounded by snapping each bucket's pair count to a geometric
+        chunk-count grid (filler pairs score a CLS-only row and are
+        discarded).
+        """
+        qn, kr = head_ids.shape
+        n_docs, ld_full = doc_tokens.shape
+        flat = head_ids.reshape(-1).astype(np.int64)
+        valid = flat >= 0
+        safe = np.clip(flat, 0, n_docs - 1)
+        lens = np.where(valid, np.asarray(doc_lens)[safe], 0)
+        ladder = sorted({min(int(b), ld_full) for b in buckets if b > 0})
+        if not ladder or ladder[-1] < ld_full:
+            ladder.append(ld_full)
+        bidx = np.searchsorted(np.asarray(ladder), lens)
+        n = qn * kr
+        # extra slot swallows filler writes
+        buf = jnp.full(n + 1, 0.0, jnp.float32)
+        for bi, ld in enumerate(ladder):
+            sel = np.nonzero(bidx == bi)[0]
+            if sel.size == 0:
+                continue
+            pc = min(pair_chunk, max(256, 1 << (sel.size - 1).bit_length()))
+            nchunks = -(-sel.size // pc)
+            for g in self._BUCKET_CHUNK_GRID:
+                if g >= nchunks:
+                    nchunks = g
+                    break
+            cap = nchunks * pc
+            slot = np.full(cap, n, np.int32)
+            slot[: sel.size] = sel
+            cand = np.zeros(cap, np.int32)
+            cand[: sel.size] = safe[sel]
+            pval = np.zeros(cap, np.int32)
+            pval[: sel.size] = valid[sel]
+            q_row = np.zeros(cap, np.int32)
+            q_row[: sel.size] = sel // kr
+            score, scatter = self._bucket_fns(ld, cap, pc)
+            logits = score(
+                params, q_ids, q_mask, doc_tokens, doc_mask,
+                jnp.asarray(q_row), jnp.asarray(cand), jnp.asarray(pval),
+            )
+            buf = scatter(buf, jnp.asarray(slot), logits)
+        return buf[:n].reshape(qn, kr)
 
     def rerank(
         self,

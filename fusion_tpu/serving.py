@@ -130,9 +130,13 @@ class HybridSearcher:
     cross_encoder: object | None = None
     ce_doc_tokens: jax.Array | None = None
     ce_doc_mask: jax.Array | None = None
+    ce_doc_lens: np.ndarray | None = None  # host token counts (bucketed rerank)
     rerank_depth: int = 0
     ce_query_length: int = 32
     rerank_chunk: int = 512
+    # doc-width ladder for the length-bucketed rerank stage; None = flat
+    # full-width rerank inside the single device program
+    rerank_buckets: tuple | None = None
     fusion_method: str = "rrf"
     normalization: str | None = None
     linear_weights: Mapping[str, float] | None = None
@@ -173,6 +177,7 @@ class HybridSearcher:
         plaid_nprobe: int = 4,
         plaid_ncand: int = 4096,
         ivf_cap: int = 4096,
+        rerank_buckets: tuple | None = None,
     ) -> "HybridSearcher":
         """Encode/build every requested index once (offline).
 
@@ -287,9 +292,12 @@ class HybridSearcher:
                 # so building them there would double the index HBM
                 out.colbert_index.prepared()
         if cross_encoder is not None:
-            out.ce_doc_tokens, out.ce_doc_mask = cross_encoder.prepare_corpus_tokens(
-                documents, max_doc_tokens=ce_max_doc_tokens
+            out.ce_doc_tokens, out.ce_doc_mask, out.ce_doc_lens = (
+                cross_encoder.prepare_corpus_tokens(
+                    documents, max_doc_tokens=ce_max_doc_tokens, return_lens=True
+                )
             )
+            out.rerank_buckets = rerank_buckets
         return out
 
     @property
@@ -318,7 +326,7 @@ class HybridSearcher:
     # ------------------------------------------------------------------
     def _device_program(self, batch: int, use_pallas: bool):
         """The fused per-batch executable (traced once per batch size)."""
-        key = (batch, use_pallas)
+        key = (batch, use_pallas, self.rerank_buckets is None)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -368,7 +376,8 @@ class HybridSearcher:
                     ops["cb_ivf"] = self.colbert_ivf.ivf_doc
             else:
                 ops["cb_prepared"] = ci.prepared()  # (corpus_tm, doc_valid)
-        if self._rerank_active:
+        in_program_rerank = self._rerank_active and self.rerank_buckets is None
+        if in_program_rerank:
             ops["ce_params"] = self.cross_encoder.params
             ops["ce_tok"] = self.ce_doc_tokens
             ops["ce_msk"] = self.ce_doc_mask
@@ -503,7 +512,7 @@ class HybridSearcher:
                     linear_weights=weights if self.fusion_method == "nsf" else None,
                     return_topk=topk,
                 )
-            if self._rerank_active:
+            if in_program_rerank:
                 # monoBERT final stage (reference hybrid.py:457-462): gather
                 # the fused head's doc tokens on device, score every
                 # (query, candidate) pair in one chunked forward, re-sort
@@ -613,6 +622,7 @@ class HybridSearcher:
                 # the rerank program upcasts gathered candidates only
                 self.ce_doc_tokens = jnp.asarray(z["ids"])
                 self.ce_doc_mask = jnp.asarray(z["mask"])
+                self.ce_doc_lens = z["mask"].sum(axis=1).astype(np.int32)
         self._jitted.clear()
         return self
 
@@ -657,6 +667,37 @@ class HybridSearcher:
             inputs["ce_ids"], inputs["ce_mask"] = jnp.asarray(ids), jnp.asarray(mask)
         return inputs
 
+    def _bucketed_rerank_stage(
+        self, inputs: dict, ids: jax.Array, scores: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """Length-bucketed monoBERT stage: fetch the fused head ids (small),
+        score each (query, candidate) pair padded only to its length bucket,
+        merge on device (see CrossEncoder.rerank_tokens_bucketed)."""
+        kr = min(self.rerank_depth, ids.shape[1])
+        head_ids = np.asarray(ids[:, :kr])
+        logits = self.cross_encoder.rerank_tokens_bucketed(
+            self.cross_encoder.params,
+            inputs["ce_ids"],
+            inputs["ce_mask"],
+            self.ce_doc_tokens,
+            self.ce_doc_mask,
+            head_ids,
+            self.ce_doc_lens,
+            buckets=self.rerank_buckets,
+            pair_chunk=self.rerank_chunk,
+        )
+        merge = self._jitted.get("_bucket_merge")
+        if merge is None:
+
+            def _merge(ids, scores, head_ids, logits):
+                out = rerank_head_merge(
+                    RankedLists(ids=ids, scores=scores), head_ids, logits
+                )
+                return out.ids, out.scores
+
+            merge = self._jitted["_bucket_merge"] = jax.jit(_merge)
+        return merge(ids, scores, jnp.asarray(head_ids), logits)
+
     def search(
         self,
         queries: Sequence[str],
@@ -682,6 +723,8 @@ class HybridSearcher:
             inputs = self._prepare_inputs(chunk)
             program = self._device_program(len(chunk), use_pallas)
             ids, scores = program(inputs)
+            if self._rerank_active and self.rerank_buckets is not None:
+                ids, scores = self._bucketed_rerank_stage(inputs, ids, scores)
             if pending is not None:
                 p_ids, p_scores, p_real = pending
                 out_ids.append(np.asarray(p_ids)[:p_real])

@@ -162,6 +162,60 @@ def test_rerank_tokens_chunk_invariance():
     np.testing.assert_allclose(np.asarray(s_one), np.asarray(s_chunked), rtol=2e-5, atol=2e-5)
 
 
+def test_rerank_bucketed_matches_full_width():
+    """Length-bucketed scoring must equal the flat full-width path: pad
+    slots carry attention 0 and don't shift roberta positions, so a doc
+    scores identically at any bucket width >= its length."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=64)
+    docs = list(CORPUS.values()) + ["один"]  # mixed lengths incl. 1 token
+    d_ids, d_mask, d_lens = ce.prepare_corpus_tokens(
+        docs, max_doc_tokens=24, return_lens=True
+    )
+    q_ids, q_mask = ce.encode_queries_raw(QUERIES, max_query_tokens=6)
+    q_ids, q_mask = jnp.asarray(q_ids), jnp.asarray(q_mask)
+    head = np.array([[0, 3, 8, -1], [5, 1, 2, 6], [7, 4, 0, -1]], np.int32)
+    cand = jnp.asarray(np.clip(head, 0, len(docs) - 1))
+    full = ce.rerank_tokens(
+        ce.params, q_ids, q_mask,
+        d_ids[cand].astype(jnp.int32),
+        d_mask[cand].astype(jnp.int32) * (head >= 0)[..., None],
+        pair_chunk=4,
+    )
+    bucketed = ce.rerank_tokens_bucketed(
+        ce.params, q_ids, q_mask, d_ids, d_mask, head, d_lens,
+        buckets=(4, 8, 16, 24), pair_chunk=4,
+    )
+    f, b = np.asarray(full), np.asarray(bucketed)
+    valid = head >= 0
+    np.testing.assert_allclose(b[valid], f[valid], rtol=2e-5, atol=2e-5)
+
+
+def test_searcher_rerank_bucketed_matches_flat(models):
+    """HybridSearcher with rerank_buckets must rank exactly like the
+    in-program full-width rerank."""
+    dense, _, _ = models
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    kwargs = dict(dense_model=dense, batch_size=4, topk=8)
+    flat = HybridSearcher.build(CORPUS, cross_encoder=ce, rerank_depth=4, **kwargs)
+    buck = HybridSearcher.build(
+        CORPUS, cross_encoder=ce, rerank_depth=4,
+        rerank_buckets=(8, 16, 32), **kwargs,
+    )
+    assert buck.ce_doc_lens is not None
+    r_flat, _ = flat.search(QUERIES, batch_size=4, use_pallas=False)
+    r_buck, _ = buck.search(QUERIES, batch_size=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(r_flat.ids), np.asarray(r_buck.ids))
+    np.testing.assert_allclose(
+        np.asarray(r_flat.scores), np.asarray(r_buck.scores), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_rerank_index_persistence(models, tmp_path):
     from fusion_tpu.models.crossencoder import CrossEncoder
 
