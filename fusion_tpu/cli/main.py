@@ -583,6 +583,7 @@ def cmd_serve(args):
             plaid_nprobe=args.plaid_nprobe,
             plaid_ncand=args.plaid_ncand,
             ivf_cap=args.ivf_cap,
+            rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
         )
         searcher.save_indexes(args.index_dir)
         print(json.dumps({
@@ -597,6 +598,7 @@ def cmd_serve(args):
         fusion_method=args.fusion,
         plaid_nprobe=args.plaid_nprobe, plaid_ncand=args.plaid_ncand,
         splade_query_terms=args.splade_query_terms,
+        rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
     ).load_indexes(args.index_dir, int8_corpus=args.int8_corpus)
     if args.run_bm25:
         from fusion_tpu.data.preprocessor import TextPreprocessor
@@ -743,6 +745,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="postings kept per term in the impact-ordered indexes")
     sp.add_argument("--splade_query_terms", type=int, default=64,
                     help="query activations kept for the SPLADE impact leg")
+    sp.add_argument("--rerank_buckets", type=int, nargs="*", default=None,
+                    help="doc-width ladder for length-bucketed monoBERT "
+                         "rerank (e.g. 64 128 192 256); omit for the flat "
+                         "full-width in-program rerank")
     sp.set_defaults(fn=cmd_serve)
     return p
 

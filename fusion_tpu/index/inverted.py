@@ -372,7 +372,9 @@ def build_chunked_impact_index(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_docs", "docs_per_chunk", "k", "local_k", "bf16_payload"),
+    static_argnames=(
+        "n_docs", "docs_per_chunk", "k", "local_k", "bf16_payload", "packed_sort"
+    ),
 )
 def _chunked_impact_search(
     q_terms: jax.Array,  # int32 [Q, Kq] (pad >= vocab_size)
@@ -384,6 +386,7 @@ def _chunked_impact_search(
     k: int,
     local_k: int,
     bf16_payload: bool,
+    packed_sort: bool = False,
 ) -> RankedLists:
     from fusion_tpu.ops.segscan import segmented_run_totals
 
@@ -391,6 +394,7 @@ def _chunked_impact_search(
     vp1, c, capc = post_doc.shape
     terms = jnp.clip(q_terms, 0, vp1 - 1)
     docs = post_doc[terms]  # [Q, Kq, C, capc] — contiguous row gathers
+    packed_sort = packed_sort and bf16_payload  # packing needs 16-bit payload
     if bf16_payload:
         # stay 2-byte end to end: f16 gather × f16 weights, f16 payload
         # sort (impacts and query weights are O(1)-scale — far from f16
@@ -401,8 +405,24 @@ def _chunked_impact_search(
     width = kq * capc
     docs = docs.transpose(0, 2, 1, 3).reshape(q * c, width)
     vals = vals.transpose(0, 2, 1, 3).reshape(q * c, width)
-    # narrow per-chunk sort: uint16 keys, 2-byte payload
-    docs_s, vals_s = jax.lax.sort((docs, vals), num_keys=1)
+    if packed_sort:
+        # ONE u32 operand instead of key+payload: doc id in the high 16
+        # bits, f16 impact bits low.  Impacts are >= 0, so their bit
+        # pattern is order-preserving — and within-run order is irrelevant
+        # anyway (the run reduction sums every entry of a doc's run).  The
+        # sentinel doc 0xFFFF still sorts last.  Halves the comparator
+        # network's payload traffic.
+        key = (docs.astype(jnp.uint32) << 16) | jax.lax.bitcast_convert_type(
+            vals, jnp.uint16
+        ).astype(jnp.uint32)
+        key_s = jax.lax.sort(key)
+        docs_s = (key_s >> 16).astype(jnp.uint16)
+        vals_s = jax.lax.bitcast_convert_type(
+            (key_s & 0xFFFF).astype(jnp.uint16), jnp.float16
+        )
+    else:
+        # narrow per-chunk sort: uint16 keys, 2-byte payload
+        docs_s, vals_s = jax.lax.sort((docs, vals), num_keys=1)
     seg, is_end = segmented_run_totals(docs_s, vals_s.astype(jnp.float32), kq)
     real = docs_s != jnp.uint16(CHUNK_SENTINEL)
     scores = jnp.where(is_end & real, seg, -jnp.inf)
@@ -441,6 +461,7 @@ def chunked_impact_search(
     k: int = 1000,
     local_k: int = 128,
     bf16_payload: bool = True,
+    packed_sort: bool = True,
 ) -> RankedLists:
     """Query-driven scoring over the chunked impact index.
 
@@ -449,11 +470,14 @@ def chunked_impact_search(
     than local_k of the global top-k is the approximation risk — quantify
     with scripts/recall_study.py).  ``bf16_payload`` sorts 2-byte payloads
     (≤0.4 % relative score error per term); pass False for f32 payloads.
+    ``packed_sort`` packs (doc id, f16 impact) into one u32 sort operand
+    (valid because impacts are non-negative and within-run order is
+    irrelevant to the run reduction).
     """
     return _chunked_impact_search(
         q_terms, q_weights, index.post_doc, index.post_impact,
         index.n_docs, index.docs_per_chunk, min(k, index.n_docs),
-        local_k, bf16_payload,
+        local_k, bf16_payload, packed_sort,
     )
 
 

@@ -162,6 +162,44 @@ def test_chunked_impact_search_matches_flat():
         )
 
 
+def test_chunked_impact_packed_sort_exact():
+    """Packed u32 sort (doc id high bits, f16 impact low bits) must return
+    the same docs and scores as the two-operand sort at equal payload
+    precision — within-run order is irrelevant to the run reduction."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.index.inverted import (
+        build_chunked_impact_index,
+        chunked_impact_search,
+    )
+
+    rng = np.random.default_rng(17)
+    v, n, nnz = 96, 700, 4000
+    term = rng.integers(0, v, size=nnz)
+    doc = rng.integers(0, n, size=nnz)
+    pairs = np.unique(term * n + doc)
+    t, d = pairs // n, pairs % n
+    imp = rng.uniform(0.05, 3.0, size=pairs.size).astype(np.float32)
+    chunked = build_chunked_impact_index(
+        t, d, imp, v, n, docs_per_chunk=128, cap_per_chunk=64
+    )
+    q_terms = jnp.asarray(rng.integers(0, v, size=(4, 8)), jnp.int32)
+    q_weights = jnp.asarray(rng.uniform(0.1, 2.0, size=(4, 8)), jnp.float32)
+    a = chunked_impact_search(
+        q_terms, q_weights, chunked, k=32, local_k=32, packed_sort=False
+    )
+    b = chunked_impact_search(
+        q_terms, q_weights, chunked, k=32, local_k=32, packed_sort=True
+    )
+    sa, sb = np.asarray(a.scores), np.asarray(b.scores)
+    ia, ib = np.asarray(a.ids), np.asarray(b.ids)
+    for qi in range(4):
+        fa, fb = np.isfinite(sa[qi]), np.isfinite(sb[qi])
+        np.testing.assert_array_equal(fa, fb)
+        assert set(ia[qi][fa]) == set(ib[qi][fb])
+        np.testing.assert_allclose(np.sort(sa[qi][fa]), np.sort(sb[qi][fb]), rtol=1e-6)
+
+
 def test_chunked_impact_bf16_payload_close():
     """bf16 sort payload: same head docs, scores within bf16 tolerance."""
     import jax.numpy as jnp
