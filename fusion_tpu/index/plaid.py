@@ -149,14 +149,35 @@ def plaid_candidates(
     tok_of = jnp.broadcast_to(
         (jnp.arange(ql, dtype=jnp.int32) % lq)[:, None, None], (ql, nprobe, cap)
     ).reshape(q, l)
-    combined = docs * lq + tok_of  # doc-major, token-minor
-    combined = jnp.where(docs < n_docs, combined, n_docs * lq)
-    combined_s, negv_s, docs_s = jax.lax.sort((combined, -vals, docs), num_keys=2)
-    # max per (doc, token) = value at each (doc, token)-run start
+    # ONE i32 key + ONE f16 payload through the comparator network (6 B per
+    # entry vs the 12 B of a (key, f32 score, i32 doc) sort): the doc id is
+    # recovered from the combined key by a shift, and the per-(doc, token)
+    # max — previously guaranteed at the run start by a secondary -score
+    # key — is recomputed after the sort by a log-step suffix max over the
+    # ≤ nprobe-long (doc, token) runs
+    l2 = 1 << max(lq - 1, 0).bit_length()  # power-of-two token multiplier
+    assert n_docs * l2 < 2**31, "combined (doc, token) key overflows int32"
+    combined = docs * l2 + tok_of  # doc-major, token-minor
+    combined = jnp.where(docs < n_docs, combined, n_docs * l2)
+    combined_s, vals_s = jax.lax.sort(
+        (combined, vals.astype(jnp.float16)), num_keys=1
+    )
+    docs_s = combined_s // l2  # lowers to a shift
+    v = vals_s.astype(jnp.float32)
+    s = 1
+    while s < nprobe:
+        same = combined_s == jnp.concatenate(
+            [combined_s[:, s:], jnp.full((q, s), -1, combined_s.dtype)], axis=1
+        )
+        shifted = jnp.concatenate(
+            [v[:, s:], jnp.full((q, s), -jnp.inf, v.dtype)], axis=1
+        )
+        v = jnp.where(same, jnp.maximum(v, shifted), v)
+        s <<= 1
     new_dt = jnp.concatenate(
         [jnp.ones((q, 1), bool), combined_s[:, 1:] != combined_s[:, :-1]], axis=1
     )
-    per_tok = jnp.where(new_dt, -negv_s, 0.0)
+    per_tok = jnp.where(new_dt, v, 0.0)
     # segmented scan by DOC sums the per-token maxima (runs ≤ Lq·nprobe)
     from fusion_tpu.ops.segscan import segmented_run_totals
 
