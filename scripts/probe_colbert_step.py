@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--impls", default="einsum,einsum_bf16")
     ap.add_argument("--sweep_flash", action="store_true")
+    ap.add_argument("--sweep_splash", action="store_true",
+                    help="time splash-attention MHA vs the einsum reference "
+                         "at the train shape (full mask, L=256)")
     args = ap.parse_args()
 
     import jax
@@ -158,6 +161,41 @@ def main():
                 print(json.dumps({"flash_sweep": f"block_b={bb}",
                                   "error": str(e)[:120]}))
             sys.stdout.flush()
+
+
+    if args.sweep_splash:
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk,
+        )
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_mask as sm,
+        )
+
+        H, HD = 12, 64
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, H, L, HD), jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, HD), jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, HD), jnp.bfloat16)
+
+        mask = sm.MultiHeadMask([sm.FullMask((L, L)) for _ in range(H)])
+        kernel = sk.make_splash_mha(
+            mask, head_shards=1, q_seq_shards=1,
+        )
+
+        def sloss(q, k, v):
+            o = jax.vmap(kernel)(q * (1 / 8.0), k, v)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def sfwd(q, k, v):
+            return jax.vmap(kernel)(q * (1 / 8.0), k, v)
+
+        try:
+            dt_f = timeit(jax.jit(sfwd), q, k, v)
+            dt = timeit(jax.jit(jax.grad(sloss, argnums=(0, 1, 2))), q, k, v)
+            print(json.dumps({"splash": "full_mask",
+                              "attn_fwd_ms": round(dt_f * 1000, 1),
+                              "attn_bwd_ms": round(dt * 1000, 1)}))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"splash": "full_mask", "error": str(e)[:160]}))
 
 
 if __name__ == "__main__":

@@ -322,7 +322,15 @@ def main():
         doc_topic = np.repeat(np.arange(n_topics), TOPIC_DOCS)[:NCB]
         pick = rng.integers(0, CLUSTERS_PER_TOPIC, size=(NCB, LD))
         assign = topic_clusters[doc_topic[:, None], pick]
-        toks = tok_centers[assign] + 0.25 * rng.standard_normal((NCB, LD, D)).astype(np.float32)
+        # Jitter norm must be a FRACTION of the unit center norm, so scale
+        # the per-component sigma by 1/sqrt(D).  (The first draft used 0.25
+        # per component -> jitter norm 0.25*sqrt(128) ~ 2.8, i.e. tokens
+        # that were ~90% noise: cos(token, center) ~ 0.33, matched-cluster
+        # MaxSim indistinguishable from max-of-random, exact top-k
+        # unstructured — same_topic_frac 0.12 — and the sweep said nothing.)
+        # 0.7/sqrt(D) -> cos(token, center) ~ 0.82: strong but not trivial.
+        toks = tok_centers[assign] + (0.7 / np.sqrt(D)) * rng.standard_normal(
+            (NCB, LD, D)).astype(np.float32)
         toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
         mask = np.ones((NCB, LD), np.float32)
         n_tokens = NCB * LD
@@ -336,7 +344,8 @@ def main():
         q_topic = rng.integers(0, n_topics, size=B)
         q_pick = rng.integers(0, CLUSTERS_PER_TOPIC, size=(B, 8))
         q_assign = topic_clusters[q_topic[:, None], q_pick]
-        q_tok = tok_centers[q_assign] + 0.15 * rng.standard_normal((B, 8, D)).astype(np.float32)
+        q_tok = tok_centers[q_assign] + (0.4 / np.sqrt(D)) * rng.standard_normal(
+            (B, 8, D)).astype(np.float32)
         q_tok /= np.linalg.norm(q_tok, axis=-1, keepdims=True)
         q_tok = jnp.asarray(q_tok)
         q_mask = jnp.ones((B, 8), jnp.float32)
