@@ -65,6 +65,59 @@ class FitConfig:
     eval_every_n_steps: int = 0
     eval_callback: Callable | None = None
     freeze_layers_except_last_n: int | None = None
+    # batches staged onto the device ahead of the compute stream by a
+    # background thread (0 = feed synchronously from the loop thread)
+    prefetch: int = 2
+
+
+def _prefetch_batches(data_iterator, steps: int, depth: int):
+    """Yield ``steps`` device-placed batches, cycling the iterator.
+
+    With ``depth`` > 0 a daemon thread pulls from the (host) iterator,
+    converts to device arrays — ``jnp.asarray`` starts the host→device
+    copy — and keeps up to ``depth`` batches queued, so negative sampling /
+    tokenization / upload overlap the device executing earlier steps.  The
+    torch analogue is ``DataLoader(num_workers=...)`` + pinned-memory
+    prefetch (reference splade.py:211-215 wraps a cycled DataLoader).
+    """
+
+    def gen():
+        it = iter(data_iterator)
+        for _ in range(steps):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(data_iterator)
+                batch = next(it)
+            yield {k: jnp.asarray(v) for k, v in batch.items() if v is not None}
+
+    if depth <= 0:
+        yield from gen()
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for placed in gen():
+                q.put(placed)
+            q.put(_END)
+        except BaseException as e:  # surface iterator errors in the main thread
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def freeze_labels(params, num_trainable_top_layers: int) -> Any:
@@ -339,18 +392,16 @@ def fit(
     if state is None:
         raise ValueError("pass an initialized TrainState (use init_train_state)")
 
-    it = iter(data_iterator)
+    # host-side step accounting: reading ``state.step`` back would fence the
+    # device EVERY step and serialize batch prep with execution — the counter
+    # is derivable (resume restores it into the state before fit is called)
+    base_step = int(state.step)
     t0 = time.perf_counter()
-    for local_step in range(cfg.steps):
-        try:
-            batch = next(it)
-        except StopIteration:
-            it = iter(data_iterator)
-            batch = next(it)
-        batch = {k: jnp.asarray(v) for k, v in batch.items() if v is not None}
+    batches = _prefetch_batches(data_iterator, cfg.steps, cfg.prefetch)
+    for local_step, batch in enumerate(batches):
         state, metrics = train_step(state, batch)
 
-        step_num = int(state.step)
+        step_num = base_step + local_step + 1
         if (
             cfg.log_callback is not None
             and cfg.log_every_n_steps > 0

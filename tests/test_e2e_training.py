@@ -59,3 +59,76 @@ def test_training_improves_retrieval(head, rng):
     after = recall_at_k(model, corpus, queries, qrels)
     assert after > before + 0.15, f"{head}: recall {before:.3f} -> {after:.3f}"
     assert after > 0.5, f"{head}: post-training recall too low ({after:.3f})"
+
+
+class _CountingIterable:
+    """Re-iterable batch source that counts epochs and can raise."""
+
+    def __init__(self, n_batches, fail_at=None):
+        self.n_batches = n_batches
+        self.fail_at = fail_at
+        self.epochs = 0
+        self.served = 0
+
+    def __iter__(self):
+        self.epochs += 1
+        for i in range(self.n_batches):
+            if self.fail_at is not None and self.served == self.fail_at:
+                raise RuntimeError("boom in data iterator")
+            self.served += 1
+            yield {"x": np.full((2, 2), float(self.served), np.float32)}
+
+
+def _identity_step():
+    import jax
+
+    @jax.jit
+    def step(state, batch):
+        from fusion_tpu.train.trainer import TrainState
+
+        return (
+            TrainState(params=state.params, opt_state=state.opt_state,
+                       step=state.step + 1),
+            {"loss": jnp.mean(batch["x"])},
+        )
+
+    return step
+
+
+class _NullModel:
+    params = {}
+
+
+@pytest.mark.parametrize("prefetch", [0, 2])
+def test_fit_step_accounting_and_prefetch(prefetch):
+    """The loop must not read state.step back per step (device fence); step
+    numbers come from host accounting and survive prefetch + resume."""
+    from fusion_tpu.train.trainer import TrainState
+
+    logged = []
+    fit_cfg = FitConfig(
+        steps=7, log_every_n_steps=1, prefetch=prefetch,
+        log_callback=lambda ep, spe, step, lr, value, name: logged.append(
+            (step, name, value)
+        ),
+    )
+    data = _CountingIterable(n_batches=3)  # forces cycling (3 < 7 steps)
+    state = TrainState(params={}, opt_state=(), step=jnp.asarray(100))  # resumed
+    out = fit(_NullModel(), _identity_step(), data, fit_cfg, state=state)
+    assert int(out.step) == 107
+    steps_logged = [s for s, name, _ in logged if name == "loss"]
+    assert steps_logged == [101, 102, 103, 104, 105, 106, 107]
+    # batches arrive in order through the prefetch queue
+    losses_logged = [v for _, name, v in logged if name == "loss"]
+    assert losses_logged == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    assert data.epochs >= 3
+
+
+def test_fit_prefetch_propagates_iterator_errors():
+    fit_cfg = FitConfig(steps=5, prefetch=2)
+    from fusion_tpu.train.trainer import TrainState
+
+    state = TrainState(params={}, opt_state=(), step=jnp.asarray(0))
+    with pytest.raises(RuntimeError, match="boom in data iterator"):
+        fit(_NullModel(), _identity_step(), _CountingIterable(5, fail_at=2),
+            fit_cfg, state=state)
