@@ -224,6 +224,10 @@ class BiEncoder:
         )
 
         out = []
+        # one-deep pipeline: fetch batch i only after dispatching i+1, so
+        # host tokenization overlaps the device forward (same pattern as
+        # serving.search; the per-batch fetch otherwise serializes them)
+        pending = None
         for start in range(0, n, batch_size):
             sel = order[start : start + batch_size]
             chunk = [sentences[i] for i in sel]
@@ -238,7 +242,11 @@ class BiEncoder:
                     pad_to *= 2
             ids, mask = self.text_encoder.encode(chunk, query_mode=query_mode, pad_to=pad_to)
             embs = fn(self.params, jnp.asarray(ids), jnp.asarray(mask))
-            out.append(np.asarray(embs)[:real])
+            if pending is not None:
+                out.append(np.asarray(pending[0])[: pending[1]])
+            pending = (embs, real)
+        if pending is not None:
+            out.append(np.asarray(pending[0])[: pending[1]])
         embs = np.concatenate(out, axis=0) if out else np.zeros((0, 1), np.float32)
         if sort_by_length and n > batch_size:
             unsort = np.empty(n, dtype=np.int64)

@@ -215,6 +215,9 @@ class ColBERT:
     def _encode_texts(self, texts: Sequence[str], query_mode: bool, batch_size: int):
         fn = self._get_encode_fn()
         toks, masks = [], []
+        # one-deep pipeline: fetch batch i after dispatching i+1 so host
+        # tokenization overlaps the device forward (see BiEncoder.encode)
+        pending = None
         for start in range(0, len(texts), batch_size):
             chunk = list(texts[start : start + batch_size])
             real = len(chunk)
@@ -224,9 +227,16 @@ class ColBERT:
             if not query_mode and self.mask_punctuation and self._punct_ids:
                 punct = np.isin(ids, list(self._punct_ids))
                 mask = np.where(punct, 0, mask)
-            embs = np.asarray(fn(self.params, jnp.asarray(ids), jnp.asarray(mask)))
-            toks.append(embs[:real])
-            masks.append(np.asarray(mask)[:real])
+            embs = fn(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            if pending is not None:
+                p_embs, p_mask, p_real = pending
+                toks.append(np.asarray(p_embs)[:p_real])
+                masks.append(p_mask[:p_real])
+            pending = (embs, np.asarray(mask), real)
+        if pending is not None:
+            p_embs, p_mask, p_real = pending
+            toks.append(np.asarray(p_embs)[:p_real])
+            masks.append(p_mask[:p_real])
         return np.concatenate(toks, axis=0), np.concatenate(masks, axis=0)
 
     def encode_queries(self, queries: Sequence[str], batch_size: int = 32):
