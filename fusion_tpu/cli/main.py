@@ -584,6 +584,7 @@ def cmd_serve(args):
             plaid_ncand=args.plaid_ncand,
             ivf_cap=args.ivf_cap,
             rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
+            dense_impl=args.dense_impl,
         )
         searcher.save_indexes(args.index_dir)
         print(json.dumps({
@@ -597,7 +598,7 @@ def cmd_serve(args):
         colbert_model=colbert, cross_encoder=ce, rerank_depth=args.rerank_depth,
         fusion_method=args.fusion,
         plaid_nprobe=args.plaid_nprobe, plaid_ncand=args.plaid_ncand,
-        splade_query_terms=args.splade_query_terms,
+        splade_query_terms=args.splade_query_terms, dense_impl=args.dense_impl,
         rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
     ).load_indexes(args.index_dir, int8_corpus=args.int8_corpus)
     if args.run_bm25:
@@ -741,6 +742,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="docs rescored per query (PLAID stage 2)")
     sp.add_argument("--ivf_cap", type=int, default=4096,
                     help="docs kept per centroid in the PLAID IVF")
+    sp.add_argument("--dense_impl", choices=["auto", "exact", "fused"],
+                    default="auto",
+                    help="int8 dense leg: blockwise exact search or the "
+                         "fused binned Pallas kernel (auto = fused on TPU "
+                         "at >=1M docs)")
     sp.add_argument("--impact_cap", type=int, default=4096,
                     help="postings kept per term in the impact-ordered indexes")
     sp.add_argument("--splade_query_terms", type=int, default=64,

@@ -126,7 +126,12 @@ def _quantized_search(
             preferred_element_type=jnp.float32,
         )
         scores = raw * scales_b[None, :]
-        fresh = real_start + jnp.arange(doc_block, dtype=jnp.int32) >= start
+        # rows padded for the fused binned kernel carry scale == 0 (real
+        # rows are clamped to >= 1e-12 at quantization) — mask them so a
+        # pre-padded index stays exact on this path too
+        fresh = (real_start + jnp.arange(doc_block, dtype=jnp.int32) >= start) & (
+            scales_b > 0
+        )
         scores = jnp.where(fresh[None, :], scores, -jnp.inf)
         return scores, real_start
 

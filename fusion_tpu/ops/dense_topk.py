@@ -194,12 +194,14 @@ def fused_dense_topk(
     doc_block: int = 2048,
     recall_target: float = 0.99,
     use_pallas: bool | None = None,
+    n_docs: int | None = None,
 ) -> RankedLists:
     """Corpus-scale dense search with the fused matmul+top-k kernel.
 
     The corpus row count must ideally be a multiple of ``doc_block``
     (otherwise this pads with a COPY — pre-pad corpus-scale indexes at
-    build time).  Scores come back with 4 mantissa bits cleared (the
+    build time and pass the REAL row count as ``n_docs`` so pad rows are
+    masked).  Scores come back with 4 mantissa bits cleared (the
     packed-argmax trade)."""
     from fusion_tpu.index.dense_quant import QuantizedDenseIndex
 
@@ -207,13 +209,16 @@ def fused_dense_topk(
         values, scales, normalized = index.values, index.scales, bool(index.normalized)
     else:
         values, scales, normalized = index
-    n_docs, h = values.shape
+    h = values.shape[1]
+    if n_docs is None:
+        n_docs = values.shape[0]
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    n_pad = -(-n_docs // doc_block) * doc_block
-    if n_pad != n_docs:
-        values = jnp.pad(values, ((0, n_pad - n_docs), (0, 0)))
-        scales = jnp.pad(scales, (0, n_pad - n_docs))
+    rows = values.shape[0]
+    n_pad = -(-rows // doc_block) * doc_block
+    if n_pad != rows:
+        values = jnp.pad(values, ((0, n_pad - rows), (0, 0)))
+        scales = jnp.pad(scales, (0, n_pad - rows))
     qf = query_embs.astype(jnp.float32)
     fn = _fused_search if use_pallas else _reference_search
     return fn(

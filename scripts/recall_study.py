@@ -54,6 +54,12 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--only", default=None,
                     choices=[None, "dense", "lexical", "splade", "colbert"])
+    ap.add_argument("--doc_jitter", type=float, default=0.7,
+                    help="colbert doc-token jitter norm as a fraction of the "
+                         "unit cluster center (cos(token, center) = "
+                         "1/sqrt(1+j^2)); 0.7 -> strongly structured exact "
+                         "top-k, 1.5 -> mid-regime where the PLAID knobs "
+                         "start to matter")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (env vars do not override the "
                          "axon TPU plugin — a smoke run must never claim the chip)")
@@ -329,7 +335,7 @@ def main():
         # MaxSim indistinguishable from max-of-random, exact top-k
         # unstructured — same_topic_frac 0.12 — and the sweep said nothing.)
         # 0.7/sqrt(D) -> cos(token, center) ~ 0.82: strong but not trivial.
-        toks = tok_centers[assign] + (0.7 / np.sqrt(D)) * rng.standard_normal(
+        toks = tok_centers[assign] + (args.doc_jitter / np.sqrt(D)) * rng.standard_normal(
             (NCB, LD, D)).astype(np.float32)
         toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
         mask = np.ones((NCB, LD), np.float32)

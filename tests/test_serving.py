@@ -393,3 +393,76 @@ def test_searcher_scale_mode_neural_legs(models, tmp_path):
         plaid_nprobe=32, plaid_ncand=8,
     ).load_indexes(str(tmp_path / "cb"))
     assert loaded_cb.colbert_ivf is not None
+
+
+class _StubTextEncoder:
+    @staticmethod
+    def encode(chunk, query_mode=True, **kw):
+        ids = np.zeros((len(chunk), 4), np.int32)
+        return ids, np.ones((len(chunk), 4), np.int32)
+
+
+class _StubDenseModel:
+    """Deterministic query embedding: e_0 for every query."""
+
+    similarity = "dot_score"
+    params = {}
+    text_encoder = _StubTextEncoder()
+
+    def __init__(self, hidden):
+        self.hidden = hidden
+
+    def embed_tokens(self, params, ids, mask):
+        import jax.numpy as jnp
+
+        return jnp.zeros((ids.shape[0], self.hidden), jnp.float32).at[:, 0].set(1.0)
+
+
+def test_dense_impl_fused_matches_exact_on_planted_corpus():
+    """dense_impl='fused' routes the dpr leg through the binned kernel; with
+    the top docs planted in distinct 16-doc bins its top-k equals exact."""
+    from fusion_tpu.index.dense_quant import quantize_dense_index
+
+    h, n = 8, 4096
+    rng = np.random.default_rng(3)
+    embs = rng.normal(size=(n, h)).astype(np.float32) * 0.01
+    targets = [0, 160, 1600, 2400, 4000]  # each in its own 16-doc bin
+    for rank, d in enumerate(targets):
+        embs[d] = 0.0
+        embs[d, 0] = 10.0 - rank
+    import jax.numpy as jnp
+
+    idx = quantize_dense_index(jnp.asarray(embs), similarity="dot_score")
+
+    def build(impl):
+        return HybridSearcher(
+            corpus_ids=np.arange(n, dtype=np.int64),
+            dense_model=_StubDenseModel(h), dense_corpus=idx,
+            topk=5, dense_impl=impl,
+        )
+
+    exact, _ = build("exact").search(["q"], batch_size=1, use_pallas=False)
+    fused, _ = build("fused").search(["q"], batch_size=1, use_pallas=False)
+    assert np.asarray(exact.ids)[0].tolist() == targets
+    np.testing.assert_array_equal(np.asarray(exact.ids), np.asarray(fused.ids))
+
+
+def test_dense_impl_auto_gates_on_backend_and_size():
+    from fusion_tpu.index.dense_quant import QuantizedDenseIndex
+
+    import jax.numpy as jnp
+
+    small = QuantizedDenseIndex(
+        values=jnp.zeros((64, 8), jnp.int8), scales=jnp.ones((64,)), normalized=False
+    )
+    s = HybridSearcher(corpus_ids=np.arange(64), dense_corpus=small)
+    assert not s._dense_fused_active(use_pallas=True)  # too small for auto
+    assert not s._dense_fused_active(use_pallas=False)
+    s.dense_impl = "fused"
+    assert s._dense_fused_active(use_pallas=False)  # explicit wins
+    s.dense_impl = "auto"
+    s.dense_n_docs = HybridSearcher.FUSED_DENSE_MIN_DOCS  # pretend scale
+    assert s._dense_fused_active(use_pallas=True)
+    assert not s._dense_fused_active(use_pallas=False)  # CPU: no win
+    s.dense_corpus = jnp.zeros((64, 8), jnp.bfloat16)  # not int8 -> never
+    assert not s._dense_fused_active(use_pallas=True)
