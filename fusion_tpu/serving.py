@@ -613,7 +613,16 @@ class HybridSearcher:
         if self.bm25_impact_index is not None:
             self.bm25_impact_index.save(os.path.join(path, "bm25_impact"))
         if self.dense_corpus is not None:
-            _save_corpus_matrix(self.dense_corpus, path, "dense")
+            dc = self.dense_corpus
+            # persist REAL rows only: fused-kernel padding (scale-0 rows,
+            # _ensure_padded_dense) is a process-local layout detail, and a
+            # reloaded searcher would not know the real row count
+            if isinstance(dc, QuantizedDenseIndex) and self.dense_n_docs:
+                dc = dc._replace(
+                    values=dc.values[: self.dense_n_docs],
+                    scales=dc.scales[: self.dense_n_docs],
+                )
+            _save_corpus_matrix(dc, path, "dense")
         if self.splade_corpus is not None:
             _save_corpus_matrix(self.splade_corpus, path, "splade")
         if self.splade_impact_index is not None:

@@ -466,3 +466,28 @@ def test_dense_impl_auto_gates_on_backend_and_size():
     assert not s._dense_fused_active(use_pallas=False)  # CPU: no win
     s.dense_corpus = jnp.zeros((64, 8), jnp.bfloat16)  # not int8 -> never
     assert not s._dense_fused_active(use_pallas=True)
+
+
+def test_padded_dense_index_persists_real_rows_only(tmp_path):
+    """Fused-kernel padding must not leak into saved indexes: a reloaded
+    searcher has no dense_n_docs and would score scale-0 pad rows."""
+    from fusion_tpu.index.dense_quant import quantize_dense_index
+
+    import jax.numpy as jnp
+
+    n, h = 100, 8
+    idx = quantize_dense_index(
+        jnp.asarray(np.random.default_rng(0).normal(size=(n, h)).astype(np.float32)),
+        similarity="dot_score",
+    )
+    s = HybridSearcher(
+        corpus_ids=np.arange(n, dtype=np.int64),
+        dense_model=_StubDenseModel(h), dense_corpus=idx, dense_impl="fused",
+    )
+    s._ensure_padded_dense()
+    assert s.dense_corpus.values.shape[0] == 2048 and s.dense_n_docs == n
+    s.save_indexes(str(tmp_path))
+    s2 = HybridSearcher(
+        corpus_ids=np.arange(n, dtype=np.int64), dense_model=_StubDenseModel(h)
+    ).load_indexes(str(tmp_path), int8_corpus=True)
+    assert s2.dense_corpus.values.shape[0] == n
