@@ -736,12 +736,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="PLAID two-stage ColBERT (implies --compressed)")
     # scale-form quality/speed knobs (defaults chosen from the planted-
     # relevance sweep in scripts/recall_study.py — see RECALL_STUDY json)
-    sp.add_argument("--plaid_nprobe", type=int, default=8,
+    sp.add_argument("--plaid_nprobe", type=int, default=4,
                     help="centroids probed per query token (PLAID stage 1)")
     sp.add_argument("--plaid_ncand", type=int, default=4096,
                     help="docs rescored per query (PLAID stage 2)")
-    sp.add_argument("--ivf_cap", type=int, default=4096,
-                    help="docs kept per centroid in the PLAID IVF")
+    sp.add_argument("--ivf_cap", type=int, default=1024,
+                    help="docs kept per centroid in the PLAID IVF "
+                         "(1024 == 4096 on recall in the planted sweep)")
     sp.add_argument("--dense_impl", choices=["auto", "exact", "fused"],
                     default="auto",
                     help="int8 dense leg: blockwise exact search or the "

@@ -183,7 +183,7 @@ class HybridSearcher:
         colbert_plaid: bool = False,
         plaid_nprobe: int = 4,
         plaid_ncand: int = 4096,
-        ivf_cap: int = 4096,
+        ivf_cap: int = 1024,
         rerank_buckets: tuple | None = None,
         dense_impl: str = "auto",
     ) -> "HybridSearcher":
