@@ -436,15 +436,32 @@ def main():
         gc.collect()
 
     total_ms = sum(v["ms_per_batch"] for v in legs.values())
+    # Headline = the hybrid built from the BEST measured form per system
+    # (summing every measured variant double-counts the slow comparison
+    # forms).  Only meaningful when all four systems were measured.
+    best = {}
+    for sys_name in ("bm25", "splade", "dense", "colbert"):
+        forms = {k: v["ms_per_batch"] for k, v in legs.items()
+                 if k.startswith(sys_name)
+                 and not k.endswith(("_fixedk", "_compressed"))}
+        if forms:
+            best[sys_name] = min(forms, key=forms.get)
+    best_ms = sum(legs[k]["ms_per_batch"] for k in best.values())
+    all_four = len(best) == 4
     print(json.dumps({
         "metric": "mmarco_scale_hybrid_q_per_s_per_chip",
-        "value": round(B / (total_ms / 1000), 2) if total_ms else 0.0,
+        "value": round(B / (best_ms / 1000), 2) if all_four and best_ms else 0.0,
         "unit": "queries/s",
         "vs_baseline": 0.0,
         "detail": {
             "corpus_docs": N, "batch": B, "topk": TOPK,
             "local_topk": args.local_topk,
-            "total_ms_per_batch_all_legs": round(total_ms, 2),
+            "best_form_per_system": best,
+            "best_forms_ms_per_batch": round(best_ms, 2),
+            "total_ms_per_batch_all_measured_legs": round(total_ms, 2),
+            "note": ("headline = sum of best-form leg times (legs measured "
+                     "separately on one chip; see BENCH_SHARDED for the "
+                     "one-program sharded number)"),
             "backend": jax.default_backend(),
             "legs": legs,
         },

@@ -201,13 +201,47 @@ class CrossEncoder:
         lq = q_ids.shape[1]
         qe = jnp.broadcast_to(q_ids[:, None, :], (q, k, lq)).reshape(q * k, lq)
         qm = jnp.broadcast_to(q_mask[:, None, :], (q, k, lq)).reshape(q * k, lq)
-        ids, mask = self._pair_layout(
-            qe, qm, doc_ids.reshape(q * k, ld), doc_mask.reshape(q * k, ld)
-        )
+        d_ids = doc_ids.reshape(q * k, ld)
+        d_msk = doc_mask.reshape(q * k, ld)
+        # round the pair seq up to a 128-lane multiple: a mid-tile seq is
+        # measurably SLOWER in absolute terms than the next multiple on a
+        # v5e (254 -> 1721 ms vs 256 -> 1370 ms at 3072 pairs; see
+        # aligned_buckets); pad slots carry attention 0, scores are exact
+        pad = -(2 + lq + ld) % 128
+        if pad:
+            d_ids = jnp.pad(d_ids, ((0, 0), (0, pad)))
+            d_msk = jnp.pad(d_msk, ((0, 0), (0, pad)))
+        ids, mask = self._pair_layout(qe, qm, d_ids, d_msk)
         return self._score_pairs_chunked(params, ids, mask, pair_chunk).reshape(q, k)
 
     # -- length-bucketed rerank (host-orchestrated) ---------------------
-    _BUCKET_CHUNK_GRID = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+    # chunk-count grid bounds the number of compiled shapes per bucket
+    # width; dense through 16 then ~12% geometric steps (the old sparse
+    # grid overshot a 5-chunk bucket to 6 — +20% wasted pairs)
+    _BUCKET_CHUNK_GRID = (
+        1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+        18, 20, 22, 25, 28, 32, 36, 40, 45, 51, 57, 64, 72, 81, 91, 102, 114, 128,
+    )
+
+    @staticmethod
+    def aligned_buckets(lq: int, ld_full: int, align: int = 128) -> tuple:
+        """Doc-width ladder whose PAIR sequence lengths land on ``align``
+        multiples (pair seq = 2 specials + lq + ld).  Measured on a v5e
+        (scripts/probe_rerank_width.py): per-pair cost is NOT monotone in
+        width — seq 256 runs 25% FASTER than seq 254 in absolute terms
+        (1370 vs 1721 ms at 3072 pairs), so the last bucket rounds UP past
+        the corpus width rather than sitting mid-tile; lane alignment is
+        128, not 64 (seq 192 costs 2304 ns/token vs 1742 at 256)."""
+        ladder = []
+        k = 1
+        while True:
+            ld = align * k - (lq + 2)
+            if ld > 0:
+                ladder.append(ld)
+            if ld >= ld_full:
+                break
+            k += 1
+        return tuple(ladder)
 
     def _bucket_fns(self, ld: int, cap: int, pc: int):
         """Jitted scorer + scatter for one (doc width, capacity) bucket shape."""
@@ -217,22 +251,31 @@ class CrossEncoder:
         key = (ld, cap, pc)
         if key not in cache:
 
-            def score(params, q_ids, q_mask, doc_tokens, doc_mask, q_row, cand, pvalid):
-                # gather candidate doc rows, truncate to the bucket width;
-                # corpus tokens may be stored uint16/int8 — upcast the
-                # gathered candidates only
-                d_ids = doc_tokens[cand][:, :ld].astype(jnp.int32)
-                d_msk = doc_mask[cand][:, :ld].astype(jnp.int32) * pvalid[:, None]
+            def score_scatter(params, q_ids, q_mask, doc_tokens, doc_mask, packed, buf):
+                # packed [4, cap] int32 rows: q_row, cand, pvalid, slot —
+                # ONE host->device upload per bucket (vs 4; each upload
+                # pays full RTT on a tunneled host).  Gather candidate doc
+                # rows, truncate to the bucket width; corpus tokens may be
+                # stored uint16/int8 — upcast the gathered candidates only.
+                q_row, cand, pvalid, slot = (packed[i] for i in range(4))
+                # bucket may be WIDER than the corpus token matrix (the
+                # last bucket rounds the pair seq up to a lane multiple);
+                # pad-slot ids are rewritten to pad_token_id by
+                # _pair_layout and carry attention 0, so scores are exact
+                w = min(ld, doc_tokens.shape[1])
+                d_ids = doc_tokens[cand][:, :w].astype(jnp.int32)
+                d_msk = doc_mask[cand][:, :w].astype(jnp.int32) * pvalid[:, None]
+                if ld > w:
+                    d_ids = jnp.pad(d_ids, ((0, 0), (0, ld - w)))
+                    d_msk = jnp.pad(d_msk, ((0, 0), (0, ld - w)))
                 qe = q_ids[q_row].astype(jnp.int32)
                 qm = q_mask[q_row].astype(jnp.int32)
                 ids, mask = self._pair_layout(qe, qm, d_ids, d_msk)
-                return self._score_pairs_chunked(params, ids, mask, pc)
-
-            def scatter(buf, slot, vals):
+                vals = self._score_pairs_chunked(params, ids, mask, pc)
                 # filler entries carry slot == len(buf) - 1 (trimmed after)
                 return buf.at[slot].set(vals)
 
-            cache[key] = (jax.jit(score), jax.jit(scatter))
+            cache[key] = jax.jit(score_scatter)
         return cache[key]
 
     def rerank_tokens_bucketed(
@@ -244,7 +287,7 @@ class CrossEncoder:
         doc_mask: jax.Array,  # [N, Ld_full] device (int8/int32)
         head_ids: np.ndarray,  # [Q, Kr] HOST candidate ids (pad -1)
         doc_lens: np.ndarray,  # [N] HOST token counts
-        buckets: Sequence[int] = (64, 128, 192, 256),
+        buckets: Sequence[int] | None = None,  # None -> MXU-aligned ladder
         pair_chunk: int = 512,
     ) -> jax.Array:
         """Length-bucketed candidate scoring: [Q, Kr] logits on device.
@@ -271,7 +314,11 @@ class CrossEncoder:
         valid = flat >= 0
         safe = np.clip(flat, 0, n_docs - 1)
         lens = np.where(valid, np.asarray(doc_lens)[safe], 0)
-        ladder = sorted({min(int(b), ld_full) for b in buckets if b > 0})
+        if buckets is None:
+            buckets = self.aligned_buckets(int(q_ids.shape[1]), ld_full)
+        # buckets wider than the corpus matrix are allowed (seq-alignment
+        # round-up); the last rung must cover every stored doc width
+        ladder = sorted({int(b) for b in buckets if b > 0})
         if not ladder or ladder[-1] < ld_full:
             ladder.append(ld_full)
         bidx = np.searchsorted(np.asarray(ladder), lens)
@@ -289,20 +336,17 @@ class CrossEncoder:
                     nchunks = g
                     break
             cap = nchunks * pc
-            slot = np.full(cap, n, np.int32)
-            slot[: sel.size] = sel
-            cand = np.zeros(cap, np.int32)
-            cand[: sel.size] = safe[sel]
-            pval = np.zeros(cap, np.int32)
-            pval[: sel.size] = valid[sel]
-            q_row = np.zeros(cap, np.int32)
-            q_row[: sel.size] = sel // kr
-            score, scatter = self._bucket_fns(ld, cap, pc)
-            logits = score(
+            packed = np.zeros((4, cap), np.int32)
+            packed[0, : sel.size] = sel // kr          # q_row
+            packed[1, : sel.size] = safe[sel]          # cand
+            packed[2, : sel.size] = valid[sel]         # pvalid
+            packed[3, :] = n                           # slot (filler -> spill)
+            packed[3, : sel.size] = sel
+            score_scatter = self._bucket_fns(ld, cap, pc)
+            buf = score_scatter(
                 params, q_ids, q_mask, doc_tokens, doc_mask,
-                jnp.asarray(q_row), jnp.asarray(cand), jnp.asarray(pval),
+                jnp.asarray(packed), buf,
             )
-            buf = scatter(buf, jnp.asarray(slot), logits)
         return buf[:n].reshape(qn, kr)
 
     def rerank(

@@ -193,6 +193,16 @@ def test_rerank_bucketed_matches_full_width():
     valid = head >= 0
     np.testing.assert_allclose(b[valid], f[valid], rtol=2e-5, atol=2e-5)
 
+    # default ladder: the last rung rounds the pair seq UP past the corpus
+    # token-matrix width (seq-alignment); the gathered docs are padded with
+    # attention-0 slots inside the bucket program — still exact
+    assert CrossEncoder.aligned_buckets(6, 24)[-1] > 24
+    b_def = np.asarray(ce.rerank_tokens_bucketed(
+        ce.params, q_ids, q_mask, d_ids, d_mask, head, d_lens,
+        buckets=None, pair_chunk=4,
+    ))
+    np.testing.assert_allclose(b_def[valid], f[valid], rtol=2e-5, atol=2e-5)
+
 
 def test_searcher_rerank_bucketed_matches_flat(models):
     """HybridSearcher with rerank_buckets must rank exactly like the
