@@ -284,7 +284,8 @@ def main():
     # pays 2 host round-trips (refunded at the measured tunnel RTT; on
     # local hardware they are ~0.1 ms)
     ce_doc_lens = ce_len_np.ravel().astype(np.int32)
-    # MXU-aligned ladder: pair seq (2 + Lq + ld) lands on 64-multiples
+    # lane-aligned ladder: pair seq (2 + Lq + ld) lands on 128-multiples,
+    # last rung rounded UP past LD_CE (see CrossEncoder.aligned_buckets)
     BUCKETS = type(ce).aligned_buckets(int(ce_ids.shape[1]), LD_CE)
     merge_jit = jax.jit(
         lambda ids, scores, head, logits: (
