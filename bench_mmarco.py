@@ -316,6 +316,56 @@ def main():
         )
 
     # ------------------------------------------------------------------
+    # factorized-scatter legs (ops/scatter_score.py): sort-free — every
+    # posting routed to its doc bucket by ONE MXU matmul per (query, chunk)
+    # ------------------------------------------------------------------
+    def run_scatter_leg(name, v, kq, docs_per_chunk, capc, seed):
+        from fusion_tpu.index.inverted import ChunkedImpactIndex
+        from fusion_tpu.ops.scatter_score import scatter_impact_search
+
+        num_chunks = -(-N // docs_per_chunk)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        t0 = time.perf_counter()
+        post_doc = jax.random.randint(
+            k1, (v + 1, num_chunks, capc), 0, docs_per_chunk, dtype=jnp.int32
+        ).astype(jnp.uint16)
+        post_imp = jax.random.uniform(
+            k2, (v + 1, num_chunks, capc), jnp.float32, 0.05, 3.0
+        ).astype(jnp.float16)
+        fetch(post_doc[:1, :1, :1])
+        build_s = time.perf_counter() - t0
+        index = ChunkedImpactIndex(
+            post_doc, post_imp, n_docs=N, docs_per_chunk=docs_per_chunk,
+            vocab_size=v, cap_per_chunk=capc, nnz_kept=(v + 1) * num_chunks * capc,
+        )
+        q_terms = jax.random.randint(k3, (B, kq), 0, v, dtype=jnp.int32)
+        q_weights = jnp.ones((B, kq), jnp.float32)
+        fn = functools.partial(scatter_impact_search, k=TOPK, use_pallas=on_tpu)
+        dt = time_batch(fn, (q_terms, q_weights, index), label=name)
+        legs[name] = {
+            "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
+            "index_gb": round(index.nbytes() / 1e9, 2),
+            "chunks": num_chunks, "cap_per_chunk": capc,
+            "query_terms": kq, "vocab": v, "build_s": round(build_s, 1),
+            "postings_per_query_chunk": kq * capc,
+        }
+        del post_doc, post_imp, index, q_terms, q_weights
+        gc.collect()
+
+    if "splade_scatter" in legs_set:
+        # 544 chunks × cap 32 = 17,408 kept/term (equal kept mass to the
+        # chunked-sort leg); W = 64·32 = 2048 postings per (query, chunk)
+        run_scatter_leg(
+            "splade_scatter", v=32_768, kq=64, docs_per_chunk=16_384,
+            capc=32, seed=14,
+        )
+    if "bm25_scatter" in legs_set:
+        run_scatter_leg(
+            "bm25_scatter", v=262_144, kq=16, docs_per_chunk=16_384,
+            capc=4, seed=15,
+        )
+
+    # ------------------------------------------------------------------
     # ColBERT leg: residual-compressed token index, 32 salient tokens/doc
     # ------------------------------------------------------------------
     if "colbert" in legs_set:

@@ -253,3 +253,48 @@ def test_flash_attention_encoder_parity():
         np.linalg.norm(a[keep], axis=1) * np.linalg.norm(bb[keep], axis=1) + 1e-9
     )
     assert cos.min() > 0.995, cos.min()
+
+
+def test_scatter_score_kernel_matches_reference():
+    """Factorized one-hot scatter kernel (ops/scatter_score.py) vs the XLA
+    reference path with IDENTICAL one-hot/bin/packing semantics, at a
+    corpus-scale chunk count.  Index generated ON DEVICE (270 MB of posting
+    arrays must not cross the tunnel)."""
+    from fusion_tpu.index.inverted import ChunkedImpactIndex
+    from fusion_tpu.ops.scatter_score import scatter_impact_search
+
+    v, kq, dpc, capc, k = 32_768, 64, 16_384, 32, 1000
+    n = 1_048_576
+    c = n // dpc
+
+    @jax.jit
+    def gen(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        post_doc = jax.random.randint(
+            k1, (v + 1, c, capc), 0, dpc, dtype=jnp.int32
+        ).astype(jnp.uint16)
+        post_imp = jax.random.uniform(
+            k2, (v + 1, c, capc), jnp.float32, 0.05, 3.0
+        ).astype(jnp.float16)
+        q_terms = jax.random.randint(k3, (Q, kq), 0, v, dtype=jnp.int32)
+        q_weights = jax.random.uniform(k4, (Q, kq), jnp.float32, 0.1, 2.0)
+        return post_doc, post_imp, q_terms, q_weights
+
+    post_doc, post_imp, q_terms, q_weights = gen(jax.random.PRNGKey(7))
+    index = ChunkedImpactIndex(
+        post_doc, post_imp, n_docs=n, docs_per_chunk=dpc, vocab_size=v,
+        cap_per_chunk=capc, nnz_kept=(v + 1) * c * capc,
+    )
+    got = scatter_impact_search(q_terms, q_weights, index, k=k, use_pallas=True)
+    want = scatter_impact_search(q_terms, q_weights, index, k=k, use_pallas=False)
+    got_ids, want_ids = fetch(got.ids), fetch(want.ids)
+    got_sc, want_sc = fetch(got.scores), fetch(want.scores)
+    for qi in range(Q):
+        top100 = len(set(got_ids[qi, :100].tolist()) & set(want_ids[qi, :100].tolist()))
+        assert top100 >= 97, f"query {qi}: top-100 overlap {top100}"
+        full = len(set(got_ids[qi].tolist()) & set(want_ids[qi].tolist()))
+        assert full >= int(0.95 * k), f"query {qi}: top-{k} overlap {full}"
+    np.testing.assert_allclose(
+        np.sort(got_sc[:, :100], axis=1), np.sort(want_sc[:, :100], axis=1),
+        atol=1e-2, rtol=1e-2,
+    )
