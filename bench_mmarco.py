@@ -432,6 +432,7 @@ def main():
 
         LD, D, NBITS, C = 32, 128, 2, 131_072
         LQ, IVF_CAP, NPROBE, NCAND = 32, 1024, 4, 4096
+        NCAND_RESCORE = 1024  # tier-B exact-rescore depth (three-stage PLAID)
 
         @functools.partial(jax.jit, static_argnames=("n_chunks",))
         def gen_plaid(key, n_chunks):
@@ -471,7 +472,8 @@ def main():
         q_mask = jnp.ones((B, LQ), jnp.float32)
 
         fn = functools.partial(
-            plaid_search, k=TOPK, nprobe=NPROBE, ncand=NCAND, cand_chunk=512
+            plaid_search, k=TOPK, nprobe=NPROBE, ncand=NCAND, cand_chunk=512,
+            ncand_rescore=NCAND_RESCORE,
         )
         dt = time_batch(fn, (q_tok, q_mask, index, ivf), iters=4, label="colbert plaid")
         idx_gb = (cid.nbytes + codes.nbytes + mask.nbytes + cents.nbytes
@@ -480,6 +482,7 @@ def main():
             "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
             "index_gb": round(idx_gb, 2), "tokens_per_doc": LD, "nbits": NBITS,
             "centroids": C, "nprobe": NPROBE, "ncand": NCAND,
+            "ncand_rescore": NCAND_RESCORE,
             "ivf_cap": IVF_CAP, "build_s": round(build_s, 1),
         }
         del cid, codes, cents, mask, ivf_doc, index, ivf, q_tok, q_mask

@@ -190,6 +190,64 @@ def plaid_candidates(
     return cand.astype(jnp.int32), top_scores
 
 
+@functools.partial(jax.jit, static_argnames=("ncand2", "cand_chunk"))
+def _plaid_centroid_prune(
+    q_tok: jax.Array,  # [Q, Lq, D]
+    q_mask: jax.Array,  # [Q, Lq]
+    centroids: jax.Array,  # [C, D]
+    centroid_ids: jax.Array,  # int32 [N, Ld]
+    mask: jax.Array,  # [N, Ld]
+    cand: jax.Array,  # int32 [Q, ncand] (pad = n_docs sentinel)
+    ncand2: int,
+    cand_chunk: int = 1024,
+) -> jax.Array:
+    """Tier-A approximate rescore: MaxSim against each candidate token's
+    CENTROID only — no residual decompression, no codes gather.  This is
+    colbert-ai PLAID's centroid-interaction pruning stage between candidate
+    generation and full decompression (the role its CUDA kernels play behind
+    `utils/colbert_ir.py:242,251`): the exact tier's cost is ~32 B of codes
+    gather + a 512 B centroid-row gather + decompress arithmetic PER TOKEN,
+    so pruning 4096 → 1024 candidates on centroid scores alone cuts the
+    dominant stage ~4x (measured: rescore 130.6 ms of the 167 ms leg).
+
+    Scores use the SAME zeroed-mask MaxSim semantics as the exact tier with
+    residuals dropped: sim(q_i, d_j) ≈ q_i·centroid[cid_j].  One [Q, C, Lq]
+    bf16 centroid-score table (token-minor, so each candidate token's [Lq]
+    column is one contiguous row gather) replaces per-token decompression.
+
+    Returns the best ``ncand2`` candidate doc ids per query (pad = n_docs).
+    """
+    from fusion_tpu.ops.topk import blockwise_topk
+
+    q, lq, d = q_tok.shape
+    n, ld = centroid_ids.shape
+    c = centroids.shape[0]
+    cs = jnp.einsum(
+        "qid,cd->qci", q_tok.astype(jnp.bfloat16),
+        centroids.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16).reshape(q * c, lq)  # [(Q·C), Lq]
+    ncand = cand.shape[1]
+    cc = min(cand_chunk, ncand)
+    num_chunks = -(-ncand // cc)
+    q_off = jnp.arange(q, dtype=jnp.int32)[:, None, None] * c  # [Q, 1, 1]
+
+    def block_scores(bi):
+        sl = jax.lax.dynamic_slice_in_dim(cand, bi * cc, cc, axis=1)  # [Q, cc]
+        safe = jnp.minimum(sl, n - 1)
+        cid = centroid_ids[safe]  # [Q, cc, Ld]
+        msk = mask[safe].astype(jnp.bfloat16)
+        # flattened ONE-AXIS row gather (a batched take_along_axis lowers to
+        # serializing element gathers — measured 2x the whole two-stage leg)
+        csg = cs[cid + q_off]  # [Q, cc, Ld, Lq]
+        csg = csg * msk[..., None]  # zeroed-mask
+        best = csg.max(axis=2).astype(jnp.float32)  # [Q, cc, Lq]
+        scores = (best * q_mask[:, None, :]).sum(axis=-1)
+        return jnp.where(sl < n, scores, -jnp.inf), sl.astype(jnp.int32)
+
+    out = blockwise_topk(block_scores, num_chunks, q, min(ncand2, ncand))
+    return jnp.where(out.ids >= 0, out.ids, n).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("nbits", "k", "cand_chunk"))
 def _plaid_rescore(
     q_tok, q_mask, centroids, centroid_ids, codes, mask, bucket_weights,
@@ -301,12 +359,13 @@ def sharded_plaid_search(
     nprobe: int = 4,
     ncand: int = 4096,
     cand_chunk: int = 512,
+    ncand_rescore: int | None = 1024,
 ) -> RankedLists:
-    """Index-parallel PLAID: each device probes + rescores its doc-range
-    shard (queries and centroid table replicated), per-shard top-k lists
-    all-gather and merge over ICI — the multi-chip form of the two-stage
-    pipeline (one v5e holds ~10 GB of compressed index; mMARCO-scale serving
-    shards it over the mesh ``index`` axis)."""
+    """Index-parallel PLAID: each device probes + prunes + rescores its
+    doc-range shard (queries and centroid table replicated), per-shard top-k
+    lists all-gather and merge over ICI — the multi-chip form of the
+    three-stage pipeline (one v5e holds ~10 GB of compressed index;
+    mMARCO-scale serving shards it over the mesh ``index`` axis)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -316,13 +375,20 @@ def sharded_plaid_search(
     ncand_l = min(ncand, per)
     chunk = min(cand_chunk, ncand_l)
     ncand_l -= ncand_l % chunk
-    k = min(k, ncand_l)
+    nr = 0
+    if ncand_rescore and ncand_rescore < ncand_l:
+        nr = max(ncand_rescore - ncand_rescore % chunk, chunk)
+    k = min(k, nr or ncand_l)
 
     def local(qt, qm, cents, bw, cid, codes, msk, ivf):
         shard_idx = jax.lax.axis_index(INDEX_AXIS)
         cand, _ = plaid_candidates(
             qt, qm, cents, ivf[0], per, nprobe=nprobe, ncand=ncand_l
         )
+        if nr:
+            cand = _plaid_centroid_prune(
+                qt, qm, cents, cid[0], msk[0], cand, ncand2=nr
+            )
         local_ranked = _plaid_rescore(
             qt, qm, cents, cid[0], codes[0], msk[0], bw, cand,
             nbits=sharded.nbits, k=k, cand_chunk=chunk,
@@ -366,8 +432,14 @@ def plaid_search(
     nprobe: int = 4,
     ncand: int = 4096,
     cand_chunk: int = 512,
+    ncand_rescore: int | None = 1024,
 ) -> RankedLists:
-    """Two-stage candidate-generation + exact-rescore search."""
+    """Three-stage search: candidate generation → centroid-only pruning →
+    exact decompressed rescore (colbert-ai PLAID's stage structure).
+
+    ``ncand_rescore`` caps how many candidates reach the expensive exact
+    tier (None or ≥ ncand disables the pruning tier and rescores all
+    ``ncand`` — the pre-round-3 two-stage behavior)."""
     # the rescore chunks candidates with clamped dynamic slices: keep ncand a
     # multiple of cand_chunk so no candidate is scored twice
     ncand = min(ncand, max(ivf.n_docs, 1))
@@ -377,8 +449,16 @@ def plaid_search(
         q_tok, q_mask, index.centroids, ivf.ivf_doc, ivf.n_docs,
         nprobe=nprobe, ncand=ncand,
     )
+    qm = q_mask.astype(jnp.float32)
+    if ncand_rescore and ncand_rescore < ncand:
+        nr = max(ncand_rescore - ncand_rescore % cand_chunk, cand_chunk)
+        cand = _plaid_centroid_prune(
+            q_tok, qm, index.centroids, index.centroid_ids, index.mask,
+            cand, ncand2=nr,
+        )
+        ncand = nr
     return _plaid_rescore(
-        q_tok, q_mask.astype(jnp.float32), index.centroids, index.centroid_ids,
+        q_tok, qm, index.centroids, index.centroid_ids,
         index.codes, index.mask, index.bucket_weights, cand,
         nbits=index.nbits, k=min(k, ncand), cand_chunk=cand_chunk,
     )

@@ -42,6 +42,7 @@ its SPLADE path (`splade/base.py:199-251`) at corpus scale.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -254,6 +255,16 @@ def scatter_impact_search(
     dense-kernel trades documented in the module docstring."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    kq = q_terms.shape[1]
+    capc = index.post_doc.shape[2]
+    if kq * capc > 8192:
+        raise ValueError(
+            f"scatter posting width Kq*capc = {kq * capc} exceeds the VMEM "
+            "budget (8192); rebuild the chunked index with a smaller "
+            "cap_per_chunk — the scatter form is a corpus-scale layout "
+            "(fine-grained per-chunk caps), small corpora belong on the "
+            "flat impact index"
+        )
     c = index.post_doc.shape[1]
     chunk_block = max(1, min(chunk_block, c))
     docs, vals = _gather_postings(
@@ -265,3 +276,134 @@ def scatter_impact_search(
         k=min(k, index.n_docs), chunk_block=chunk_block,
         recall_target=recall_target,
     )
+
+
+class ShardedChunkedImpactIndex(NamedTuple):
+    """Chunk-range shards of a ChunkedImpactIndex, stacked on a leading axis
+    for ``shard_map`` placement over the mesh ``index`` axis.  Chunks are
+    contiguous doc ranges, so a shard owns docs
+    [shard·docs_per_shard, (shard+1)·docs_per_shard)."""
+
+    post_doc: jax.Array  # uint16 [S, V+1, C/S, capc]
+    post_impact: jax.Array  # f16 [S, V+1, C/S, capc]
+    n_docs: int
+    docs_per_chunk: int
+    docs_per_shard: int
+    vocab_size: int
+    cap_per_chunk: int
+
+
+def shard_chunked_impact_index(index, n_shards: int) -> ShardedChunkedImpactIndex:
+    """Split a ChunkedImpactIndex chunk-wise into ``n_shards`` doc-range
+    shards (host-side, offline).  The chunk axis pads with sentinel-only
+    chunks to divide evenly."""
+    import numpy as np
+
+    from fusion_tpu.index.inverted import CHUNK_SENTINEL
+
+    docs = np.asarray(index.post_doc)
+    imps = np.asarray(index.post_impact)
+    vp1, c, capc = docs.shape
+    c_pad = -(-c // n_shards) * n_shards
+    if c_pad != c:
+        docs = np.concatenate([
+            docs,
+            np.full((vp1, c_pad - c, capc), CHUNK_SENTINEL, dtype=docs.dtype),
+        ], axis=1)
+        imps = np.concatenate([
+            imps, np.zeros((vp1, c_pad - c, capc), dtype=imps.dtype)
+        ], axis=1)
+    per_c = c_pad // n_shards
+    docs = docs.reshape(vp1, n_shards, per_c, capc).transpose(1, 0, 2, 3)
+    imps = imps.reshape(vp1, n_shards, per_c, capc).transpose(1, 0, 2, 3)
+    return ShardedChunkedImpactIndex(
+        post_doc=jnp.asarray(np.ascontiguousarray(docs)),
+        post_impact=jnp.asarray(np.ascontiguousarray(imps)),
+        n_docs=index.n_docs,
+        docs_per_chunk=index.docs_per_chunk,
+        docs_per_shard=per_c * index.docs_per_chunk,
+        vocab_size=index.vocab_size,
+        cap_per_chunk=index.cap_per_chunk,
+    )
+
+
+def local_scatter_search(
+    q_terms: jax.Array,
+    q_weights: jax.Array,
+    post_doc: jax.Array,  # uint16 [V+1, Cl, capc] (one shard's chunks)
+    post_impact: jax.Array,
+    docs_per_chunk: int,
+    docs_per_shard: int,
+    k: int,
+    chunk_block: int = 16,
+    use_pallas: bool = True,
+    recall_target: float = 0.99,
+) -> RankedLists:
+    """One shard's scatter search with LOCAL doc ids (for shard_map bodies;
+    ids of pad slots are -1)."""
+    cl = post_doc.shape[1]
+    chunk_block = max(1, min(chunk_block, cl))
+    docs, vals = _gather_postings(
+        q_terms, q_weights, post_doc, post_impact, chunk_block
+    )
+    fn = _fused_scatter_search if use_pallas else _reference_scatter_search
+    return fn(
+        docs, vals, n_docs=docs_per_shard, docs_per_chunk=docs_per_chunk,
+        k=min(k, docs_per_shard), chunk_block=chunk_block,
+        recall_target=recall_target,
+    )
+
+
+def sharded_scatter_search(
+    q_terms: jax.Array,
+    q_weights: jax.Array,
+    index: ShardedChunkedImpactIndex,
+    mesh,
+    k: int = 1000,
+    chunk_block: int = 16,
+    use_pallas: bool | None = None,
+    recall_target: float = 0.99,
+) -> RankedLists:
+    """Index-parallel scatter search: each device scores its chunk-range
+    shard (queries replicated), per-shard top-k lists all-gather and merge
+    over ICI — the corpus-scale learned-sparse serving form on a pod."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from fusion_tpu.parallel.sharding import INDEX_AXIS
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    per = index.docs_per_shard
+    k = min(k, per)
+
+    def local(qt, qw, pd, pi):
+        shard_idx = jax.lax.axis_index(INDEX_AXIS)
+        local_ranked = local_scatter_search(
+            qt, qw, pd[0], pi[0], index.docs_per_chunk, per, k,
+            chunk_block=chunk_block, use_pallas=use_pallas,
+            recall_target=recall_target,
+        )
+        global_ids = jnp.where(
+            local_ranked.ids >= 0, local_ranked.ids + shard_idx * per, -1
+        ).astype(jnp.int32)
+        all_scores = jax.lax.all_gather(local_ranked.scores, INDEX_AXIS)
+        all_ids = jax.lax.all_gather(global_ids, INDEX_AXIS)
+        q = qt.shape[0]
+        merged_scores = all_scores.transpose(1, 0, 2).reshape(q, -1)
+        merged_ids = all_ids.transpose(1, 0, 2).reshape(q, -1)
+        top_scores, pos = jax.lax.top_k(merged_scores, k)
+        top_ids = jnp.take_along_axis(merged_ids, pos, axis=-1)
+        top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
+        return top_ids, top_scores
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(INDEX_AXIS, None, None, None),
+                  P(INDEX_AXIS, None, None, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    ids, scores = jax.jit(fn)(q_terms, q_weights, index.post_doc, index.post_impact)
+    return RankedLists(ids=ids, scores=scores)

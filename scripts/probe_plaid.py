@@ -140,6 +140,18 @@ def main():
     report["rescore_ms"] = round(
         timeit(resc_fn, q_tok, q_mask, cents, cid, codes, mask, bw, cand) * 1000, 1
     )
+
+    # round-3 three-stage tier: centroid-only prune + shallow exact rescore
+    from fusion_tpu.index.plaid import _plaid_centroid_prune
+
+    prune_fn = functools.partial(_plaid_centroid_prune, ncand2=1024, cand_chunk=1024)
+    report["centroid_prune_ms"] = round(
+        timeit(prune_fn, q_tok, q_mask, cents, cid, mask, cand) * 1000, 1
+    )
+    cand2 = jax.block_until_ready(prune_fn(q_tok, q_mask, cents, cid, mask, cand))
+    report["rescore1024_ms"] = round(
+        timeit(resc_fn, q_tok, q_mask, cents, cid, codes, mask, bw, cand2) * 1000, 1
+    )
     sys.stderr.write(f"# {report}\n")
     print(json.dumps({"metric": "plaid_stage_breakdown", "detail": report}))
 

@@ -289,6 +289,25 @@ def main():
                 ch.nnz_kept / int(keep.sum()), 4
             )
             del ch
+        # factorized-scatter form (ops/scatter_score.py): capacity-matched
+        # 16384-doc chunks; quality trades = bf16 accumulation + 16-doc
+        # binning (the sort forms have neither binning nor bf16 sums)
+        from fusion_tpu.ops.scatter_score import scatter_impact_search
+
+        nc_sc = -(-N // 16_384)
+        for capc in sorted({max(16_384 // nc_sc, 4), max(4096 // nc_sc, 4)}):
+            ch = build_chunked_impact_index(
+                flat_t[keep], flat_d[keep], flat_w[keep], V, N,
+                docs_per_chunk=16_384, cap_per_chunk=capc,
+            )
+            got = scatter_impact_search(qt_j, qw_j, ch, k=K)
+            report[f"splade_scatter_capc{capc}_overlap@{K}"] = round(
+                overlap_at_k(np.asarray(got.ids), exact_ids, K), 4
+            )
+            report[f"splade_scatter_capc{capc}_kept_frac"] = round(
+                ch.nnz_kept / int(keep.sum()), 4
+            )
+            del ch
         # query-term cap study (shipped splade_query_terms knob: 64 vs 32)
         for kq_cap in (32, 48):
             order = np.argsort(-q_w, axis=1)[:, :kq_cap]
@@ -374,7 +393,7 @@ def main():
                 for ncand in (1024, 4096, 8192):
                     got = plaid_search(q_tok, q_mask, index, ivf, k=K,
                                        nprobe=nprobe, ncand=min(ncand, NCB),
-                                       cand_chunk=512)
+                                       cand_chunk=512, ncand_rescore=None)
                     ov = overlap_at_k(np.asarray(got.ids), exact_ids, K)
                     ov10 = overlap_at_k(np.asarray(got.ids), exact_ids, 10)
                     key = f"plaid_cap{ivf_cap}_np{nprobe}_nc{ncand}"
@@ -388,6 +407,24 @@ def main():
             report["plaid_cheapest_config_with_overlap>=0.9"] = {
                 "config": best[0], "overlap": best[2],
             }
+
+        # centroid-only pruning tier (three-stage PLAID): at the serving
+        # defaults, how much does capping the exact-rescore depth cost?
+        ivf = build_ivf(cid_np, mask, n_cent, cap=1024)
+        nc0 = min(4096, NCB)
+        for nr in (256, 512, 1024, 2048):
+            if nr >= nc0:
+                continue
+            got = plaid_search(q_tok, q_mask, index, ivf, k=K,
+                               nprobe=4, ncand=nc0, cand_chunk=256,
+                               ncand_rescore=nr)
+            report[f"plaid_np4_nc{nc0}_rescore{nr}_overlap@{K}"] = round(
+                overlap_at_k(np.asarray(got.ids), exact_ids, K), 4
+            )
+            report[f"plaid_np4_nc{nc0}_rescore{nr}_overlap@10"] = round(
+                overlap_at_k(np.asarray(got.ids), exact_ids, 10), 4
+            )
+        del ivf
         print(f"# colbert done", file=sys.stderr)
 
     print(json.dumps({

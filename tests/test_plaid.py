@@ -114,3 +114,53 @@ def test_sharded_plaid_matches_single(small_index):
         np.testing.assert_allclose(
             np.sort(s1[qi][real]), np.sort(s2[qi][real]), rtol=1e-3, atol=1e-3
         )
+
+
+def test_plaid_centroid_prune_tier(small_index):
+    """Three-stage path: the centroid-only pruning tier (ncand_rescore <
+    ncand) must keep the exhaustive top-10 on structured embeddings, and
+    pruning to EVERYTHING (ncand_rescore >= ncand) must be a no-op vs the
+    two-stage path."""
+    index, ivf, q_tok, q_mask = small_index
+    two_stage = plaid_search(q_tok, q_mask, index, ivf, k=10,
+                             nprobe=32, ncand=96, cand_chunk=16,
+                             ncand_rescore=None)
+    noop = plaid_search(q_tok, q_mask, index, ivf, k=10,
+                        nprobe=32, ncand=96, cand_chunk=16,
+                        ncand_rescore=96)
+    np.testing.assert_array_equal(np.asarray(two_stage.ids), np.asarray(noop.ids))
+
+    pruned = plaid_search(q_tok, q_mask, index, ivf, k=10,
+                          nprobe=32, ncand=96, cand_chunk=16,
+                          ncand_rescore=48)
+    want = maxsim_search_compressed(q_tok, q_mask, index, k=10, use_pallas=False)
+    overlaps = [
+        len(set(np.asarray(pruned.ids)[qi].tolist())
+            & set(np.asarray(want.ids)[qi].tolist()))
+        for qi in range(4)
+    ]
+    assert np.mean(overlaps) >= 8, overlaps
+
+
+def test_plaid_centroid_prune_sentinel_safety(small_index):
+    """Sentinel candidates must never survive pruning above real docs, and
+    the pruned search must still pad with PAD_ID when fewer than k docs are
+    reachable."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.index.plaid import _plaid_centroid_prune
+
+    index, ivf, q_tok, q_mask = small_index
+    n = ivf.n_docs
+    # half the candidate list is the sentinel
+    cand = jnp.concatenate([
+        jnp.arange(16, dtype=jnp.int32)[None, :].repeat(4, 0),
+        jnp.full((4, 16), n, jnp.int32),
+    ], axis=1)
+    kept = _plaid_centroid_prune(
+        q_tok, q_mask, index.centroids, index.centroid_ids, index.mask,
+        cand, ncand2=16, cand_chunk=8,
+    )
+    kept = np.asarray(kept)
+    assert kept.shape == (4, 16)
+    assert (kept < n).all()  # real candidates fill all 16 slots

@@ -174,3 +174,42 @@ def test_scatter_rejects_bad_chunk_width():
             jnp.zeros((1, 2), jnp.int32), jnp.ones((1, 2), jnp.float32),
             index, k=5, use_pallas=False,
         )
+
+
+def test_sharded_scatter_matches_single():
+    """Index-parallel scatter over 8 chunk-range shards must agree with the
+    single-device scatter search (same kernel semantics, local ids offset)."""
+    from fusion_tpu.ops.scatter_score import (
+        shard_chunked_impact_index,
+        sharded_scatter_search,
+    )
+    from fusion_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.default_rng(7)
+    n_docs, vocab, kq = 40_000, 200, 8
+    term, doc, imp = _random_postings(rng, n_docs, vocab, terms_per_doc=4)
+    index = build_chunked_impact_index(
+        term, doc, imp, vocab_size=vocab, n_docs=n_docs,
+        docs_per_chunk=2048, cap_per_chunk=64,
+    )
+    mesh = make_mesh(data=1, model=1, index=8)
+    sharded = shard_chunked_impact_index(index, 8)
+    q_terms = jnp.asarray(rng.integers(0, vocab, size=(4, kq)), jnp.int32)
+    q_weights = jnp.asarray(rng.uniform(0.2, 1.5, size=(4, kq)), jnp.float32)
+
+    single = scatter_impact_search(q_terms, q_weights, index, k=50, use_pallas=False)
+    multi = sharded_scatter_search(
+        q_terms, q_weights, sharded, mesh, k=50, use_pallas=False
+    )
+    s_i, m_i = np.asarray(single.ids), np.asarray(multi.ids)
+    s_s, m_s = np.asarray(single.scores), np.asarray(multi.scores)
+    for qi in range(4):
+        real = np.isfinite(s_s[qi]) & np.isfinite(m_s[qi])
+        # both paths run approx_max_k over DIFFERENT bin partitions (global
+        # vs per-shard), so near-boundary ids may differ — demand ≥ 48/50
+        # agreement and matching score curves
+        a, b = set(s_i[qi][real].tolist()), set(m_i[qi][real].tolist())
+        assert len(a & b) >= real.sum() - 2, qi
+        np.testing.assert_allclose(
+            np.sort(s_s[qi][real])[2:], np.sort(m_s[qi][real])[2:], rtol=1e-4
+        )
