@@ -128,6 +128,7 @@ class HybridSearcher:
     splade_model: object | None = None
     splade_corpus: jax.Array | None = None
     splade_impact_index: object | None = None  # ImpactIndex (corpus-scale form)
+    splade_scatter_index: object | None = None  # ChunkedImpactIndex (scatter form)
     splade_query_terms: int = 64
     colbert_model: object | None = None
     colbert_index: object | None = None
@@ -180,6 +181,8 @@ class HybridSearcher:
         impact_cap: int = 4096,
         splade_prune_topk: int = 128,
         splade_query_terms: int = 64,
+        splade_impl: str = "auto",
+        scatter_docs_per_chunk: int = 16_384,
         colbert_plaid: bool = False,
         plaid_nprobe: int = 4,
         plaid_ncand: int = 4096,
@@ -250,12 +253,37 @@ class HybridSearcher:
             out.dense_corpus = embs
         if splade_model is not None:
             if scale_mode:
-                from fusion_tpu.index.inverted import sparse_to_impact_index
+                from fusion_tpu.index.inverted import (
+                    sparse_to_chunked_impact_index,
+                    sparse_to_impact_index,
+                )
 
                 sp = splade_model.build_sparse_index(
                     documents, prune_topk=splade_prune_topk, batch_size=batch_size
                 )
-                out.splade_impact_index = sparse_to_impact_index(sp, cap=impact_cap)
+                n = len(documents)
+                # 'scatter' = the sort-free factorized-scatter MXU kernel
+                # (ops/scatter_score.py, measured 10x the sort form at 8.9M
+                # docs).  Its per-chunk caps only make sense once the corpus
+                # spans many 16k-doc chunks — 'auto' picks it at ≥1M docs.
+                use_scatter = splade_impl == "scatter" or (
+                    splade_impl == "auto" and n >= cls.FUSED_DENSE_MIN_DOCS
+                )
+                if use_scatter:
+                    dpc = scatter_docs_per_chunk
+                    num_chunks = -(-n // dpc)
+                    capc = max(-(-impact_cap // num_chunks), 4)
+                    if splade_query_terms * capc > 8192:
+                        raise ValueError(
+                            "splade_impl='scatter' needs query_terms*cap_per_chunk"
+                            f" <= 8192 (got {splade_query_terms}*{capc}); use "
+                            "splade_impl='impact' for small corpora"
+                        )
+                    out.splade_scatter_index = sparse_to_chunked_impact_index(
+                        sp, docs_per_chunk=dpc, cap_per_chunk=capc
+                    )
+                else:
+                    out.splade_impact_index = sparse_to_impact_index(sp, cap=impact_cap)
             else:
                 acts = jnp.asarray(
                     splade_model.encode(
@@ -316,7 +344,11 @@ class HybridSearcher:
             systems.append("bm25")
         if self.dense_corpus is not None:
             systems.append("dpr")
-        if self.splade_corpus is not None or self.splade_impact_index is not None:
+        if (
+            self.splade_corpus is not None
+            or self.splade_impact_index is not None
+            or self.splade_scatter_index is not None
+        ):
             systems.append("splade")
         if self.colbert_index is not None:
             systems.append("colbert")
@@ -399,7 +431,11 @@ class HybridSearcher:
                 (dc.values, dc.scales) if isinstance(dc, QuantizedDenseIndex) else dc
             )
             ops["dense_params"] = self.dense_model.params
-        if self.splade_impact_index is not None:
+        if self.splade_scatter_index is not None:
+            ss = self.splade_scatter_index
+            ops["sp_sc"] = (ss.post_doc, ss.post_impact)
+            ops["splade_params"] = self.splade_model.params
+        elif self.splade_impact_index is not None:
             si = self.splade_impact_index
             ops["sp_ii"] = (si.post_doc, si.post_impact)
             ops["splade_params"] = self.splade_model.params
@@ -479,7 +515,7 @@ class HybridSearcher:
                     results["dpr"] = _corpus_search(
                         q, dc, topk, self.dense_model.similarity
                     )
-            if "sp_ii" in ops:
+            if "sp_ii" in ops or "sp_sc" in ops:
                 from fusion_tpu.index.inverted import (
                     activations_to_query_terms,
                     impact_search,
@@ -494,12 +530,23 @@ class HybridSearcher:
                 q_terms, q_weights = activations_to_query_terms(
                     q, self.splade_query_terms
                 )
-                index = self.splade_impact_index._replace(
-                    post_doc=ops["sp_ii"][0], post_impact=ops["sp_ii"][1]
-                )
-                results["splade"] = impact_search(
-                    q_terms, q_weights, index, k=min(topk, index.n_docs)
-                )
+                if "sp_sc" in ops:
+                    from fusion_tpu.ops.scatter_score import scatter_impact_search
+
+                    index = self.splade_scatter_index._replace(
+                        post_doc=ops["sp_sc"][0], post_impact=ops["sp_sc"][1]
+                    )
+                    results["splade"] = scatter_impact_search(
+                        q_terms, q_weights, index, k=min(topk, index.n_docs),
+                        use_pallas=use_pallas,
+                    )
+                else:
+                    index = self.splade_impact_index._replace(
+                        post_doc=ops["sp_ii"][0], post_impact=ops["sp_ii"][1]
+                    )
+                    results["splade"] = impact_search(
+                        q_terms, q_weights, index, k=min(topk, index.n_docs)
+                    )
             elif "splade_corpus" in ops:
                 q = self.splade_model.embed_tokens(
                     ops["splade_params"], inputs["q_ids"], inputs["q_mask"]
@@ -627,6 +674,8 @@ class HybridSearcher:
             _save_corpus_matrix(self.splade_corpus, path, "splade")
         if self.splade_impact_index is not None:
             self.splade_impact_index.save(os.path.join(path, "splade_impact"))
+        if self.splade_scatter_index is not None:
+            self.splade_scatter_index.save(os.path.join(path, "splade_scatter"))
         if self.colbert_index is not None:
             self.colbert_index.save(os.path.join(path, "colbert"))
         if self.colbert_ivf is not None:
@@ -663,6 +712,14 @@ class HybridSearcher:
             self.splade_corpus = loaded
         if os.path.exists(os.path.join(path, "splade_impact", "impact_index.npz")):
             self.splade_impact_index = ImpactIndex.load(os.path.join(path, "splade_impact"))
+        if os.path.exists(
+            os.path.join(path, "splade_scatter", "chunked_impact_index.npz")
+        ):
+            from fusion_tpu.index.inverted import ChunkedImpactIndex
+
+            self.splade_scatter_index = ChunkedImpactIndex.load(
+                os.path.join(path, "splade_scatter")
+            )
         has_ivf = os.path.exists(os.path.join(path, "colbert_ivf", "ivf_index.npz"))
         if os.path.exists(os.path.join(path, "colbert", "compressed_index.npz")):
             from fusion_tpu.index.compression import CompressedTokenIndex
@@ -700,6 +757,7 @@ class HybridSearcher:
             self.dense_corpus is not None
             or self.splade_corpus is not None
             or self.splade_impact_index is not None
+            or self.splade_scatter_index is not None
         )
 
     @property

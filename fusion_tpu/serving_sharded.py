@@ -166,6 +166,7 @@ class ShardedHybridSearcher(HybridSearcher):
     dense_leg: ShardedDenseLeg | None = None
     splade_leg: ShardedDenseLeg | None = None
     splade_shards: ShardedImpactIndex | None = None
+    splade_scatter_shards: object | None = None  # ShardedChunkedImpactIndex
     plaid_shards: object | None = None  # index.plaid.ShardedPlaidIndex
     ce_tok_shards: jax.Array | None = None  # [S, per, Ld] uint16/int32
     ce_msk_shards: jax.Array | None = None  # [S, per, Ld] int8
@@ -229,7 +230,13 @@ class ShardedHybridSearcher(HybridSearcher):
             out.dense_leg = _shard_dense_matrix(
                 searcher.dense_corpus, searcher.dense_model.similarity, n_shards
             )
-        if searcher.splade_impact_index is not None:
+        if searcher.splade_scatter_index is not None:
+            from fusion_tpu.ops.scatter_score import shard_chunked_impact_index
+
+            out.splade_scatter_shards = shard_chunked_impact_index(
+                searcher.splade_scatter_index, n_shards
+            )
+        elif searcher.splade_impact_index is not None:
             out.splade_shards = shard_impact_index(
                 searcher.splade_impact_index, n_shards
             )
@@ -288,6 +295,11 @@ class ShardedHybridSearcher(HybridSearcher):
                 post_doc=put(self.splade_shards.post_doc, 2),
                 post_impact=put(self.splade_shards.post_impact, 2),
             )
+        if self.splade_scatter_shards is not None:
+            self.splade_scatter_shards = self.splade_scatter_shards._replace(
+                post_doc=put(self.splade_scatter_shards.post_doc, 3),
+                post_impact=put(self.splade_scatter_shards.post_impact, 3),
+            )
         for name in ("dense_leg", "splade_leg"):
             leg = getattr(self, name)
             if leg is not None:
@@ -319,6 +331,7 @@ class ShardedHybridSearcher(HybridSearcher):
             self.dense_leg is not None
             or self.splade_leg is not None
             or self.splade_shards is not None
+            or self.splade_scatter_shards is not None
         )
 
     @property
@@ -340,7 +353,11 @@ class ShardedHybridSearcher(HybridSearcher):
             systems.append("bm25")
         if self.dense_leg is not None:
             systems.append("dpr")
-        if self.splade_leg is not None or self.splade_shards is not None:
+        if (
+            self.splade_leg is not None
+            or self.splade_shards is not None
+            or self.splade_scatter_shards is not None
+        ):
             systems.append("splade")
         if self.plaid_shards is not None:
             systems.append("colbert")
@@ -383,7 +400,12 @@ class ShardedHybridSearcher(HybridSearcher):
                 add(self.dense_leg.values, SH3),
                 add(self.dense_leg.scales, SH2),
             )
-        if self.splade_shards is not None:
+        if self.splade_scatter_shards is not None:
+            slots["splade_sc"] = (
+                add(self.splade_scatter_shards.post_doc, SH4),
+                add(self.splade_scatter_shards.post_impact, SH4),
+            )
+        elif self.splade_shards is not None:
             slots["splade_imp"] = (
                 add(self.splade_shards.post_doc, SH3),
                 add(self.splade_shards.post_impact, SH3),
@@ -466,7 +488,23 @@ class ShardedHybridSearcher(HybridSearcher):
                 results["dpr"] = dense_style_leg(
                     self.dense_leg, arrs[i0], arrs[i1], queries["q_dense"]
                 )
-            if "splade_imp" in slots:
+            if "splade_sc" in slots:
+                from fusion_tpu.ops.scatter_score import local_scatter_search
+
+                i0, i1 = slots["splade_sc"]
+                sc = self.splade_scatter_shards
+                per = sc.docs_per_shard
+                kl = min(topk, per)
+                local = local_scatter_search(
+                    queries["sp_terms"], queries["sp_weights"],
+                    arrs[i0][0], arrs[i1][0], sc.docs_per_chunk, per, kl,
+                    use_pallas=use_pallas,
+                )
+                gids = jnp.where(
+                    local.ids >= 0, local.ids + shard_idx * per, -1
+                ).astype(jnp.int32)
+                results["splade"] = _merge_shards(gids, local.scores, topk)
+            elif "splade_imp" in slots:
                 i0, i1 = slots["splade_imp"]
                 results["splade"] = impact_leg(
                     self.splade_shards, arrs[i0], arrs[i1],
@@ -566,7 +604,11 @@ class ShardedHybridSearcher(HybridSearcher):
         enc_params: dict[str, object] = {}
         if self.dense_leg is not None:
             enc_params["dense"] = self.dense_model.params
-        if self.splade_shards is not None or self.splade_leg is not None:
+        if (
+            self.splade_shards is not None
+            or self.splade_leg is not None
+            or self.splade_scatter_shards is not None
+        ):
             enc_params["splade"] = self.splade_model.params
         if self.plaid_shards is not None:
             enc_params["colbert"] = self.colbert_model.params
@@ -581,11 +623,11 @@ class ShardedHybridSearcher(HybridSearcher):
                 queries["q_dense"] = self.dense_model.embed_tokens(
                     enc_params["dense"], inputs["q_ids"], inputs["q_mask"]
                 )
-            if "splade_imp" in slots or "splade_dense" in slots:
+            if "splade_imp" in slots or "splade_dense" in slots or "splade_sc" in slots:
                 q = self.splade_model.embed_tokens(
                     enc_params["splade"], inputs["q_ids"], inputs["q_mask"]
                 )
-                if "splade_imp" in slots:
+                if "splade_imp" in slots or "splade_sc" in slots:
                     qf = q.astype(jnp.float32)
                     if self.splade_model.similarity == "cos_sim":
                         qf = l2_normalize(qf)

@@ -172,3 +172,45 @@ def test_sharded_dense_splade_matrix_form(models):
         np.testing.assert_allclose(
             np.asarray(r1.scores)[qi], np.asarray(r2.scores)[qi], rtol=2e-3, atol=2e-4
         )
+
+
+def test_scatter_splade_serving_matches_impact(models):
+    """splade_impl='scatter' (factorized-scatter chunked index) must agree
+    with the flat impact form in serving, single-device AND sharded — at
+    this corpus size every doc has its own 16-doc bin, so the scatter
+    path's binning is exact and only bf16 accumulation differs."""
+    _, splade, _, _ = models
+    mesh = make_mesh(data=1, model=1, index=len(jax.devices()))
+    common = dict(
+        splade_model=splade, batch_size=4, topk=8, scale_mode=True,
+        impact_cap=64, splade_prune_topk=512, splade_query_terms=8,
+    )
+    flat = HybridSearcher.build(CORPUS, splade_impl="impact", **common)
+    scat = HybridSearcher.build(
+        CORPUS, splade_impl="scatter", scatter_docs_per_chunk=2048, **common
+    )
+    assert scat.splade_scatter_index is not None
+    r1, _ = flat.search(QUERIES, batch_size=4, use_pallas=False)
+    r2, _ = scat.search(QUERIES, batch_size=4, use_pallas=False)
+    i1, i2 = np.asarray(r1.ids), np.asarray(r2.ids)
+    s1, s2 = np.asarray(r1.scores), np.asarray(r2.scores)
+    for qi in range(len(QUERIES)):
+        f1, f2 = np.isfinite(s1[qi]), np.isfinite(s2[qi])
+        np.testing.assert_array_equal(f1, f2)
+        assert set(i1[qi][f1]) == set(i2[qi][f2])
+        np.testing.assert_allclose(
+            np.sort(s1[qi][f1]), np.sort(s2[qi][f2]), rtol=2e-2, atol=1e-3
+        )
+
+    sharded = ShardedHybridSearcher.from_searcher(scat, mesh)
+    assert sharded.splade_scatter_shards is not None
+    assert sharded.active_systems == ["splade"]
+    r3, _ = sharded.search(QUERIES, batch_size=4, use_pallas=False)
+    i3, s3 = np.asarray(r3.ids), np.asarray(r3.scores)
+    for qi in range(len(QUERIES)):
+        f2, f3 = np.isfinite(s2[qi]), np.isfinite(s3[qi])
+        np.testing.assert_array_equal(f2, f3)
+        assert set(i2[qi][f2]) == set(i3[qi][f3])
+        np.testing.assert_allclose(
+            np.sort(s2[qi][f2]), np.sort(s3[qi][f3]), rtol=1e-5
+        )
