@@ -39,6 +39,8 @@ _LAZY = {
     "RerankingEvaluator": "fusion_tpu.eval.evaluators",
     # index forms
     "ImpactIndex": "fusion_tpu.index.inverted",
+    "ChunkedImpactIndex": "fusion_tpu.index.inverted",
+    "scatter_impact_search": "fusion_tpu.ops.scatter_score",
     "SparseIndex": "fusion_tpu.index.sparse",
     "QuantizedDenseIndex": "fusion_tpu.index.dense_quant",
     "CompressedTokenIndex": "fusion_tpu.index.compression",

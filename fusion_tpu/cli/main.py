@@ -580,8 +580,10 @@ def cmd_serve(args):
             colbert_plaid=args.colbert_plaid,
             impact_cap=args.impact_cap,
             splade_query_terms=args.splade_query_terms,
+            splade_impl=args.splade_impl,
             plaid_nprobe=args.plaid_nprobe,
             plaid_ncand=args.plaid_ncand,
+            plaid_ncand_rescore=args.plaid_ncand_rescore or None,
             ivf_cap=args.ivf_cap,
             rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
             dense_impl=args.dense_impl,
@@ -598,6 +600,7 @@ def cmd_serve(args):
         colbert_model=colbert, cross_encoder=ce, rerank_depth=args.rerank_depth,
         fusion_method=args.fusion,
         plaid_nprobe=args.plaid_nprobe, plaid_ncand=args.plaid_ncand,
+        plaid_ncand_rescore=args.plaid_ncand_rescore or None,
         splade_query_terms=args.splade_query_terms, dense_impl=args.dense_impl,
         rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
     ).load_indexes(args.index_dir, int8_corpus=args.int8_corpus)
@@ -752,6 +755,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="postings kept per term in the impact-ordered indexes")
     sp.add_argument("--splade_query_terms", type=int, default=64,
                     help="query activations kept for the SPLADE impact leg")
+    sp.add_argument("--splade_impl", choices=["auto", "impact", "scatter"],
+                    default="auto",
+                    help="SPLADE scale form: flat impact-ordered sort index "
+                         "or the factorized-scatter MXU kernel (auto = "
+                         "scatter at >=1M docs; 10x the sort form measured "
+                         "at 8.9M docs)")
+    sp.add_argument("--plaid_ncand_rescore", type=int, default=1024,
+                    help="candidates reaching PLAID's exact decompressed "
+                         "tier after centroid-only pruning (0 = rescore "
+                         "all --plaid_ncand)")
     sp.add_argument("--rerank_buckets", type=int, nargs="*", default=None,
                     help="doc-width ladder for length-bucketed monoBERT "
                          "rerank (e.g. 64 128 192 256); omit for the flat "

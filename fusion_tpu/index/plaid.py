@@ -222,10 +222,17 @@ def _plaid_centroid_prune(
     q, lq, d = q_tok.shape
     n, ld = centroid_ids.shape
     c = centroids.shape[0]
-    cs = jnp.einsum(
-        "qid,cd->qci", q_tok.astype(jnp.bfloat16),
-        centroids.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16).reshape(q * c, lq)  # [(Q·C), Lq]
+    cents_b = centroids.astype(jnp.bfloat16)
+    q_b = q_tok.astype(jnp.bfloat16)
+    # per-query [C, D]·[Lq, D]ᵀ keeps the [Q, C, Lq] table in its NATURAL
+    # matmul output layout — an einsum 'qid,cd->qci' transposes the ~0.5 GB
+    # table after a [Q, Lq, C] matmul
+    cs = jax.vmap(
+        lambda qt: jax.lax.dot_general(
+            cents_b, qt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )(q_b).astype(jnp.bfloat16).reshape(q * c, lq)  # [(Q·C), Lq]
     ncand = cand.shape[1]
     cc = min(cand_chunk, ncand)
     num_chunks = -(-ncand // cc)

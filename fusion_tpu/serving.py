@@ -135,6 +135,9 @@ class HybridSearcher:
     colbert_ivf: object | None = None  # IVFIndex → PLAID two-stage search
     plaid_nprobe: int = 4
     plaid_ncand: int = 4096
+    # candidates reaching the exact decompressed tier after centroid-only
+    # pruning (three-stage PLAID); 0/None = rescore all plaid_ncand
+    plaid_ncand_rescore: int | None = 1024
     cross_encoder: object | None = None
     ce_doc_tokens: jax.Array | None = None
     ce_doc_mask: jax.Array | None = None
@@ -186,6 +189,7 @@ class HybridSearcher:
         colbert_plaid: bool = False,
         plaid_nprobe: int = 4,
         plaid_ncand: int = 4096,
+        plaid_ncand_rescore: int | None = 1024,
         ivf_cap: int = 1024,
         rerank_buckets: tuple | None = None,
         dense_impl: str = "auto",
@@ -228,6 +232,7 @@ class HybridSearcher:
         )
         out.splade_query_terms = splade_query_terms
         out.plaid_nprobe, out.plaid_ncand = plaid_nprobe, plaid_ncand
+        out.plaid_ncand_rescore = plaid_ncand_rescore
         out.dense_impl = dense_impl
         if bm25_docs is not None:
             out.bm25 = BM25Index.build(bm25_docs, k1=k1, b=b)
@@ -582,6 +587,7 @@ class HybridSearcher:
                         k=topk,
                         nprobe=self.plaid_nprobe,
                         ncand=min(self.plaid_ncand, ivf.n_docs),
+                        ncand_rescore=self.plaid_ncand_rescore,
                     )
                 elif "cb_comp" in ops:
                     results["colbert"] = maxsim_search_compressed(

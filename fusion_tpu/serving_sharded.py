@@ -219,6 +219,7 @@ class ShardedHybridSearcher(HybridSearcher):
             splade_query_terms=searcher.splade_query_terms,
             plaid_nprobe=searcher.plaid_nprobe,
             plaid_ncand=searcher.plaid_ncand,
+            plaid_ncand_rescore=searcher.plaid_ncand_rescore,
             dense_local_topk=dense_local_topk,
         )
         if searcher.bm25 is not None:
@@ -531,6 +532,16 @@ class ShardedHybridSearcher(HybridSearcher):
                     qt, qm, arrs[ic], arrs[iivf][0], per,
                     nprobe=self.plaid_nprobe, ncand=ncand_l,
                 )
+                nr = self.plaid_ncand_rescore
+                if nr and nr < ncand_l:
+                    from fusion_tpu.index.plaid import _plaid_centroid_prune
+
+                    nr = max(nr - nr % chunk, chunk)
+                    cand = _plaid_centroid_prune(
+                        qt, qm, arrs[ic], arrs[icid][0], arrs[imsk][0],
+                        cand, ncand2=nr,
+                    )
+                    kl = min(kl, nr)
                 local = _plaid_rescore(
                     qt, qm, arrs[ic], arrs[icid][0], arrs[icod][0], arrs[imsk][0],
                     arrs[ibw], cand, nbits=ps.nbits, k=kl, cand_chunk=chunk,
