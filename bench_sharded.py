@@ -49,6 +49,7 @@ def main():
     ap.add_argument("--topk", type=int, default=1000)
     ap.add_argument("--rerank_depth", type=int, default=100)
     ap.add_argument("--dense_impl", default="fused", choices=["block", "fused"])
+    ap.add_argument("--splade_impl", default="scatter", choices=["impact", "scatter"])
     ap.add_argument("--ce_attention", default="einsum",
                     choices=["einsum", "einsum_bf16", "flash"])
     ap.add_argument("--iters", type=int, default=4)
@@ -67,6 +68,7 @@ def main():
 
     from fusion_tpu.index.inverted import ShardedImpactIndex
     from fusion_tpu.index.plaid import ShardedPlaidIndex
+    from fusion_tpu.ops.scatter_score import ShardedChunkedImpactIndex
     from fusion_tpu.models.biencoder import BiEncoder
     from fusion_tpu.models.colbert import ColBERT
     from fusion_tpu.models.crossencoder import CrossEncoder
@@ -79,6 +81,7 @@ def main():
     if args.tiny:
         N, V_B, V_S, C, H = 4096, 4096, 2048, 512, 128
         CAP_B, CAP_S, IVF_CAP, LD, D, LD_CE = 16, 32, 16, 8, 32, 32
+        DPC = 2048  # scatter chunk width (tiny shapes)
         cfg = EncoderConfig.tiny(vocab_size=V_S)
         ce_cfg = EncoderConfig.tiny(vocab_size=V_S)
         H = cfg.hidden_size  # dense leg must match the tiny trunk width
@@ -87,12 +90,18 @@ def main():
         N, V_B, V_S, C, H = args.n_docs, 262_144, 32_768, 131_072, 768
         # per-shard caps = the r02 flat-form global caps / S
         CAP_B, CAP_S, IVF_CAP = 2048 // S, 16_384 // S, 1024 // S
+        DPC = 16_384  # scatter chunk width
         LD, D, LD_CE = 32, 128, 128
         cfg = EncoderConfig(dropout=0.0, dtype=jnp.bfloat16)  # CamemBERT-base shape
         ce_cfg = EncoderConfig(dropout=0.0, dtype=jnp.bfloat16)
     NBITS, LQ = 2, 32
     per = -(-N // S)
     per = -(-per // 2048) * 2048  # fused dense kernel block multiple
+    if args.splade_impl == "scatter":
+        per = -(-per // DPC) * DPC  # whole scatter chunks per shard
+    CHUNKS = per // DPC
+    # equal kept mass to the flat per-shard cap, spread over the chunks
+    CAP_SC = max(-(-CAP_S // CHUNKS), 4)
 
     mesh = make_mesh(data=1, model=1, index=1)
 
@@ -115,9 +124,17 @@ def main():
         bm_doc = jax.random.randint(ks[0], (1, V_B + 1, CAP_B), 0, per, jnp.int32)
         bm_imp = jax.random.uniform(ks[1], (1, V_B + 1, CAP_B), jnp.float32, 0.05, 3.0
                                     ).astype(jnp.float16)
-        sp_doc = jax.random.randint(ks[2], (1, V_S + 1, CAP_S), 0, per, jnp.int32)
-        sp_imp = jax.random.uniform(ks[3], (1, V_S + 1, CAP_S), jnp.float32, 0.05, 3.0
-                                    ).astype(jnp.float16)
+        if args.splade_impl == "scatter":
+            sp_doc = jax.random.randint(
+                ks[2], (1, V_S + 1, CHUNKS, CAP_SC), 0, DPC, jnp.int32
+            ).astype(jnp.uint16)
+            sp_imp = jax.random.uniform(
+                ks[3], (1, V_S + 1, CHUNKS, CAP_SC), jnp.float32, 0.05, 3.0
+            ).astype(jnp.float16)
+        else:
+            sp_doc = jax.random.randint(ks[2], (1, V_S + 1, CAP_S), 0, per, jnp.int32)
+            sp_imp = jax.random.uniform(ks[3], (1, V_S + 1, CAP_S), jnp.float32, 0.05, 3.0
+                                        ).astype(jnp.float16)
         cents = jax.random.normal(ks[4], (C, D), jnp.float32) * 0.08
         bw = jnp.asarray([-0.04, -0.01, 0.01, 0.04], jnp.float32)
         ivf = jax.random.randint(ks[5], (1, C, IVF_CAP), 0, per, jnp.int32)
@@ -158,10 +175,15 @@ def main():
             values=dvals, scales=scales, normalized=True,
             n_docs=per, docs_per_shard=per,
         ),
-        splade_shards=ShardedImpactIndex(
+        splade_shards=None if args.splade_impl == "scatter" else ShardedImpactIndex(
             post_doc=sp_doc, post_impact=sp_imp, n_docs=per,
             docs_per_shard=per, vocab_size=V_S, cap=CAP_S,
         ),
+        splade_scatter_shards=ShardedChunkedImpactIndex(
+            post_doc=sp_doc, post_impact=sp_imp, n_docs=per,
+            docs_per_chunk=DPC, docs_per_shard=per, vocab_size=V_S,
+            cap_per_chunk=CAP_SC,
+        ) if args.splade_impl == "scatter" else None,
         plaid_shards=ShardedPlaidIndex(
             centroids=cents, bucket_weights=bw, centroid_ids=cid, codes=codes,
             mask=cmask, ivf_doc=ivf, nbits=NBITS, n_docs=per, docs_per_shard=per,
@@ -235,6 +257,7 @@ def main():
     detail = {
         "corpus_docs": N, "shards": S, "docs_per_shard": per, "batch": B,
         "topk": TOPK, "dense_impl": args.dense_impl,
+        "splade_impl": args.splade_impl,
         "ce_attention": args.ce_attention,
         "shard_index_gb": round(idx_gb, 2),
         "est_total_index_gb": round(idx_gb * S, 1),
