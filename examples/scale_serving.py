@@ -1,10 +1,15 @@
 """Corpus-scale serving walkthrough: the mMARCO-8.8M index forms on a
 small corpus (runs on CPU in ~2 min; the forms are what
-BENCH_MMARCO_r02.json measures at 8.9M docs on the chip).
+BENCH_MMARCO_r03.json measures at 8.9M docs on the chip).
 
   * BM25  → term-major impact-ordered inverted index (sort-merge scoring)
-  * SPLADE→ same impact form, query pruned on device
-  * ColBERT → residual-compressed index + PLAID two-stage search
+  * SPLADE→ same impact form, query pruned on device.  At ≥1M docs,
+    ``splade_impl='auto'`` instead picks the factorized-scatter chunked
+    index (ops/scatter_score.py — one MXU matmul per (query, chunk),
+    10x the sort form at 8.9M docs)
+  * ColBERT → residual-compressed index + PLAID three-stage search
+    (centroid probe → candidates → centroid-only prune
+    [``plaid_ncand_rescore``] → exact decompressed rescore)
 
 Run:  python examples/scale_serving.py
 """

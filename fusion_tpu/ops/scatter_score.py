@@ -51,6 +51,7 @@ from fusion_tpu.core.ranked import RankedLists
 from fusion_tpu.ops.dense_topk import BIN, _bin_reduce_pack, _select_topk
 
 LANES = 128  # lo-half width: d = hi·LANES + lo
+_SHIFT = LANES.bit_length() - 1  # d >> _SHIFT == d // LANES
 
 _INTERPRET = False  # set True to run the Pallas kernel in interpret mode (tests)
 
@@ -103,10 +104,10 @@ def _chunk_scores(docs: jax.Array, vals: jax.Array, h: int) -> jax.Array:
 
     docs i32 [..., W], vals bf16 [..., W] → dense chunk scores f32
     [..., H, 128] (doc (h, l) = h·128 + l); unmatched docs (and all pads —
-    the sentinel's hi half exceeds H-1) come back -inf.  Shared by the
-    Pallas kernel and the XLA reference path so both have identical
-    semantics."""
-    hi = docs >> 7
+    the sentinel's hi half exceeds H-1) come back -inf.  The XLA reference
+    path; ``_scatter_kernel`` inlines the same math 2-D (bf16 one-hots,
+    f32-accumulated dot) so the two paths share semantics."""
+    hi = docs >> _SHIFT
     lo = docs & (LANES - 1)
     shape = docs.shape[:-1]
     w = docs.shape[-1]
@@ -144,7 +145,7 @@ def _scatter_kernel(docs_ref, vals_ref, out_ref, *, h: int, chunk_block: int):
         # [H, W] i1 mask — an invalid relayout.  Same math as _chunk_scores.
         d = docs[bidx : bidx + 1]  # [1, W]
         v = vals[bidx : bidx + 1]
-        a = ((d >> 7) == iota_h).astype(jnp.bfloat16) * v
+        a = ((d >> _SHIFT) == iota_h).astype(jnp.bfloat16) * v
         b = ((d & (LANES - 1)) == iota_l).astype(jnp.bfloat16)
         raw = jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
