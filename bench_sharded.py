@@ -97,11 +97,12 @@ def main():
     NBITS, LQ = 2, 32
     per = -(-N // S)
     per = -(-per // 2048) * 2048  # fused dense kernel block multiple
+    CHUNKS = CAP_SC = 0
     if args.splade_impl == "scatter":
         per = -(-per // DPC) * DPC  # whole scatter chunks per shard
-    CHUNKS = per // DPC
-    # equal kept mass to the flat per-shard cap, spread over the chunks
-    CAP_SC = max(-(-CAP_S // CHUNKS), 4)
+        CHUNKS = per // DPC
+        # equal kept mass to the flat per-shard cap, spread over the chunks
+        CAP_SC = max(-(-CAP_S // CHUNKS), 4)
 
     mesh = make_mesh(data=1, model=1, index=1)
 

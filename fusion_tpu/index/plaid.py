@@ -233,9 +233,13 @@ def _plaid_centroid_prune(
             preferred_element_type=jnp.float32,
         )
     )(q_b).astype(jnp.bfloat16).reshape(q * c, lq)  # [(Q·C), Lq]
+    import math
+
     ncand = cand.shape[1]
-    cc = min(cand_chunk, ncand)
-    num_chunks = -(-ncand // cc)
+    # cc must DIVIDE ncand: the clamped dynamic slice of a ragged last chunk
+    # would re-score overlapping candidates and emit duplicate doc ids
+    cc = math.gcd(min(cand_chunk, ncand), ncand)
+    num_chunks = ncand // cc
     q_off = jnp.arange(q, dtype=jnp.int32)[:, None, None] * c  # [Q, 1, 1]
 
     def block_scores(bi):

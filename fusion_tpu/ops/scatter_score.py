@@ -53,6 +53,10 @@ from fusion_tpu.ops.dense_topk import BIN, _bin_reduce_pack, _select_topk
 LANES = 128  # lo-half width: d = hi·LANES + lo
 _SHIFT = LANES.bit_length() - 1  # d >> _SHIFT == d // LANES
 
+# Kq·capc ceiling for the Pallas kernel: the [H≤128, W] bf16 one-hot pair
+# plus double-buffered inputs stays well under 16 MB VMEM at W = 8192
+MAX_POSTING_WIDTH = 8192
+
 _INTERPRET = False  # set True to run the Pallas kernel in interpret mode (tests)
 
 
@@ -258,13 +262,14 @@ def scatter_impact_search(
         use_pallas = jax.default_backend() == "tpu"
     kq = q_terms.shape[1]
     capc = index.post_doc.shape[2]
-    if kq * capc > 8192:
+    if use_pallas and kq * capc > MAX_POSTING_WIDTH:
         raise ValueError(
             f"scatter posting width Kq*capc = {kq * capc} exceeds the VMEM "
-            "budget (8192); rebuild the chunked index with a smaller "
-            "cap_per_chunk — the scatter form is a corpus-scale layout "
-            "(fine-grained per-chunk caps), small corpora belong on the "
-            "flat impact index"
+            f"budget ({MAX_POSTING_WIDTH}); rebuild the chunked index with "
+            "a smaller cap_per_chunk (or a smaller docs_per_chunk, which "
+            "lowers the equal-mass per-chunk cap) — the scatter form is a "
+            "corpus-scale layout, small corpora belong on the flat impact "
+            "index"
         )
     c = index.post_doc.shape[1]
     chunk_block = max(1, min(chunk_block, c))

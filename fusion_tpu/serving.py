@@ -274,18 +274,31 @@ class HybridSearcher:
                 use_scatter = splade_impl == "scatter" or (
                     splade_impl == "auto" and n >= cls.FUSED_DENSE_MIN_DOCS
                 )
+                plan = None
                 if use_scatter:
+                    from fusion_tpu.ops.scatter_score import MAX_POSTING_WIDTH
+
+                    # shrink the chunk width until the equal-mass per-chunk
+                    # cap fits the kernel's posting-width budget (smaller
+                    # chunks → more chunks → smaller per-chunk cap)
                     dpc = scatter_docs_per_chunk
-                    num_chunks = -(-n // dpc)
-                    capc = max(-(-impact_cap // num_chunks), 4)
-                    if splade_query_terms * capc > 8192:
+                    while dpc >= 2048:
+                        capc = max(-(-impact_cap // -(-n // dpc)), 4)
+                        if splade_query_terms * capc <= MAX_POSTING_WIDTH:
+                            plan = (dpc, capc)
+                            break
+                        dpc //= 2
+                    if plan is None and splade_impl == "scatter":
                         raise ValueError(
-                            "splade_impl='scatter' needs query_terms*cap_per_chunk"
-                            f" <= 8192 (got {splade_query_terms}*{capc}); use "
+                            "splade_impl='scatter' cannot fit query_terms*"
+                            "cap_per_chunk <= "
+                            f"{MAX_POSTING_WIDTH} at any chunk width for "
+                            f"n_docs={n}, impact_cap={impact_cap}; use "
                             "splade_impl='impact' for small corpora"
                         )
+                if plan is not None:
                     out.splade_scatter_index = sparse_to_chunked_impact_index(
-                        sp, docs_per_chunk=dpc, cap_per_chunk=capc
+                        sp, docs_per_chunk=plan[0], cap_per_chunk=plan[1]
                     )
                 else:
                     out.splade_impact_index = sparse_to_impact_index(sp, cap=impact_cap)

@@ -440,14 +440,19 @@ class ShardedHybridSearcher(HybridSearcher):
             shard_idx = jax.lax.axis_index(INDEX_AXIS)
             results: dict[str, RankedLists] = {}
 
-            def impact_leg(sharded_index, pd, pi, terms, weights):
-                per = sharded_index.docs_per_shard
-                kl = min(topk, per)
-                local = _impact_search(terms, weights, pd[0], pi[0], per, kl)
+            def globalize_merge(local: RankedLists, per) -> RankedLists:
+                """Local shard ids -> global ids (-1 pads preserved), then
+                the all-gather top-k merge — shared by every leg."""
                 gids = jnp.where(
                     local.ids >= 0, local.ids + shard_idx * per, -1
                 ).astype(jnp.int32)
                 return _merge_shards(gids, local.scores, topk)
+
+            def impact_leg(sharded_index, pd, pi, terms, weights):
+                per = sharded_index.docs_per_shard
+                kl = min(topk, per)
+                local = _impact_search(terms, weights, pd[0], pi[0], per, kl)
+                return globalize_merge(local, per)
 
             if "bm25" in slots:
                 i0, i1 = slots["bm25"]
@@ -481,8 +486,7 @@ class ShardedHybridSearcher(HybridSearcher):
                         leg.normalized, leg.n_docs, kl,
                         self.dense_doc_block, self.dense_local_topk,
                     )
-                gids = jnp.where(local.ids >= 0, local.ids + lo, -1).astype(jnp.int32)
-                return _merge_shards(gids, local.scores, topk)
+                return globalize_merge(local, per)
 
             if "dense" in slots:
                 i0, i1 = slots["dense"]
@@ -501,10 +505,7 @@ class ShardedHybridSearcher(HybridSearcher):
                     arrs[i0][0], arrs[i1][0], sc.docs_per_chunk, per, kl,
                     use_pallas=use_pallas,
                 )
-                gids = jnp.where(
-                    local.ids >= 0, local.ids + shard_idx * per, -1
-                ).astype(jnp.int32)
-                results["splade"] = _merge_shards(gids, local.scores, topk)
+                results["splade"] = globalize_merge(local, per)
             elif "splade_imp" in slots:
                 i0, i1 = slots["splade_imp"]
                 results["splade"] = impact_leg(
@@ -546,10 +547,7 @@ class ShardedHybridSearcher(HybridSearcher):
                     qt, qm, arrs[ic], arrs[icid][0], arrs[icod][0], arrs[imsk][0],
                     arrs[ibw], cand, nbits=ps.nbits, k=kl, cand_chunk=chunk,
                 )
-                gids = jnp.where(
-                    local.ids >= 0, local.ids + shard_idx * per, -1
-                ).astype(jnp.int32)
-                results["colbert"] = _merge_shards(gids, local.scores, topk)
+                results["colbert"] = globalize_merge(local, per)
 
             # ---- fusion on the replicated merged lists ----------------
             if len(results) == 1:

@@ -292,10 +292,17 @@ def main():
         # factorized-scatter form (ops/scatter_score.py): capacity-matched
         # 16384-doc chunks; quality trades = bf16 accumulation + 16-doc
         # binning (the sort forms have neither binning nor bf16 sums)
-        from fusion_tpu.ops.scatter_score import scatter_impact_search
+        from fusion_tpu.ops.scatter_score import (
+            MAX_POSTING_WIDTH,
+            scatter_impact_search,
+        )
 
         nc_sc = -(-N // 16_384)
-        for capc in sorted({max(16_384 // nc_sc, 4), max(4096 // nc_sc, 4)}):
+        cap_fit = MAX_POSTING_WIDTH // KQ  # kernel posting-width budget
+        for capc in sorted({
+            min(max(16_384 // nc_sc, 4), cap_fit),
+            min(max(4096 // nc_sc, 4), cap_fit),
+        }):
             ch = build_chunked_impact_index(
                 flat_t[keep], flat_d[keep], flat_w[keep], V, N,
                 docs_per_chunk=16_384, cap_per_chunk=capc,
