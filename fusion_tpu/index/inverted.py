@@ -335,9 +335,36 @@ def build_chunked_impact_index(
     n_docs: int,
     docs_per_chunk: int = 32768,
     cap_per_chunk: int = 64,
+    use_native: bool | None = None,
 ) -> ChunkedImpactIndex:
-    """Host-side build from COO postings (offline index work)."""
+    """Host-side build from COO postings (offline index work).
+
+    ``use_native=None`` routes posting counts above ~2M through the C++
+    packer (native/impact_packer.cpp — one bounded-heap pass instead of a
+    global lexsort, which needs ~30 GB and minutes at mMARCO's ~1e9
+    postings); smaller builds and tie-exactness tests keep the numpy path.
+    """
     assert docs_per_chunk < CHUNK_SENTINEL
+    if use_native is None:
+        use_native = np.asarray(entry_term).size > 2_000_000
+    if use_native:
+        from fusion_tpu.native import pack_chunked_impact
+
+        packed = pack_chunked_impact(
+            entry_term, entry_doc, impacts, vocab_size, n_docs,
+            docs_per_chunk, cap_per_chunk,
+        )
+        if packed is not None:
+            post_doc, post_imp, kept = packed
+            return ChunkedImpactIndex(
+                post_doc=jnp.asarray(post_doc),
+                post_impact=jnp.asarray(post_imp),
+                n_docs=n_docs,
+                docs_per_chunk=docs_per_chunk,
+                vocab_size=vocab_size,
+                cap_per_chunk=cap_per_chunk,
+                nnz_kept=kept,
+            )
     t = np.asarray(entry_term, dtype=np.int64)
     d = np.asarray(entry_doc, dtype=np.int64)
     v = np.asarray(impacts, dtype=np.float32)

@@ -1,9 +1,11 @@
 """Native (C++) host components, bound via ctypes.
 
 The TPU compute path is JAX/XLA/Pallas; host-side hot loops that feed it are
-C++: currently the BM25 posting builder (``bm25_builder.cpp``), compiled on
-first use with g++ into a cached shared library.  Falls back to the pure
-numpy builder when no compiler is available.
+C++: the BM25 posting builder (``bm25_builder.cpp``) and the chunked-impact
+index packer (``impact_packer.cpp`` — bounded per-group selection replacing
+a ~30 GB global lexsort at mMARCO posting counts), compiled on first use
+with g++ into one cached shared library.  Falls back to the pure numpy
+builders when no compiler is available.
 """
 
 from __future__ import annotations
@@ -23,12 +25,17 @@ _LIB_FAILED = False
 
 
 def _compile() -> str | None:
-    src = os.path.join(_HERE, "bm25_builder.cpp")
-    out = os.path.join(_BUILD_DIR, "libbm25_builder.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    srcs = [
+        os.path.join(_HERE, "bm25_builder.cpp"),
+        os.path.join(_HERE, "impact_packer.cpp"),
+    ]
+    out = os.path.join(_BUILD_DIR, "libfusion_native.so")
+    if os.path.exists(out) and all(
+        os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs
+    ):
         return out
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", out]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", *srcs, "-o", out]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return out
@@ -74,6 +81,16 @@ def get_library():
         ]
         lib.bm25_free.restype = None
         lib.bm25_free.argtypes = [ctypes.c_void_p]
+        lib.pack_chunked_impact.restype = ctypes.c_int64
+        lib.pack_chunked_impact.argtypes = [
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+        ]
         _LIB = lib
         return _LIB
 
@@ -118,3 +135,41 @@ def build_bm25_postings(corpus: list[str]):
         )
     finally:
         lib.bm25_free(handle)
+
+
+def pack_chunked_impact(
+    entry_term: np.ndarray,
+    entry_doc: np.ndarray,
+    impacts: np.ndarray,
+    vocab_size: int,
+    n_docs: int,
+    docs_per_chunk: int,
+    cap_per_chunk: int,
+):
+    """Native top-cap_per_chunk selection per (term, doc-range chunk).
+
+    Returns (post_doc uint16 [V+1, C, capc], post_imp float16 [V+1, C, capc],
+    nnz_kept) — the ChunkedImpactIndex arrays — or None when the native
+    library is unavailable.  One O(nnz·log capc) pass with bounded per-group
+    min-heaps instead of the numpy builder's global lexsort."""
+    lib = get_library()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(entry_term, dtype=np.int64)
+    d = np.ascontiguousarray(entry_doc, dtype=np.int64)
+    v = np.ascontiguousarray(impacts, dtype=np.float32)
+    num_chunks = -(-n_docs // docs_per_chunk)
+    shape = (vocab_size + 1, num_chunks, cap_per_chunk)
+    post_doc = np.empty(shape, dtype=np.uint16)
+    post_imp_bits = np.empty(shape, dtype=np.uint16)
+    kept = lib.pack_chunked_impact(
+        t, d, v, t.size, vocab_size, n_docs, docs_per_chunk, cap_per_chunk,
+        post_doc.reshape(-1), post_imp_bits.reshape(-1),
+    )
+    if kept < 0:
+        raise ValueError(
+            "pack_chunked_impact: term/doc out of range or invalid chunking "
+            f"(vocab_size={vocab_size}, n_docs={n_docs}, "
+            f"docs_per_chunk={docs_per_chunk})"
+        )
+    return post_doc, post_imp_bits.view(np.float16), int(kept)

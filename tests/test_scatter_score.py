@@ -213,3 +213,44 @@ def test_sharded_scatter_matches_single():
         np.testing.assert_allclose(
             np.sort(s_s[qi][real])[2:], np.sort(m_s[qi][real])[2:], rtol=1e-4
         )
+
+
+def test_native_packer_matches_numpy_builder():
+    """The C++ chunked-impact packer must produce the same index as the
+    numpy lexsort builder: same kept (term, chunk, doc) membership, same
+    impact-descending order, same f16 values (distinct impacts avoid
+    tie-order ambiguity between the two selection algorithms)."""
+    from fusion_tpu.native import native_available, pack_chunked_impact
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    n_docs, vocab = 9000, 96
+    term, doc, _ = _random_postings(rng, n_docs, vocab, terms_per_doc=5)
+    # distinct impacts: permutation-based, no ties
+    imp = (rng.permutation(term.size).astype(np.float32) + 1) / term.size
+
+    want = build_chunked_impact_index(
+        term, doc, imp, vocab_size=vocab, n_docs=n_docs,
+        docs_per_chunk=2048, cap_per_chunk=8, use_native=False,
+    )
+    post_doc, post_imp, kept = pack_chunked_impact(
+        term, doc, imp, vocab_size=vocab, n_docs=n_docs,
+        docs_per_chunk=2048, cap_per_chunk=8,
+    )
+    assert kept == want.nnz_kept
+    np.testing.assert_array_equal(post_doc, np.asarray(want.post_doc))
+    np.testing.assert_array_equal(
+        post_imp.view(np.uint16), np.asarray(want.post_impact).view(np.uint16)
+    )
+
+    # and the search built on it agrees end to end
+    got_index = build_chunked_impact_index(
+        term, doc, imp, vocab_size=vocab, n_docs=n_docs,
+        docs_per_chunk=2048, cap_per_chunk=8, use_native=True,
+    )
+    q_terms = jnp.asarray(rng.integers(0, vocab, size=(3, 6)), jnp.int32)
+    q_weights = jnp.ones((3, 6), jnp.float32)
+    r1 = scatter_impact_search(q_terms, q_weights, want, k=20, use_pallas=False)
+    r2 = scatter_impact_search(q_terms, q_weights, got_index, k=20, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
