@@ -82,9 +82,31 @@ def build_impact_index(
     vocab_size: int,
     n_docs: int,
     cap: int = 4096,
+    use_native: bool | None = None,
 ) -> ImpactIndex:
     """Host-side build from COO postings (index build is offline work; the
-    resulting arrays ship to the device once)."""
+    resulting arrays ship to the device once).
+
+    ``use_native=None`` routes >2M-posting builds through the C++ packer
+    (native/impact_packer.cpp) — see ``build_chunked_impact_index``."""
+    if use_native is None:
+        use_native = np.asarray(entry_term).size > 2_000_000
+    if use_native:
+        from fusion_tpu.native import pack_flat_impact
+
+        packed = pack_flat_impact(
+            entry_term, entry_doc, impacts, vocab_size, n_docs, cap
+        )
+        if packed is not None:
+            post_doc, post_imp, kept = packed
+            return ImpactIndex(
+                post_doc=jnp.asarray(post_doc),
+                post_impact=jnp.asarray(post_imp),
+                n_docs=n_docs,
+                vocab_size=vocab_size,
+                cap=cap,
+                nnz_kept=kept,
+            )
     t = np.asarray(entry_term, dtype=np.int64)
     d = np.asarray(entry_doc, dtype=np.int64)
     v = np.asarray(impacts, dtype=np.float32)

@@ -91,6 +91,15 @@ def get_library():
             np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
         ]
+        lib.pack_flat_impact.restype = ctypes.c_int64
+        lib.pack_flat_impact.argtypes = [
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+        ]
         _LIB = lib
         return _LIB
 
@@ -171,5 +180,37 @@ def pack_chunked_impact(
             "pack_chunked_impact: term/doc out of range or invalid chunking "
             f"(vocab_size={vocab_size}, n_docs={n_docs}, "
             f"docs_per_chunk={docs_per_chunk})"
+        )
+    return post_doc, post_imp_bits.view(np.float16), int(kept)
+
+
+def pack_flat_impact(
+    entry_term: np.ndarray,
+    entry_doc: np.ndarray,
+    impacts: np.ndarray,
+    vocab_size: int,
+    n_docs: int,
+    cap: int,
+):
+    """Native top-cap selection per term (the flat ImpactIndex layout).
+
+    Returns (post_doc int32 [V+1, cap], post_imp float16 [V+1, cap],
+    nnz_kept) or None when the native library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(entry_term, dtype=np.int64)
+    d = np.ascontiguousarray(entry_doc, dtype=np.int64)
+    v = np.ascontiguousarray(impacts, dtype=np.float32)
+    post_doc = np.empty((vocab_size + 1, cap), dtype=np.int32)
+    post_imp_bits = np.empty((vocab_size + 1, cap), dtype=np.uint16)
+    kept = lib.pack_flat_impact(
+        t, d, v, t.size, vocab_size, n_docs, cap,
+        post_doc.reshape(-1), post_imp_bits.reshape(-1),
+    )
+    if kept < 0:
+        raise ValueError(
+            "pack_flat_impact: term/doc out of range "
+            f"(vocab_size={vocab_size}, n_docs={n_docs})"
         )
     return post_doc, post_imp_bits.view(np.float16), int(kept)

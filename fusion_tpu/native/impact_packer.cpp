@@ -138,4 +138,76 @@ int64_t pack_chunked_impact(const int64_t* entry_term, const int64_t* entry_doc,
   return kept;
 }
 
+// Flat (term-major, global-cap) variant: the ImpactIndex layout
+// [vocab_size+1, cap] with int32 doc ids (pad = n_docs) — same bounded
+// min-heap selection, one group per term.
+int64_t pack_flat_impact(const int64_t* entry_term, const int64_t* entry_doc,
+                         const float* impacts, int64_t nnz,
+                         int64_t vocab_size, int64_t n_docs, int64_t cap,
+                         int32_t* post_doc, uint16_t* post_imp) {
+  if (cap <= 0) return -1;
+  const int64_t total = (vocab_size + 1) * cap;
+  std::fill(post_doc, post_doc + total, static_cast<int32_t>(n_docs));
+  std::fill(post_imp, post_imp + total, static_cast<uint16_t>(0));
+  std::vector<float> imp(static_cast<size_t>(total), 0.0f);
+  std::vector<uint32_t> count(static_cast<size_t>(vocab_size + 1), 0);
+
+  auto sift_down = [&](int64_t base, int64_t cnt, int64_t i) {
+    while (true) {
+      int64_t l = 2 * i + 1, r = 2 * i + 2, m = i;
+      if (l < cnt && imp[base + l] < imp[base + m]) m = l;
+      if (r < cnt && imp[base + r] < imp[base + m]) m = r;
+      if (m == i) break;
+      std::swap(imp[base + i], imp[base + m]);
+      std::swap(post_doc[base + i], post_doc[base + m]);
+      i = m;
+    }
+  };
+
+  for (int64_t e = 0; e < nnz; ++e) {
+    const int64_t t = entry_term[e];
+    const int64_t d = entry_doc[e];
+    if (t < 0 || t >= vocab_size || d < 0 || d >= n_docs) return -1;
+    const int64_t base = t * cap;
+    const uint32_t cnt = count[t];
+    const float v = impacts[e];
+    if (cnt < cap) {
+      imp[base + cnt] = v;
+      post_doc[base + cnt] = static_cast<int32_t>(d);
+      count[t] = cnt + 1;
+      if (cnt + 1 == cap)
+        for (int64_t i = cap / 2 - 1; i >= 0; --i) sift_down(base, cap, i);
+    } else if (v > imp[base]) {
+      imp[base] = v;
+      post_doc[base] = static_cast<int32_t>(d);
+      sift_down(base, cap, 0);
+    }
+  }
+
+  int64_t kept = 0;
+  std::vector<int32_t> order(static_cast<size_t>(cap));
+  std::vector<float> tmp_imp(static_cast<size_t>(cap));
+  std::vector<int32_t> tmp_doc(static_cast<size_t>(cap));
+  for (int64_t t = 0; t < vocab_size; ++t) {
+    const int64_t cnt = count[t];
+    if (cnt == 0) continue;
+    kept += cnt;
+    const int64_t base = t * cap;
+    for (int64_t i = 0; i < cnt; ++i) order[i] = static_cast<int32_t>(i);
+    std::stable_sort(order.begin(), order.begin() + cnt,
+                     [&](int32_t a, int32_t b) {
+                       return imp[base + a] > imp[base + b];
+                     });
+    for (int64_t i = 0; i < cnt; ++i) {
+      tmp_imp[i] = imp[base + order[i]];
+      tmp_doc[i] = post_doc[base + order[i]];
+    }
+    for (int64_t i = 0; i < cnt; ++i) {
+      post_doc[base + i] = tmp_doc[i];
+      post_imp[base + i] = f32_to_f16_bits(tmp_imp[i]);
+    }
+  }
+  return kept;
+}
+
 }  // extern "C"

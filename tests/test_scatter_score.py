@@ -254,3 +254,29 @@ def test_native_packer_matches_numpy_builder():
     r1 = scatter_impact_search(q_terms, q_weights, want, k=20, use_pallas=False)
     r2 = scatter_impact_search(q_terms, q_weights, got_index, k=20, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
+
+
+def test_native_flat_packer_matches_numpy_builder():
+    """pack_flat_impact vs the numpy flat builder: identical arrays on
+    distinct impacts."""
+    from fusion_tpu.native import native_available, pack_flat_impact
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(13)
+    n_docs, vocab = 7000, 80
+    term, doc, _ = _random_postings(rng, n_docs, vocab, terms_per_doc=4)
+    imp = (rng.permutation(term.size).astype(np.float32) + 1) / term.size
+
+    want = build_impact_index(
+        term, doc, imp, vocab_size=vocab, n_docs=n_docs, cap=16,
+        use_native=False,
+    )
+    post_doc, post_imp, kept = pack_flat_impact(
+        term, doc, imp, vocab_size=vocab, n_docs=n_docs, cap=16
+    )
+    assert kept == want.nnz_kept
+    np.testing.assert_array_equal(post_doc, np.asarray(want.post_doc))
+    np.testing.assert_array_equal(
+        post_imp.view(np.uint16), np.asarray(want.post_impact).view(np.uint16)
+    )
