@@ -42,6 +42,18 @@ import numpy as np
 
 
 def main():
+    from fusion_tpu.utils.common import tpu_tunnel_up
+
+    if not tpu_tunnel_up():
+        # dead relay: jax backend init would hang ~40 min before failing
+        print(json.dumps({
+            "metric": "hybrid_queries_per_sec_per_chip", "value": 0.0, "unit": "queries/s",
+            "vs_baseline": 0.0,
+            "error": "tpu tunnel relay down (port 8093 refused) — backend "
+                     "init would hang; rerun once the driver restores it",
+        }))
+        return
+
     import jax
 
     # persistent compile cache: remote (tunneled) compilation of the bigger

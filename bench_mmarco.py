@@ -93,6 +93,18 @@ def main():
     args = ap.parse_args()
     legs_set = set(args.legs.split(","))
 
+    from fusion_tpu.utils.common import tpu_tunnel_up
+
+    if not tpu_tunnel_up():
+        # dead relay: jax backend init would hang ~40 min before failing
+        print(json.dumps({
+            "metric": "mmarco_scale_hybrid_q_per_s_per_chip", "value": 0.0, "unit": "queries/s",
+            "vs_baseline": 0.0,
+            "error": "tpu tunnel relay down (port 8093 refused) — backend "
+                     "init would hang; rerun once the driver restores it",
+        }))
+        return
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fusion_tpu_jax_cache_tpu")

@@ -56,6 +56,17 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
     args = ap.parse_args()
 
+    if not args.tiny:
+        from fusion_tpu.utils.common import tpu_tunnel_up
+
+        if not tpu_tunnel_up():
+            print(json.dumps({
+                "metric": "mmarco_sharded_hybrid_q_per_s_per_pod",
+                "value": 0.0, "unit": "queries/s", "vs_baseline": 0.0,
+                "error": "tpu tunnel relay down (port 8093 refused)",
+            }))
+            return
+
     import jax
 
     if args.tiny:

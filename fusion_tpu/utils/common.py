@@ -139,3 +139,20 @@ def push_to_hub(model_path: str, repo_id: str, token: str | None = None):  # pra
     except Exception as e:
         print(f"push_to_hub unavailable: {e}")
         return False
+
+
+def tpu_tunnel_up(port: int = 8093, timeout: float = 3.0) -> bool:
+    """Fast liveness check for the tunneled-TPU relay.
+
+    The axon backend reaches the chip through a local stdio-pipe relay
+    (ports 8082–8117; 8093 is the compile helper).  When the relay process
+    has died, ``jax.devices()`` hangs ~40 min inside backend init before
+    failing — a 3 s TCP connect distinguishes "relay down" from a live
+    tunnel so benches can fail fast with a diagnosable message."""
+    import socket
+
+    try:
+        socket.create_connection(("127.0.0.1", port), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
