@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-3 pending chip measurements, in one serial TPU session.
+# Run from /root/repo once the tunnel relay is back (bench guards fail fast
+# if it is not).  Each step leaves its JSON on stdout/stderr logs under
+# /tmp/chip_r03/.  NEVER run two of these concurrently (one chip claim).
+set -u
+mkdir -p /tmp/chip_r03
+cd /root/repo
+
+echo "== 1/5 plaid stage breakdown (incl. centroid-prune tier)"
+python -c "
+import sys; sys.path.insert(0, '/root/repo')
+import runpy; sys.argv = ['probe_plaid.py']
+runpy.run_path('scripts/probe_plaid.py', run_name='__main__')
+" > /tmp/chip_r03/probe_plaid.log 2>&1
+tail -1 /tmp/chip_r03/probe_plaid.log
+
+echo "== 2/5 scatter knob probe"
+python -c "
+import sys; sys.path.insert(0, '/root/repo')
+import runpy; sys.argv = ['probe_scatter.py']
+runpy.run_path('scripts/probe_scatter.py', run_name='__main__')
+" > /tmp/chip_r03/probe_scatter.log 2>&1
+tail -1 /tmp/chip_r03/probe_scatter.log
+
+echo "== 3/5 bench_mmarco full (all best forms incl. 3-stage plaid)"
+python bench_mmarco.py \
+  --legs bm25_inv,splade_scatter,dense_fused,plaid \
+  > /tmp/chip_r03/bench_mmarco.log 2>&1
+tail -1 /tmp/chip_r03/bench_mmarco.log
+
+echo "== 4/5 recall study (scatter + rescore entries, full scale)"
+python -c "
+import sys; sys.path.insert(0, '/root/repo')
+import runpy; sys.argv = ['recall_study.py']
+runpy.run_path('scripts/recall_study.py', run_name='__main__')
+" > /tmp/chip_r03/recall_study.log 2>&1
+tail -1 /tmp/chip_r03/recall_study.log
+
+echo "== 5/5 bench_sharded (scatter splade + fused dense + rerank)"
+python bench_sharded.py --ce_attention einsum_bf16 \
+  > /tmp/chip_r03/bench_sharded.log 2>&1
+tail -1 /tmp/chip_r03/bench_sharded.log
+
+echo "== done; artifacts in /tmp/chip_r03/"
