@@ -23,6 +23,14 @@ runpy.run_path('scripts/probe_scatter.py', run_name='__main__')
 " > /tmp/chip_r03/probe_scatter.log 2>&1
 tail -1 /tmp/chip_r03/probe_scatter.log
 
+echo "== 2b/5 dense fused block sweep"
+python -c "
+import sys; sys.path.insert(0, '/root/repo')
+import runpy; sys.argv = ['probe_dense.py']
+runpy.run_path('scripts/probe_dense.py', run_name='__main__')
+" > /tmp/chip_r03/probe_dense.log 2>&1
+tail -1 /tmp/chip_r03/probe_dense.log
+
 echo "== 3/5 bench_mmarco full (all best forms incl. 3-stage plaid)"
 python bench_mmarco.py \
   --legs bm25_inv,splade_scatter,dense_fused,plaid \
