@@ -497,6 +497,19 @@ def main():
             "ncand_rescore": NCAND_RESCORE,
             "ivf_cap": IVF_CAP, "build_s": round(build_s, 1),
         }
+        # two-stage comparison form (rescore ALL ncand candidates) on the
+        # same index — isolates the centroid-prune tier's win
+        fn2 = functools.partial(
+            plaid_search, k=TOPK, nprobe=NPROBE, ncand=NCAND, cand_chunk=512,
+            ncand_rescore=None,
+        )
+        dt2 = time_batch(fn2, (q_tok, q_mask, index, ivf), iters=4,
+                         label="colbert plaid (no prune)")
+        legs["colbert_plaid_two_stage"] = {
+            "ms_per_batch": round(dt2 * 1000, 2), "q_per_s": round(B / dt2, 1),
+            "index_gb": round(idx_gb, 2), "nprobe": NPROBE, "ncand": NCAND,
+            "form": "rescore all ncand (pre-round-3 two-stage comparison)",
+        }
         del cid, codes, cents, mask, ivf_doc, index, ivf, q_tok, q_mask
         gc.collect()
 
