@@ -61,7 +61,7 @@ ranked, ms = searcher.search(queries, batch_size=16, use_pallas=False)
 ids = ranked.id_lists()
 for q, top in zip(queries, ids):
     print(f"  {q!r} -> top docs {top[:5]}")
-print(f"latency: {ms:.1f} ms/query (CPU; see BENCH_MMARCO_r02.json for chip numbers)")
+print(f"latency: {ms:.1f} ms/query (CPU; see BENCH_MMARCO_r03.json for chip numbers)")
 
 # the searcher persists and reloads in the same forms
 import tempfile
