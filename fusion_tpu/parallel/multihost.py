@@ -38,7 +38,10 @@ def initialize_multihost(
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+        msg = str(e).lower()
+        # jax <=0.4: "already initialized"; jax >=0.5: "should only be
+        # called once"
+        if "already" not in msg and "once" not in msg:
             raise
 
 
