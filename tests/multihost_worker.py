@@ -13,6 +13,12 @@ contracts from SURVEY §5.8 on the global mesh:
     psum'd by XLA (Gloo over the "DCN" loopback) — must equal the
     full-batch gradient.
 
+With ``mode=hybrid`` it instead builds the full 4-system
+``ShardedHybridSearcher`` (BM25 impact + int8 dense + SPLADE + PLAID +
+monoBERT rerank) on the cross-process mesh and checks the whole serving
+program against the single-device ``HybridSearcher`` — the reference's
+complete pipeline (src/retrievers/hybrid.py:310-468) served multi-host.
+
 Each process writes ``out_<pid>.json`` with its verdicts; the parent test
 asserts both.
 """
@@ -30,6 +36,84 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4)
 
 
+def run_hybrid(pid: int, nproc: int, outdir: str) -> None:
+    """Full sharded hybrid serving program across processes vs one device."""
+    import numpy as np
+
+    from fusion_tpu.data.preprocessor import TextPreprocessor
+    from fusion_tpu.models.biencoder import BiEncoder
+    from fusion_tpu.models.colbert import ColBERT
+    from fusion_tpu.models.crossencoder import CrossEncoder
+    from fusion_tpu.models.encoder import EncoderConfig
+    from fusion_tpu.parallel.sharding import make_mesh
+    from fusion_tpu.serving import HybridSearcher
+    from fusion_tpu.serving_sharded import ShardedHybridSearcher
+
+    words = (
+        "chat chien tribunal jugement contrat travail loi consommateur "
+        "voiture route oiseau foret tapis salon jardin souris fromage pain "
+        "livre page juge avocat peine article code civil penal commerce"
+    ).split()
+    rng = np.random.default_rng(3)  # identical corpus/models on every host
+    corpus = {
+        100 + i: " ".join(rng.choice(words, size=6, replace=False))
+        for i in range(24)
+    }
+    queries = ["chat tapis salon", "tribunal jugement peine", "contrat travail code"]
+
+    cfg = EncoderConfig.tiny(vocab_size=512)
+    prep = TextPreprocessor(spacy_model=None)
+    searcher = HybridSearcher.build(
+        corpus,
+        bm25_docs=prep.preprocess(list(corpus.values())),
+        dense_model=BiEncoder(cfg, head="dense", max_query_length=8, max_doc_length=16),
+        splade_model=BiEncoder(cfg, head="splade", max_query_length=8, max_doc_length=16),
+        colbert_model=ColBERT(cfg, dim=16, max_query_length=8, max_doc_length=16),
+        cross_encoder=CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=32),
+        rerank_depth=4,
+        batch_size=4,
+        topk=8,
+        bm25_preprocess=lambda t: prep.preprocess(list(t)),
+        int8_corpus=True,
+        scale_mode=True,
+        impact_cap=64,
+        splade_prune_topk=512,
+        splade_query_terms=512,
+        colbert_compressed=True,
+        colbert_nbits=4,
+        colbert_plaid=True,
+        plaid_nprobe=64,
+        plaid_ncand=24,  # == n_docs → candidate stage exhaustive (exact)
+        ivf_cap=64,
+    )
+    single, _ = searcher.search(queries, batch_size=4, use_pallas=False)
+    s_ids = np.asarray(single.ids)
+
+    mesh = make_mesh(data=1, model=1, index=jax.device_count())
+    sharded = ShardedHybridSearcher.from_searcher(searcher, mesh)
+    multi, _ = sharded.search(queries, batch_size=4, use_pallas=False)
+    m_ids = np.asarray(multi.ids)
+
+    report = {
+        "pid": pid,
+        "global_devices": int(jax.device_count()),
+        "systems": sharded.active_systems,
+        "top1_match": bool(np.array_equal(m_ids[:, 0], s_ids[:, 0])),
+        "sets_match": all(
+            set(m_ids[qi].tolist()) == set(s_ids[qi].tolist())
+            for qi in range(len(queries))
+        ),
+    }
+    report["ok"] = (
+        report["global_devices"] == 4 * nproc
+        and report["systems"] == ["bm25", "dpr", "splade", "colbert", "monobert"]
+        and report["top1_match"]
+        and report["sets_match"]
+    )
+    with open(f"{outdir}/out_{pid}.json", "w") as f:
+        json.dump(report, f)
+
+
 def main() -> None:
     port, pid, nproc, outdir = (
         sys.argv[1],
@@ -37,6 +121,7 @@ def main() -> None:
         int(sys.argv[3]),
         sys.argv[4],
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "micro"
 
     from fusion_tpu.parallel.multihost import (
         initialize_multihost,
@@ -47,6 +132,10 @@ def main() -> None:
     initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
     # idempotency: a second call must be a no-op, not a crash
     initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
+
+    if mode == "hybrid":
+        run_hybrid(pid, nproc, outdir)
+        return
 
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -33,8 +33,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_pod(tmp_path):
+def _run_pod(tmp_path, mode: str, timeout: int) -> list[dict]:
     port = _free_port()
     env = dict(os.environ)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -45,7 +44,15 @@ def test_two_process_pod(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(port), str(pid), str(_NPROC), str(tmp_path)],
+            [
+                sys.executable,
+                _WORKER,
+                str(port),
+                str(pid),
+                str(_NPROC),
+                str(tmp_path),
+                mode,
+            ],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -55,7 +62,7 @@ def test_two_process_pod(tmp_path):
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -65,11 +72,31 @@ def test_two_process_pod(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
 
+    reports = []
     for pid in range(_NPROC):
         path = tmp_path / f"out_{pid}.json"
         assert path.exists(), f"worker {pid} wrote no report:\n{outputs[pid]}"
         report = json.loads(path.read_text())
         assert report["ok"], f"worker {pid} report: {report}"
         assert report["global_devices"] == 8
+        reports.append(report)
+    return reports
+
+
+@pytest.mark.slow
+def test_two_process_pod(tmp_path):
+    reports = _run_pod(tmp_path, "micro", timeout=300)
+    for pid, report in enumerate(reports):
         assert report["is_primary"] == (pid == 0)
         assert report["search_ids_match"] and report["grad_close"]
+
+
+@pytest.mark.slow
+def test_two_process_sharded_hybrid(tmp_path):
+    """The complete 4-system + rerank serving program on a cross-process
+    mesh matches the single-device HybridSearcher (the reference's whole
+    pipeline, src/retrievers/hybrid.py:310-468, served multi-host)."""
+    reports = _run_pod(tmp_path, "hybrid", timeout=480)
+    for report in reports:
+        assert report["systems"] == ["bm25", "dpr", "splade", "colbert", "monobert"]
+        assert report["top1_match"] and report["sets_match"]
