@@ -440,7 +440,7 @@ def main():
     # ------------------------------------------------------------------
     if "plaid" in legs_set:
         from fusion_tpu.index.compression import CompressedTokenIndex
-        from fusion_tpu.index.plaid import IVFIndex, plaid_search
+        from fusion_tpu.index.plaid import IVFIndex, dedup_ivf_rows, plaid_search
 
         LD, D, NBITS, C = 32, 128, 2, 131_072
         LQ, IVF_CAP, NPROBE, NCAND = 32, 1024, 4, 4096
@@ -471,7 +471,11 @@ def main():
         mask = jnp.ones((N, LD), jnp.uint8)  # decompress promotes; 0.29 GB
         cents = jax.random.normal(k1, (C, D), jnp.float32) * 0.08
         bw = jnp.asarray([-0.04, -0.01, 0.01, 0.04], jnp.float32)
-        ivf_doc = jax.random.randint(k2, (C, IVF_CAP), 0, N, dtype=jnp.int32)
+        # dedup within rows: plaid_candidates' suffix-max assumes
+        # duplicate-free centroid lists (build_ivf's invariant)
+        ivf_doc = dedup_ivf_rows(
+            jax.random.randint(k2, (C, IVF_CAP), 0, N, dtype=jnp.int32), N
+        )
         fetch(cid[:1, :1])
         build_s = time.perf_counter() - t0
         index = CompressedTokenIndex(

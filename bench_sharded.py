@@ -149,7 +149,11 @@ def main():
                                         ).astype(jnp.float16)
         cents = jax.random.normal(ks[4], (C, D), jnp.float32) * 0.08
         bw = jnp.asarray([-0.04, -0.01, 0.01, 0.04], jnp.float32)
-        ivf = jax.random.randint(ks[5], (1, C, IVF_CAP), 0, per, jnp.int32)
+        from fusion_tpu.index.plaid import dedup_ivf_rows
+
+        ivf = dedup_ivf_rows(
+            jax.random.randint(ks[5], (1, C, IVF_CAP), 0, per, jnp.int32), per
+        )
         scales = jnp.full((1, per), 1.0 / 127.0, jnp.float32)
         return bm_doc, bm_imp, sp_doc, sp_imp, cents, bw, ivf, scales
 

@@ -273,14 +273,21 @@ def sharded_impact_search(
         top_scores, pos = jax.lax.top_k(merged_scores, k)
         return jnp.take_along_axis(merged_ids, pos, axis=-1), top_scores
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(), P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    from fusion_tpu.parallel.sharding import cached_shard_program
+
+    program = cached_shard_program(
+        ("sharded_impact_search", mesh, k, per),
+        lambda: shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None)
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ),
     )
-    ids, scores = jax.jit(fn)(q_terms, q_weights, index.post_doc, index.post_impact)
+    ids, scores = program(q_terms, q_weights, index.post_doc, index.post_impact)
     return RankedLists(ids=ids, scores=scores)
 
 

@@ -89,6 +89,24 @@ def build_ivf(
     return IVFIndex(ivf_doc=jnp.asarray(ivf), n_docs=n, cap=cap)
 
 
+def dedup_ivf_rows(ivf_doc: jax.Array, n_docs: int) -> jax.Array:
+    """Replace duplicate doc ids within each centroid list by the pad
+    sentinel ``n_docs`` (row order is irrelevant to candidate scoring).
+
+    ``build_ivf`` output is already duplicate-free; run this over
+    externally-supplied or synthetic IVF lists.  ``plaid_candidates``
+    recovers the per-(doc, token) max with a suffix-max over sorted runs
+    of length ≤ nprobe — an invariant that holds only when every centroid
+    list is duplicate-free; duplicate entries make longer runs and would
+    silently under-count that doc's score."""
+    s = jnp.sort(ivf_doc, axis=-1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(s[..., :1], dtype=bool), s[..., 1:] == s[..., :-1]],
+        axis=-1,
+    )
+    return jnp.where(dup, n_docs, s).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("nprobe", "ncand", "n_docs", "probe_chunk")
 )
@@ -102,7 +120,13 @@ def plaid_candidates(
     ncand: int = 4096,
     probe_chunk: int = 512,
 ) -> tuple[jax.Array, jax.Array]:
-    """Stage 0+1 → (candidate doc ids [Q, ncand] int32, probe scores)."""
+    """Stage 0+1 → (candidate doc ids [Q, ncand] int32, probe scores).
+
+    ``ivf_doc`` rows must be duplicate-free (``build_ivf`` guarantees it;
+    pass anything else through ``dedup_ivf_rows``): the per-(doc, token)
+    max below is a suffix-max over sorted runs of length ≤ nprobe, and a
+    doc repeated within one centroid list makes a longer run whose tail
+    would be under-counted."""
     q, lq, d = q_tok.shape
     c = centroids.shape[0]
     cents_b = centroids.astype(jnp.bfloat16)
@@ -415,18 +439,26 @@ def sharded_plaid_search(
         top_scores, pos = jax.lax.top_k(merged_scores, k)
         return jnp.take_along_axis(merged_ids, pos, axis=-1), top_scores
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(), P(), P(), P(),
-            P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None, None),
-            P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None),
+    from fusion_tpu.parallel.sharding import cached_shard_program
+
+    program = cached_shard_program(
+        (
+            "sharded_plaid_search",
+            mesh, k, per, nprobe, ncand_l, nr, chunk, sharded.nbits,
         ),
-        out_specs=(P(), P()),
-        check_vma=False,
+        lambda: shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), P(), P(),
+                P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None, None),
+                P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ),
     )
-    ids, scores = jax.jit(fn)(
+    ids, scores = program(
         q_tok.astype(jnp.float32), q_mask.astype(jnp.float32),
         sharded.centroids, sharded.bucket_weights,
         sharded.centroid_ids, sharded.codes, sharded.mask, sharded.ivf_doc,

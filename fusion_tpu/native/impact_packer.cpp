@@ -29,7 +29,13 @@ inline uint16_t f32_to_f16_bits(float f) {
   uint32_t sign = (x >> 16) & 0x8000u;
   int32_t exp = static_cast<int32_t>((x >> 23) & 0xFF) - 127 + 15;
   uint32_t mant = x & 0x7FFFFFu;
-  if (exp >= 31) return static_cast<uint16_t>(sign | 0x7C00u);  // inf/overflow
+  if (exp >= 31) {  // inf/overflow/NaN
+    // NaN must stay NaN (numpy astype preserves it); collapsing it to +inf
+    // would silently dominate every ranking for its term
+    if (exp == 143 && mant != 0)  // f32 exp 255 → biased-16 143
+      return static_cast<uint16_t>(sign | 0x7E00u);  // quiet NaN
+    return static_cast<uint16_t>(sign | 0x7C00u);
+  }
   if (exp <= 0) {
     if (exp < -10) return static_cast<uint16_t>(sign);  // underflow -> 0
     // subnormal: shift mantissa (with implicit bit) right

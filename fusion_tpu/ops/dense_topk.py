@@ -38,6 +38,22 @@ from fusion_tpu.models.heads import l2_normalize
 
 BIN = 16  # docs per bin; bin lane l of a block covers docs {s·lanes + l}
 
+# score assigned to dead rows (scale ≤ 0: build pads and all-zero docs);
+# below any real score, finite so the mantissa packing stays well-defined,
+# and recognizable in _select_topk so dead rows come back as (-1, -inf)
+_DEAD = jnp.float32(-3.0e38)
+
+
+def _apply_scales(raw: jax.Array, s: jax.Array) -> jax.Array:
+    """[Q, B] raw dots × [B] scales, with dead rows (scale ≤ 0) pushed to
+    ``_DEAD``.  Pad rows appended by index sharding carry scale 0 and score
+    exactly 0.0 otherwise — without this they displace real docs with
+    negative similarity from the per-bin max.  Arithmetic mask (compare →
+    f32 → multiply), not an i1 select: Mosaic rejects broadcasting a [1, B]
+    mask operand inside a select against [Q, B]."""
+    dead = (s <= 0.0).astype(jnp.float32)
+    return raw * s[None, :] + dead[None, :] * _DEAD
+
 
 def _bin_reduce_pack(scores: jax.Array, doc0: jax.Array, n_docs: int) -> jax.Array:
     """[Q, B] f32 scores → [Q, B/16] bin maxima with the in-bin argmax
@@ -89,7 +105,7 @@ def _binmax_kernel(q_ref, v_ref, s_ref, out_ref, *, doc_block: int, n_docs: int)
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Q, B]
-    scores = raw * s_ref[...][None, :]  # s_ref is [B]
+    scores = _apply_scales(raw, s_ref[...])  # s_ref is [B]
     out_ref[...] = _bin_reduce_pack(scores, blk * doc_block, n_docs)
 
 
@@ -145,6 +161,11 @@ def _select_topk(
         packed, k_bins, recall_target=recall_target, aggregate_to_topk=True
     )
     scores, ids = _unpack(vals, pos, doc_block)
+    # dead rows (scale ≤ 0, see _apply_scales) surface only when a bin holds
+    # nothing else; normalize them to the pad convention
+    dead = scores <= _DEAD * 0.5
+    scores = jnp.where(dead, -jnp.inf, scores)
+    ids = jnp.where(dead, -1, ids)
     if k_bins < k:
         q = packed.shape[0]
         scores = jnp.concatenate(
@@ -181,7 +202,7 @@ def _reference_search(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return _bin_reduce_pack(raw * sc[None, :], bi * doc_block, n_docs)
+        return _bin_reduce_pack(_apply_scales(raw, sc), bi * doc_block, n_docs)
 
     packed = jax.lax.map(block, jnp.arange(nblocks)).transpose(1, 0, 2).reshape(q, -1)
     return _select_topk(packed, n_docs, k, doc_block, recall_target)

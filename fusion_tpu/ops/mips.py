@@ -28,7 +28,7 @@ from jax import shard_map
 from fusion_tpu.core.ranked import RankedLists
 from fusion_tpu.models.heads import l2_normalize
 from fusion_tpu.ops.topk import blockwise_topk, blockwise_topk_offset
-from fusion_tpu.parallel.sharding import INDEX_AXIS
+from fusion_tpu.parallel.sharding import INDEX_AXIS, cached_shard_program
 
 
 @functools.partial(jax.jit, static_argnames=("k", "similarity", "doc_block", "local_topk"))
@@ -104,16 +104,19 @@ def sharded_dense_search(
         top_ids = jnp.take_along_axis(merged_ids, pos, axis=-1)
         return top_ids.astype(jnp.int32), top_scores
 
-    fn = shard_map(
-        local_search,
-        mesh=mesh,
-        in_specs=(P(), P(INDEX_AXIS, None)),
-        out_specs=(P(), P()),
-        # the per-shard top-k scan mixes replicated init state with
-        # index-varying blocks; skip the varying-axes check
-        check_vma=False,
+    program = cached_shard_program(
+        ("sharded_dense_search", mesh, k, similarity, doc_block, shard_n),
+        lambda: shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(), P(INDEX_AXIS, None)),
+            out_specs=(P(), P()),
+            # the per-shard top-k scan mixes replicated init state with
+            # index-varying blocks; skip the varying-axes check
+            check_vma=False,
+        ),
     )
-    ids, scores = jax.jit(fn)(query_embs, corpus_shards)
+    ids, scores = program(query_embs, corpus_shards)
     return RankedLists(ids=ids, scores=scores)
 
 
@@ -153,14 +156,17 @@ def sharded_maxsim_search(
         top_ids = jnp.take_along_axis(merged_ids, pos, axis=-1)
         return top_ids.astype(jnp.int32), top_scores
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(), P(INDEX_AXIS, None, None), P(INDEX_AXIS, None)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    program = cached_shard_program(
+        ("sharded_maxsim_search", mesh, k, doc_block, shard_n),
+        lambda: shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(INDEX_AXIS, None, None), P(INDEX_AXIS, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ),
     )
-    ids, scores = jax.jit(fn)(q_tokens, q_mask, corpus_tokens, corpus_mask)
+    ids, scores = program(q_tokens, q_mask, corpus_tokens, corpus_mask)
     return RankedLists(ids=ids, scores=scores)
 
 
@@ -200,14 +206,17 @@ def sharded_maxsim_search_tm(
         top_ids = jnp.take_along_axis(merged_ids, pos, axis=-1)
         return top_ids.astype(jnp.int32), top_scores
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(), P(None, INDEX_AXIS, None), P(INDEX_AXIS)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    program = cached_shard_program(
+        ("sharded_maxsim_search_tm", mesh, k, use_pallas, shard_n),
+        lambda: shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, INDEX_AXIS, None), P(INDEX_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ),
     )
-    ids, scores = jax.jit(fn)(q_tokens, q_mask, corpus_tm, doc_valid)
+    ids, scores = program(q_tokens, q_mask, corpus_tm, doc_valid)
     return RankedLists(ids=ids, scores=scores)
 
 
@@ -253,18 +262,24 @@ def sharded_maxsim_search_compressed(
         top_ids = jnp.take_along_axis(merged_ids, pos, axis=-1)
         return top_ids.astype(jnp.int32), top_scores
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(), P(), P(),
-            P(None, INDEX_AXIS), P(None, INDEX_AXIS, None), P(None, INDEX_AXIS),
-            P(INDEX_AXIS), P(),
+    program = cached_shard_program(
+        (
+            "sharded_maxsim_search_compressed",
+            mesh, k, doc_block, use_pallas, index.nbits, shard_n,
         ),
-        out_specs=(P(), P()),
-        check_vma=False,
+        lambda: shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), P(),
+                P(None, INDEX_AXIS), P(None, INDEX_AXIS, None), P(None, INDEX_AXIS),
+                P(INDEX_AXIS), P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ),
     )
-    ids, scores = jax.jit(fn)(
+    ids, scores = program(
         qt, q_mask.astype(jnp.float32), index.centroids,
         cid_tm, codes_tm, mask_tm, doc_valid, index.bucket_weights,
     )

@@ -403,13 +403,22 @@ def sharded_scatter_search(
         top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
         return top_ids, top_scores
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(), P(INDEX_AXIS, None, None, None),
-                  P(INDEX_AXIS, None, None, None)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    from fusion_tpu.parallel.sharding import cached_shard_program
+
+    program = cached_shard_program(
+        (
+            "sharded_scatter_search",
+            mesh, k, per, index.docs_per_chunk, chunk_block, use_pallas,
+            recall_target,
+        ),
+        lambda: shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(INDEX_AXIS, None, None, None),
+                      P(INDEX_AXIS, None, None, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ),
     )
-    ids, scores = jax.jit(fn)(q_terms, q_weights, index.post_doc, index.post_impact)
+    ids, scores = program(q_terms, q_weights, index.post_doc, index.post_impact)
     return RankedLists(ids=ids, scores=scores)

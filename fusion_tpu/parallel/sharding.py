@@ -108,6 +108,29 @@ def shard_params(params, mesh: Mesh):
     )
 
 
+# ----------------------------------------------------------------------
+# jitted shard_map program cache
+# ----------------------------------------------------------------------
+# jax.jit keys its trace cache on the function OBJECT; the standalone
+# sharded ops (sharded_dense_search & co.) build their shard_map body as a
+# closure, so wrapping it in jax.jit per call would re-trace and re-compile
+# the whole mesh program on every invocation — seconds on CPU, minutes over
+# a remote-compile tunnel.  They memoize the jitted program here instead,
+# keyed on the mesh + every Python value the closure captures (shapes and
+# dtypes are handled by jit's own cache).  Per-process, one entry per
+# distinct serving configuration.
+_PROGRAM_CACHE: dict = {}
+
+
+def cached_shard_program(key: tuple, build):
+    """Return the jitted program for ``key``, building it once via the
+    zero-arg ``build`` callable (which should return the shard_map'd fn)."""
+    prog = _PROGRAM_CACHE.get(key)
+    if prog is None:
+        prog = _PROGRAM_CACHE[key] = jax.jit(build())
+    return prog
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 

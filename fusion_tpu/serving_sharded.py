@@ -473,8 +473,11 @@ class ShardedHybridSearcher(HybridSearcher):
                         (vals[0], scales[0], leg.normalized),
                         k=kl, use_pallas=use_pallas,
                     )
-                    # pad rows (zero scale → score exactly 0) may occupy
-                    # tail slots on the final shard; mask them out here
+                    # build-pad rows on the final shard carry scale 0, so
+                    # the kernel itself scores them below every real doc
+                    # (ops.dense_topk._apply_scales) — they can surface
+                    # only when the shard has fewer real docs than k; remap
+                    # any survivor to the pad convention here
                     bad = lo + local.ids >= leg.n_docs
                     local = RankedLists(
                         ids=jnp.where(bad, -1, local.ids),

@@ -76,7 +76,11 @@ def main():
     mask = jnp.ones((N, LD), jnp.uint8)
     cents = jax.random.normal(k1, (C, D), jnp.float32) * 0.08
     bw = jnp.asarray([-0.04, -0.01, 0.01, 0.04], jnp.float32)
-    ivf_doc = jax.random.randint(k2, (C, args.ivf_cap), 0, N, dtype=jnp.int32)
+    from fusion_tpu.index.plaid import dedup_ivf_rows
+
+    ivf_doc = dedup_ivf_rows(
+        jax.random.randint(k2, (C, args.ivf_cap), 0, N, dtype=jnp.int32), N
+    )
     q_tok = jax.random.normal(k3, (B, LQ, D), jnp.float32)
     q_tok = q_tok / jnp.linalg.norm(q_tok, axis=-1, keepdims=True)
     q_mask = jnp.ones((B, LQ), jnp.float32)

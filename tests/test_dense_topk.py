@@ -101,3 +101,37 @@ def test_fused_dense_topk_pads_and_masks():
     for qi in range(q):
         real = ids[qi][finite[qi]]
         assert len(set(real.tolist())) == len(real)
+
+
+def test_zero_scale_rows_lose_to_negative_scores():
+    """Build-pad rows (scale 0, raw score exactly 0.0) must rank BELOW real
+    docs with negative similarity — the sharded fused leg pads the corpus to
+    shards×2048 at build time and those rows sit inside the shape's n_docs,
+    so only the scale can mark them dead (see _apply_scales)."""
+    q, h, blk, nblocks = 2, 16, 64, 8
+    n = blk * nblocks
+    # one real doc per block (sharing its 16-doc bin with 15 dead rows),
+    # every real doc scoring NEGATIVE against the query
+    real_rows = np.arange(nblocks) * blk
+    vals = np.zeros((n, h), np.int8)
+    vals[real_rows, 0] = np.arange(1, nblocks + 1, dtype=np.int8)
+    scales = np.zeros(n, np.float32)
+    scales[real_rows] = 1.0 / 127
+    queries = np.zeros((q, h), np.float32)
+    queries[:, 0] = -1.0
+    ranked = fused_dense_topk(
+        jnp.asarray(queries),
+        (jnp.asarray(vals), jnp.asarray(scales), False),
+        k=nblocks,
+        doc_block=blk,
+        use_pallas=False,
+    )
+    ids = np.asarray(ranked.ids)
+    scores = np.asarray(ranked.scores)
+    for qi in range(q):
+        finite = np.isfinite(scores[qi])
+        # all real docs retrieved despite their negative scores...
+        assert set(ids[qi][finite].tolist()) == set(real_rows.tolist())
+        assert (scores[qi][finite] < 0).all()
+        # ...and every dead row comes back as the (-1, -inf) pad convention
+        assert (ids[qi][~finite] == -1).all()

@@ -101,3 +101,26 @@ def test_sharded_impact_search_matches_single(rng):
         real = np.isfinite(s1[qi]) & np.isfinite(s2[qi])
         np.testing.assert_allclose(s1[qi][real], s2[qi][real], rtol=1e-5)
         assert i1[qi][real].tolist() == i2[qi][real].tolist()
+
+
+def test_sharded_programs_are_cached(rng):
+    """Repeat calls to a standalone sharded op must reuse ONE jitted
+    program (a fresh jit(closure) per call re-traces and re-compiles the
+    whole mesh program every invocation)."""
+    from fusion_tpu.ops.mips import sharded_dense_search
+    from fusion_tpu.parallel import sharding as sh
+
+    mesh = make_mesh(data=1, model=1, index=8)
+    corpus = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(3, 16)).astype(np.float32))
+
+    before = len(sh._PROGRAM_CACHE)
+    r1 = sharded_dense_search(queries, corpus, mesh, k=8)
+    after_first = len(sh._PROGRAM_CACHE)
+    r2 = sharded_dense_search(queries, corpus, mesh, k=8)
+    assert after_first == before + 1
+    assert len(sh._PROGRAM_CACHE) == after_first  # second call: cache hit
+    np.testing.assert_array_equal(np.asarray(r1.ids), np.asarray(r2.ids))
+    # a different config gets its own entry
+    sharded_dense_search(queries, corpus, mesh, k=4)
+    assert len(sh._PROGRAM_CACHE) == after_first + 1

@@ -164,3 +164,44 @@ def test_plaid_centroid_prune_sentinel_safety(small_index):
     kept = np.asarray(kept)
     assert kept.shape == (4, 16)
     assert (kept < n).all()  # real candidates fill all 16 slots
+
+
+def test_dedup_ivf_rows_restores_candidate_invariant(small_index):
+    """plaid_candidates' suffix-max assumes duplicate-free centroid lists
+    (runs ≤ nprobe).  An IVF with in-row duplicates must, after
+    dedup_ivf_rows, produce EXACTLY the candidate scores of the clean IVF;
+    the helper itself must keep the doc set and kill the duplicates."""
+    from fusion_tpu.index.plaid import dedup_ivf_rows
+
+    index, ivf, q_tok, q_mask = small_index
+    n = ivf.n_docs
+    clean = np.asarray(ivf.ivf_doc)
+    # duplicate the first real entry of every non-empty row into the tail
+    dup = clean.copy()
+    for r in range(dup.shape[0]):
+        real = dup[r][dup[r] < n]
+        if real.size:
+            dup[r, -1] = real[0]
+            dup[r, -2] = real[0]
+    deduped = np.asarray(dedup_ivf_rows(jnp.asarray(dup), n))
+    for r in range(dup.shape[0]):
+        real = deduped[r][deduped[r] < n]
+        assert len(set(real.tolist())) == len(real)  # duplicate-free
+        assert set(real.tolist()) == set(
+            clean[r][clean[r] < n].tolist()
+        )  # same doc set
+
+    cand_clean, sc_clean = plaid_candidates(
+        q_tok, q_mask, index.centroids, jnp.asarray(clean), n,
+        nprobe=4, ncand=32,
+    )
+    cand_fixed, sc_fixed = plaid_candidates(
+        q_tok, q_mask, index.centroids, jnp.asarray(deduped), n,
+        nprobe=4, ncand=32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sc_fixed), np.asarray(sc_clean), rtol=1e-5, atol=1e-6
+    )
+    c1, c2 = np.asarray(cand_clean), np.asarray(cand_fixed)
+    for qi in range(c1.shape[0]):
+        assert set(c1[qi].tolist()) == set(c2[qi].tolist())

@@ -280,3 +280,38 @@ def test_native_flat_packer_matches_numpy_builder():
     np.testing.assert_array_equal(
         post_imp.view(np.uint16), np.asarray(want.post_impact).view(np.uint16)
     )
+
+
+def test_native_f16_conversion_edge_cases():
+    """The packer's f32→f16 must match numpy astype on specials: NaN stays
+    NaN (a NaN collapsed to +inf would silently dominate its term's
+    rankings), inf stays inf, overflow saturates to inf, subnormals round
+    to nearest-even."""
+    from fusion_tpu.native import native_available, pack_flat_impact
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    imp = np.array(
+        [np.nan, np.inf, -np.inf, 1e5, 65504.0, 6.1e-5, 5.96e-8, 1e-10,
+         0.0, -0.0, 1.0, 3.14159, -2.71828],
+        np.float32,
+    )
+    n = imp.size
+    term = np.arange(n, dtype=np.int64)  # one posting per term: no selection
+    doc = np.arange(n, dtype=np.int64)
+    post_doc, post_imp, kept = pack_flat_impact(
+        term, doc, imp, vocab_size=n, n_docs=n, cap=1
+    )
+    assert kept == n
+    got = post_imp.view(np.uint16)[:n, 0]  # row t, slot 0
+    with np.errstate(over="ignore"):  # 1e5 → f16 inf is the point
+        want = imp.astype(np.float16).view(np.uint16)
+    for i in range(n):
+        if np.isnan(imp[i]):
+            assert np.isnan(
+                np.array([got[i]], np.uint16).view(np.float16)[0]
+            ), (i, hex(int(got[i])))
+        else:
+            assert got[i] == want[i], (
+                i, imp[i], hex(int(got[i])), hex(int(want[i])),
+            )
