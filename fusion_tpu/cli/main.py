@@ -609,6 +609,16 @@ def cmd_serve(args):
 
         prep = TextPreprocessor(spacy_model=None)
         searcher.bm25_preprocess = lambda t: prep.preprocess(list(t))
+    if args.http_port:
+        from fusion_tpu.server import serve_forever
+
+        serve_forever(
+            searcher,
+            host=args.http_host,
+            port=args.http_port,
+            max_batch=args.batch_size,
+        )
+        return
     if args.queries_file:
         with open(args.queries_file) as f:
             queries = [line.strip() for line in f if line.strip()]
@@ -720,6 +730,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--task", default="search", choices=["build", "search"])
     sp.add_argument("--index_dir", required=True)
     sp.add_argument("--queries_file", default=None)
+    sp.add_argument("--http_port", type=int, default=0,
+                    help="serve over HTTP with dynamic batching instead of "
+                    "a queries file (fusion_tpu/server.py)")
+    sp.add_argument("--http_host", default="0.0.0.0")
     sp.add_argument("--run_bm25", action="store_true")
     sp.add_argument("--run_dpr", action="store_true")
     sp.add_argument("--run_splade", action="store_true")

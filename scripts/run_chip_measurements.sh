@@ -7,6 +7,11 @@ set -u
 mkdir -p /tmp/chip_r03
 cd /root/repo
 
+echo "== 0/5 TPU-gated kernel exactness tests (fused dense kernel changed:"
+echo "       zero-scale dead-row masking — verify Pallas == XLA reference)"
+python -m pytest tests_tpu/ -x -q -m tpu > /tmp/chip_r03/tests_tpu.log 2>&1
+tail -2 /tmp/chip_r03/tests_tpu.log
+
 echo "== 1/5 plaid stage breakdown (incl. centroid-prune tier)"
 python -c "
 import sys; sys.path.insert(0, '/root/repo')
