@@ -28,7 +28,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-ON_TPU = jax.default_backend() == "tpu"
+from fusion_tpu.utils.common import tpu_tunnel_up  # noqa: E402
+
+if tpu_tunnel_up():
+    ON_TPU = jax.default_backend() == "tpu"
+else:
+    # dead tunnel relay: backend init would hang ~40 min inside
+    # get_c_api_client before erroring — pin CPU and let every test skip
+    jax.config.update("jax_platforms", "cpu")
+    ON_TPU = False
 
 requires_tpu = pytest.mark.skipif(not ON_TPU, reason="needs a real TPU backend")
 

@@ -298,3 +298,36 @@ def test_scatter_score_kernel_matches_reference():
         np.sort(got_sc[:, :100], axis=1), np.sort(want_sc[:, :100], axis=1),
         atol=1e-2, rtol=1e-2,
     )
+
+
+def test_fused_dense_topk_dead_rows_on_tpu():
+    """Zero-scale rows (index build pads / all-zero docs) must lose to real
+    docs with NEGATIVE similarity inside the compiled kernel, exactly as in
+    the XLA reference (ops.dense_topk._apply_scales): one real doc per
+    2048-block, everything else dead, query anti-aligned."""
+    from fusion_tpu.ops.dense_topk import fused_dense_topk
+
+    blk, nblocks, h = 2048, 8, 128
+    n = blk * nblocks
+    real_rows = np.arange(nblocks) * blk
+    vals = np.zeros((n, h), np.int8)
+    vals[real_rows, 0] = np.arange(1, nblocks + 1, dtype=np.int8)
+    scales = np.zeros(n, np.float32)
+    scales[real_rows] = 1.0 / 127
+    queries = np.zeros((4, h), np.float32)
+    queries[:, 0] = -1.0
+
+    index = (jnp.asarray(vals), jnp.asarray(scales), False)
+    got = fused_dense_topk(jnp.asarray(queries), index, k=nblocks,
+                           doc_block=blk, use_pallas=True)
+    want = fused_dense_topk(jnp.asarray(queries), index, k=nblocks,
+                            doc_block=blk, use_pallas=False)
+    g_ids, w_ids = fetch(got.ids), fetch(want.ids)
+    g_sc, w_sc = fetch(got.scores), fetch(want.scores)
+    np.testing.assert_array_equal(g_ids, w_ids)
+    np.testing.assert_allclose(g_sc, w_sc, rtol=1e-6, atol=1e-7)
+    for qi in range(4):
+        finite = np.isfinite(g_sc[qi])
+        assert set(g_ids[qi][finite].tolist()) == set(real_rows.tolist())
+        assert (g_sc[qi][finite] < 0).all()
+        assert (g_ids[qi][~finite] == -1).all()
