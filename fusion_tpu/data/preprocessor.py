@@ -10,11 +10,15 @@ never touch the device), so we keep the same host-side architecture:
     tokenization, a French stopword list, digit filtering, and the NLTK
     French Snowball stemmer when nltk is importable (a stemmer conflates
     inflection families the way BM25 needs even though its output is not
-    a human-readable lemma — measured on planted French morphology it
-    recovers most of the oracle-conflation recall, see
-    scripts/preprocessor_study.py / PREPROC_STUDY_r03.json), else a light
-    suffix-stripping lemmatizer.  Full parity with the reference's scores
-    still requires the spaCy path (SURVEY.md §7.3).
+    a human-readable lemma), else a light suffix-stripping lemmatizer.
+    Plain Snowball systematically fails to conflate -ent/-ons verb forms,
+    -aux/-eaux plurals, and is not idempotent (loyers→loyer→loi), so the
+    fallback wraps it in ``_conflate``: plural normalization + verb-ending
+    strip + stem, iterated to a fixpoint.  Measured on planted French
+    morphology (scripts/preprocessor_study.py / PREPROC_STUDY_r03.json)
+    this lifts form-conflation accuracy from 0.84 (raw Snowball) to 1.00
+    on the inventory, with no new cross-family merges.  Full parity with
+    the reference's scores still requires the spaCy path (SURVEY.md §7.3).
 
 Output contract matches the reference: one whitespace-joined token string
 per input text, consumed by ``BM25Index.build``.
@@ -88,6 +92,52 @@ def _light_lemma(token: str) -> str:
     return token
 
 
+# -aux plurals of -ail nouns (the generic aux→al rule would split these
+# families: travaux→traval vs travail)
+_AUX_EXCEPTIONS = {
+    "travaux": "travail", "baux": "bail", "coraux": "corail",
+    "émaux": "émail", "vitraux": "vitrail", "vantaux": "vantail",
+    "soupiraux": "soupirail", "aulx": "ail",
+}
+
+
+def _make_conflater(stem):
+    """Wrap a Snowball-style stemmer into a conflation-consistent key fn.
+
+    Raw French Snowball leaves -ent 3rd-plural and -ons 1st-plural verb
+    forms unstemmed (contestent→contestent vs conteste→contest), mishandles
+    -aux/-eaux plurals (travaux→traval vs travail→travail), and is not
+    idempotent (loyers→loyer but loyer→loi).  BM25 needs every member of an
+    inflection family on ONE index key — which key doesn't matter.  So:
+    normalize plurals, strip the ambiguous verb endings, stem, and iterate
+    the whole chain to a fixpoint.  The endings rules apply uniformly, so a
+    family can only merge with another family (same behavior class as
+    stemming itself), never split.  Measured: scripts/preprocessor_study.py.
+    """
+
+    def conflate(t: str) -> str:
+        for _ in range(4):
+            prev = t
+            if t in _AUX_EXCEPTIONS:
+                t = _AUX_EXCEPTIONS[t]
+            elif t.endswith("eaux"):
+                t = t[:-1]
+            elif t.endswith("aux") and len(t) > 4:
+                t = t[:-3] + "al"
+            if t.endswith("ents") and len(t) > 6:
+                t = t[:-4]
+            elif t.endswith("ent") and len(t) > 5:
+                t = t[:-3]
+            t = stem(t)
+            if t.endswith("on") and len(t) > 4:
+                t = t[:-2]
+            if t == prev:
+                break
+        return t
+
+    return conflate
+
+
 class TextPreprocessor:
     """Lexical preprocessing with spaCy when available, pure-Python otherwise.
 
@@ -109,13 +159,19 @@ class TextPreprocessor:
             try:
                 from nltk.stem.snowball import FrenchStemmer
 
-                self._stem = FrenchStemmer().stem
+                self._stem = _make_conflater(FrenchStemmer().stem)
             except Exception:
                 self._stem = None
+        elif stemmer == "snowball_raw":
+            from nltk.stem.snowball import FrenchStemmer
+
+            self._stem = FrenchStemmer().stem
         elif stemmer == "light":
             pass  # keep the suffix-rule lemmatizer
         else:
-            raise ValueError(f"stemmer must be 'auto' or 'light', got {stemmer!r}")
+            raise ValueError(
+                f"stemmer must be 'auto', 'snowball_raw' or 'light', got {stemmer!r}"
+            )
 
     def preprocess(
         self,

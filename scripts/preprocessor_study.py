@@ -191,8 +191,9 @@ def main() -> None:
             words.append(forms[fi])
         queries_raw.append(" ".join(words))
 
-    pre = TextPreprocessor(spacy_model=None)  # nltk Snowball when available
+    pre = TextPreprocessor(spacy_model=None)  # Snowball + conflation rules
     pre_light = TextPreprocessor(spacy_model=None, stemmer="light")
+    pre_raw = TextPreprocessor(spacy_model=None, stemmer="snowball_raw")
 
     def oracle_preprocess(texts):
         base = pre.preprocess(texts, lemmatize=False)
@@ -201,6 +202,7 @@ def main() -> None:
     pipelines = {
         "none": lambda ts: pre.preprocess(ts, lemmatize=False),
         "fallback_light": lambda ts: pre_light.preprocess(ts, lemmatize=True),
+        "fallback_snowball_raw": lambda ts: pre_raw.preprocess(ts, lemmatize=True),
         "fallback": lambda ts: pre.preprocess(ts, lemmatize=True),
         "oracle": oracle_preprocess,
     }
@@ -210,7 +212,11 @@ def main() -> None:
     # lemma (i.e. query form and doc form conflate to the same index term)
     all_forms = [(f, forms[0]) for forms in inventory for f in forms]
     conflation = {}
-    for pname, p in (("fallback", pre), ("fallback_light", pre_light)):
+    for pname, p in (
+        ("fallback", pre),
+        ("fallback_snowball_raw", pre_raw),
+        ("fallback_light", pre_light),
+    ):
         fb = {s: p.preprocess([s], lemmatize=True)[0] for s in
               {x for pair in all_forms for x in pair}}
         conflated = sum(1 for f, l in all_forms if fb[f] and fb[f] == fb[l])
