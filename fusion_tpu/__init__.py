@@ -34,6 +34,8 @@ _LAZY = {
     "Aggregator": "fusion_tpu.fusion.aggregator",
     "HybridPipeline": "fusion_tpu.hybrid",
     "HybridSearcher": "fusion_tpu.serving",
+    "SegmentedHybridSearcher": "fusion_tpu.segmented",
+    "SearchServer": "fusion_tpu.server",
     "Metrics": "fusion_tpu.eval.metrics",
     "InformationRetrievalEvaluator": "fusion_tpu.eval.evaluators",
     "RerankingEvaluator": "fusion_tpu.eval.evaluators",

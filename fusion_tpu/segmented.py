@@ -1,0 +1,304 @@
+"""Streaming index updates: a segmented hybrid searcher.
+
+The reference's indexes are strictly offline artifacts — adding one
+document means re-running the whole build (src/retrievers/hybrid.py builds
+every system up front; there is no update path).  Production serving needs
+`add_documents` without re-encoding the existing corpus.  Standard segment
+architecture (as in Lucene), arranged around what is actually expensive on
+TPU:
+
+  * **neural legs** (dense / SPLADE / ColBERT / CE doc tokens): encoding
+    dominates build cost, so new docs become a NEW SEGMENT — only the delta
+    is encoded.  At query time every segment returns its per-system top-k
+    (`HybridSearcher.search_systems`), and lists are merged by score per
+    system: exact, because within a system scores are comparable across
+    segments (int8 scales are per-row; SPLADE/MaxSim scores are absolute).
+    The one approximation: a compressed ColBERT segment quantizes against
+    its own centroids (same trade colbert-ai makes per index).
+  * **BM25**: idf depends on global df/N, so per-segment BM25 scores are
+    NOT comparable.  But the lexical build is the CHEAP part (C++ packer,
+    seconds at mMARCO scale vs hours of neural encoding) — so BM25 is
+    simply REBUILT globally on every add, keeping idf exact.
+
+`compact()` folds all neural segments into one (re-encoding once), the
+segment-merge equivalent.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusion_tpu.core.ranked import PAD_ID, RankedLists
+from fusion_tpu.fusion.aggregator import Aggregator
+from fusion_tpu.serving import HybridSearcher, rerank_head_merge
+
+__all__ = ["SegmentedHybridSearcher"]
+
+_BM25_KEYS = (
+    "k1", "b", "impact_cap", "bm25_preprocess", "scale_mode", "topk",
+    "int8_corpus",  # selects the quantized dense-impact form — must match
+)
+
+
+def _merge_ranked(parts: list[RankedLists], k: int) -> RankedLists:
+    """Merge per-segment top-k lists of ONE system (external ids, disjoint
+    corpora) into the global top-k by score."""
+    if len(parts) == 1:
+        p = parts[0]
+        return p if p.depth >= k else _pad_to(p, k)
+    ids = jnp.concatenate([p.ids for p in parts], axis=1)
+    scores = jnp.concatenate([p.scores for p in parts], axis=1)
+    kk = min(k, ids.shape[1])
+    top_scores, pos = jax.lax.top_k(scores, kk)
+    top_ids = jnp.take_along_axis(ids, pos, axis=1)
+    out = RankedLists(ids=top_ids.astype(jnp.int32), scores=top_scores)
+    return out if kk >= k else _pad_to(out, k)
+
+
+def _pad_to(r: RankedLists, k: int) -> RankedLists:
+    q, d = r.ids.shape
+    if d >= k:
+        return r
+    return RankedLists(
+        ids=jnp.concatenate(
+            [r.ids, jnp.full((q, k - d), PAD_ID, r.ids.dtype)], axis=1
+        ),
+        scores=jnp.concatenate(
+            [r.scores, jnp.full((q, k - d), -jnp.inf, r.scores.dtype)], axis=1
+        ),
+    )
+
+
+class SegmentedHybridSearcher:
+    """Hybrid serving with online document adds (segments + global BM25).
+
+    Same query surface as ``HybridSearcher.search``; build with the same
+    keyword arguments.  ``bm25_docs`` (when lexical search is wanted) must
+    be the preprocessed strings for the initial corpus, and
+    ``add_documents`` takes the delta's.
+    """
+
+    def __init__(
+        self,
+        corpus: Mapping[int, str],
+        bm25_docs: Sequence[str] | None = None,
+        **build_kwargs,
+    ) -> None:
+        self._kwargs = dict(build_kwargs)
+        self.topk = int(build_kwargs.get("topk", 1000))
+        self.fusion_method = build_kwargs.get("fusion_method", "rrf")
+        self.normalization = build_kwargs.get("normalization")
+        self.linear_weights = build_kwargs.get("linear_weights")
+        self.rerank_depth = int(build_kwargs.get("rerank_depth", 100))
+        self.rerank_chunk = int(self._kwargs.pop("rerank_chunk", 512))
+        self.cross_encoder = build_kwargs.get("cross_encoder")
+
+        self._has_bm25 = bm25_docs is not None
+        self._bm25_docs: list[str] = list(bm25_docs) if bm25_docs else []
+        self._bm25_ids: list[int] = list(corpus.keys()) if self._has_bm25 else []
+        self.bm25_searcher: HybridSearcher | None = None
+        if self._has_bm25:
+            self._rebuild_bm25()
+
+        self.segments: list[HybridSearcher] = []
+        self._corpora: list[dict] = []
+        self._ce_len: int | None = None
+        if self._neural_active:
+            self._add_segment(dict(corpus))
+
+    # ------------------------------------------------------------------
+    @property
+    def _neural_active(self) -> bool:
+        return any(
+            self._kwargs.get(k) is not None
+            for k in ("dense_model", "splade_model", "colbert_model", "cross_encoder")
+        )
+
+    @property
+    def n_docs(self) -> int:
+        if self._has_bm25:
+            return len(self._bm25_ids)
+        return sum(len(c) for c in self._corpora)
+
+    @property
+    def active_systems(self) -> list[str]:
+        out = ["bm25"] if self._has_bm25 else []
+        if self.segments:
+            seg = self.segments[0]
+            if seg.dense_corpus is not None:
+                out.append("dpr")
+            if (
+                seg.splade_corpus is not None
+                or seg.splade_impact_index is not None
+                or seg.splade_scatter_index is not None
+            ):
+                out.append("splade")
+            if seg.colbert_index is not None:
+                out.append("colbert")
+        if self.cross_encoder is not None:
+            out.append("monobert")
+        return out
+
+    # ------------------------------------------------------------------
+    def _rebuild_bm25(self) -> None:
+        """Global lexical rebuild — exact idf over ALL segments' docs (the
+        cheap index: the C++ packer does mMARCO-scale postings in seconds)."""
+        kwargs = {
+            k: self._kwargs[k] for k in _BM25_KEYS if k in self._kwargs
+        }
+        corpus = dict(zip(self._bm25_ids, self._bm25_docs))
+        self.bm25_searcher = HybridSearcher.build(
+            corpus, bm25_docs=self._bm25_docs, **kwargs
+        )
+
+    def _neural_kwargs(self) -> dict:
+        kw = {
+            k: v
+            for k, v in self._kwargs.items()
+            if k not in ("k1", "b", "bm25_preprocess")
+        }
+        if self._ce_len is not None:
+            # segments must share the CE doc-token width to merge candidates
+            kw["ce_max_doc_tokens"] = self._ce_len
+        return kw
+
+    def _add_segment(self, corpus: dict) -> None:
+        seg = HybridSearcher.build(corpus, bm25_docs=None, **self._neural_kwargs())
+        if seg.ce_doc_tokens is not None and self._ce_len is None:
+            self._ce_len = int(np.asarray(seg.ce_doc_tokens).shape[1])
+        self.segments.append(seg)
+        self._corpora.append(corpus)
+        self._refresh_ce_tables()
+
+    def _refresh_ce_tables(self) -> None:
+        """Concatenated CE doc-token table + external-id → row lookup."""
+        if self.cross_encoder is None:
+            self._ce_tok = self._ce_msk = None
+            return
+        toks = [np.asarray(s.ce_doc_tokens) for s in self.segments]
+        msks = [np.asarray(s.ce_doc_mask) for s in self.segments]
+        self._ce_tok = jnp.asarray(np.concatenate(toks, axis=0))
+        self._ce_msk = jnp.asarray(np.concatenate(msks, axis=0))
+        ids = np.concatenate(
+            [np.asarray(s.corpus_ids, np.int64) for s in self.segments]
+        )
+        order = np.argsort(ids, kind="stable")
+        self._ce_sorted_ids = ids[order]
+        self._ce_sorted_rows = order.astype(np.int32)
+
+    # ------------------------------------------------------------------
+    def add_documents(
+        self, corpus: Mapping[int, str], bm25_docs: Sequence[str] | None = None
+    ) -> None:
+        """Online add: encodes ONLY the new docs (new neural segment) and
+        rebuilds the global BM25 index (exact idf)."""
+        existing = set(self._bm25_ids) if self._has_bm25 else {
+            i for c in self._corpora for i in c
+        }
+        dup = existing & set(corpus.keys())
+        assert not dup, f"doc ids already indexed: {sorted(dup)[:5]}..."
+        if self._has_bm25:
+            assert bm25_docs is not None and len(bm25_docs) == len(corpus), (
+                "lexical search is active: pass the delta's preprocessed "
+                "bm25_docs alongside the raw corpus"
+            )
+            self._bm25_ids.extend(corpus.keys())
+            self._bm25_docs.extend(bm25_docs)
+            self._rebuild_bm25()
+        if self._neural_active:
+            self._add_segment(dict(corpus))
+
+    def compact(self) -> None:
+        """Fold all neural segments into one (one full re-encode); the
+        segment-merge step of the streaming design."""
+        if len(self.segments) <= 1:
+            return
+        union: dict = {}
+        for c in self._corpora:
+            union.update(c)
+        self.segments = []
+        self._corpora = []
+        self._add_segment(union)
+
+    # ------------------------------------------------------------------
+    def search(
+        self, queries: Sequence[str], batch_size: int = 32,
+        use_pallas: bool | None = None,
+    ) -> tuple[RankedLists, float]:
+        """Same contract as ``HybridSearcher.search`` (external ids)."""
+        t0 = time.perf_counter()
+        per_system: dict[str, list[RankedLists]] = {}
+        if self.bm25_searcher is not None:
+            for name, r in self.bm25_searcher.search_systems(
+                queries, batch_size=batch_size, use_pallas=use_pallas
+            ).items():
+                per_system.setdefault(name, []).append(r)
+        for seg in self.segments:
+            for name, r in seg.search_systems(
+                queries, batch_size=batch_size, use_pallas=use_pallas
+            ).items():
+                per_system.setdefault(name, []).append(r)
+
+        merged = {
+            name: _merge_ranked(parts, self.topk)
+            for name, parts in per_system.items()
+        }
+        if len(merged) == 1:
+            fused = next(iter(merged.values()))
+        else:
+            weights = self.linear_weights or {s: 1.0 / len(merged) for s in merged}
+            fused = Aggregator.fuse(
+                merged,
+                method=self.fusion_method,
+                normalization=self.normalization,
+                linear_weights=weights if self.fusion_method == "nsf" else None,
+                return_topk=self.topk,
+            )
+        if self.cross_encoder is not None:
+            fused = self._rerank(queries, fused, batch_size)
+        elapsed = (time.perf_counter() - t0) * 1000 / max(len(queries), 1)
+        return fused, elapsed
+
+    # ------------------------------------------------------------------
+    def _rerank(
+        self, queries: Sequence[str], fused: RankedLists, batch_size: int
+    ) -> RankedLists:
+        """monoBERT stage over the fused head (external ids span segments)."""
+        ce = self.cross_encoder
+        kr = min(self.rerank_depth, fused.depth)
+        head_ids = np.asarray(fused.ids[:, :kr])
+        # external id -> row in the concatenated CE token table
+        pos = np.searchsorted(self._ce_sorted_ids, head_ids)
+        pos = np.clip(pos, 0, len(self._ce_sorted_ids) - 1)
+        found = self._ce_sorted_ids[pos] == head_ids
+        rows = np.where(found, self._ce_sorted_rows[pos], 0).astype(np.int32)
+        valid = found & (head_ids != PAD_ID)
+
+        out_parts = []
+        q_len = self.segments[0].ce_query_length
+        for start in range(0, len(queries), batch_size):
+            chunk = list(queries[start : start + batch_size])
+            q_ids, q_mask = ce.encode_queries_raw(chunk, max_query_tokens=q_len)
+            r = jnp.asarray(rows[start : start + len(chunk)])
+            v = jnp.asarray(valid[start : start + len(chunk)])
+            d_ids = self._ce_tok[r].astype(jnp.int32)
+            d_mask = self._ce_msk[r].astype(jnp.int32) * v[..., None]
+            logits = ce.rerank_tokens(
+                ce.params, jnp.asarray(q_ids), jnp.asarray(q_mask),
+                d_ids, d_mask, pair_chunk=self.rerank_chunk,
+            )
+            sl = RankedLists(
+                ids=fused.ids[start : start + len(chunk)],
+                scores=fused.scores[start : start + len(chunk)],
+            )
+            h = jnp.asarray(head_ids[start : start + len(chunk)])
+            out_parts.append(rerank_head_merge(sl, h, logits))
+        return RankedLists(
+            ids=jnp.concatenate([p.ids for p in out_parts], axis=0),
+            scores=jnp.concatenate([p.scores for p in out_parts], axis=0),
+        )

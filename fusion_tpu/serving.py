@@ -415,12 +415,16 @@ class HybridSearcher:
             )
 
     # ------------------------------------------------------------------
-    def _device_program(self, batch: int, use_pallas: bool):
-        """The fused per-batch executable (traced once per batch size)."""
+    def _device_program(self, batch: int, use_pallas: bool, systems_out: bool = False):
+        """The fused per-batch executable (traced once per batch size).
+
+        ``systems_out=True`` returns the per-system ranked lists BEFORE
+        fusion/rerank ({system: (ids, scores)}, internal ids) — the hook the
+        segmented (streaming-update) searcher merges across segments."""
         dense_fused = self._dense_fused_active(use_pallas)
         if dense_fused:
             self._ensure_padded_dense()
-        key = (batch, use_pallas, self.rerank_buckets is None, dense_fused)
+        key = (batch, use_pallas, self.rerank_buckets is None, dense_fused, systems_out)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -620,6 +624,8 @@ class HybridSearcher:
                         k=topk,
                         use_pallas=use_pallas,
                     )
+            if systems_out:
+                return {s: (r.ids, r.scores) for s, r in results.items()}
             if len(results) == 1:
                 fused = next(iter(results.values()))
             else:
@@ -881,3 +887,42 @@ class HybridSearcher:
         if external_ids:
             ranked = ranked.remap_ids(self.corpus_ids)
         return ranked, elapsed / max(len(queries), 1) * 1000
+
+    def search_systems(
+        self,
+        queries: Sequence[str],
+        batch_size: int = 32,
+        use_pallas: bool | None = None,
+        external_ids: bool = True,
+    ) -> dict[str, RankedLists]:
+        """Per-system ranked lists with no fusion or rerank.
+
+        The segmented searcher (fusion_tpu/segmented.py) merges these
+        across index segments before fusing; also useful for per-system
+        diagnostics (the reference's run_evaluation reports per-system
+        metrics the same way, src/retrievers/hybrid.py:331-358)."""
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        per_system: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        for start in range(0, len(queries), batch_size):
+            chunk = list(queries[start : start + batch_size])
+            real = len(chunk)
+            while len(chunk) < batch_size and len(queries) > batch_size:
+                chunk.append("")
+            inputs = self._prepare_inputs(chunk)
+            program = self._device_program(len(chunk), use_pallas, systems_out=True)
+            out = program(inputs)
+            for system, (ids, scores) in out.items():
+                per_system.setdefault(system, []).append(
+                    (np.asarray(ids)[:real], np.asarray(scores)[:real])
+                )
+        results: dict[str, RankedLists] = {}
+        for system, parts in per_system.items():
+            ranked = RankedLists(
+                ids=jnp.asarray(np.concatenate([p[0] for p in parts], axis=0)),
+                scores=jnp.asarray(np.concatenate([p[1] for p in parts], axis=0)),
+            )
+            if external_ids:
+                ranked = ranked.remap_ids(self.corpus_ids)
+            results[system] = ranked
+        return results
