@@ -98,6 +98,7 @@ class SegmentedHybridSearcher:
         self.rerank_chunk = int(self._kwargs.pop("rerank_chunk", 512))
         self.cross_encoder = build_kwargs.get("cross_encoder")
 
+        self._tombstones: set[int] = set()
         self._has_bm25 = bm25_docs is not None
         self._bm25_docs: list[str] = list(bm25_docs) if bm25_docs else []
         self._bm25_ids: list[int] = list(corpus.keys()) if self._has_bm25 else []
@@ -213,14 +214,39 @@ class SegmentedHybridSearcher:
         if self._neural_active:
             self._add_segment(dict(corpus))
 
+    def delete_documents(self, ids) -> None:
+        """Online delete: tombstone the ids (filtered from every merged
+        list) and rebuild BM25 without them (exact df/N).  The neural
+        segments keep the rows until :meth:`compact` reclaims them —
+        the standard segment-tombstone design."""
+        ids = set(int(i) for i in ids)
+        known = set(self._bm25_ids) if self._has_bm25 else {
+            i for c in self._corpora for i in c
+        }
+        missing = ids - known
+        assert not missing, f"unknown doc ids: {sorted(missing)[:5]}..."
+        self._tombstones |= ids
+        if self._has_bm25:
+            keep = [
+                (i, d)
+                for i, d in zip(self._bm25_ids, self._bm25_docs)
+                if i not in self._tombstones
+            ]
+            self._bm25_ids = [i for i, _ in keep]
+            self._bm25_docs = [d for _, d in keep]
+            self._rebuild_bm25()
+
     def compact(self) -> None:
-        """Fold all neural segments into one (one full re-encode); the
-        segment-merge step of the streaming design."""
-        if len(self.segments) <= 1:
+        """Fold all neural segments into one (one full re-encode) and
+        reclaim tombstoned rows; the segment-merge step of the design."""
+        if len(self.segments) <= 1 and not self._tombstones:
             return
         union: dict = {}
         for c in self._corpora:
             union.update(c)
+        for i in self._tombstones:
+            union.pop(i, None)
+        self._tombstones = set()
         self.segments = []
         self._corpora = []
         self._add_segment(union)
@@ -245,7 +271,7 @@ class SegmentedHybridSearcher:
                 per_system.setdefault(name, []).append(r)
 
         merged = {
-            name: _merge_ranked(parts, self.topk)
+            name: self._strip_tombstones(_merge_ranked(parts, self.topk))
             for name, parts in per_system.items()
         }
         if len(merged) == 1:
@@ -263,6 +289,23 @@ class SegmentedHybridSearcher:
             fused = self._rerank(queries, fused, batch_size)
         elapsed = (time.perf_counter() - t0) * 1000 / max(len(queries), 1)
         return fused, elapsed
+
+    def _strip_tombstones(self, r: RankedLists) -> RankedLists:
+        """Deleted docs sink to (-1, -inf) tail slots until compact()
+        reclaims their rows (effective depth shrinks by the tombstoned
+        entries that had made the top-k — the standard segment trade)."""
+        if not self._tombstones:
+            return r
+        ids = np.asarray(r.ids)
+        scores = np.asarray(r.scores)
+        bad = np.isin(ids, np.fromiter(self._tombstones, np.int64, len(self._tombstones)))
+        scores = np.where(bad, -np.inf, scores)
+        ids = np.where(bad, PAD_ID, ids)
+        order = np.argsort(-scores, axis=1, kind="stable")
+        return RankedLists(
+            ids=jnp.asarray(np.take_along_axis(ids, order, axis=1)),
+            scores=jnp.asarray(np.take_along_axis(scores, order, axis=1)),
+        )
 
     # ------------------------------------------------------------------
     def _rerank(

@@ -148,3 +148,43 @@ def test_duplicate_ids_rejected_and_compact(models, prep):
     for qi in range(len(QUERIES)):
         assert set(b_ids[qi].tolist()) == set(a_ids[qi].tolist())
         assert b_ids[qi, 0] == a_ids[qi, 0]
+
+
+def test_delete_documents_tombstones_and_compact(models, prep):
+    a = _corpus(14, seed=3, base_id=100)
+    b = _corpus(10, seed=4, base_id=500)
+    kwargs = _common_kwargs(models, prep)
+    seg = SegmentedHybridSearcher(
+        a, bm25_docs=prep.preprocess(list(a.values())), **kwargs
+    )
+    seg.add_documents(b, bm25_docs=prep.preprocess(list(b.values())))
+    before, _ = seg.search(QUERIES, batch_size=4, use_pallas=False)
+    victims = {int(np.asarray(before.ids)[qi, 0]) for qi in range(len(QUERIES))}
+
+    with pytest.raises(AssertionError):
+        seg.delete_documents([999999])
+    seg.delete_documents(victims)
+    after, _ = seg.search(QUERIES, batch_size=4, use_pallas=False)
+    a_ids = np.asarray(after.ids)
+    a_sc = np.asarray(after.scores)
+    for qi in range(len(QUERIES)):
+        returned = set(a_ids[qi][np.isfinite(a_sc[qi])].tolist())
+        assert not (returned & victims), (qi, a_ids[qi], victims)
+        assert len(returned) > 0  # other docs still served
+        # descending-score invariant survives tombstoning
+        row = a_sc[qi][np.isfinite(a_sc[qi])]
+        assert np.all(np.diff(row) <= 1e-6)
+
+    # reclaim: results must be unchanged after folding segments
+    seg.compact()
+    assert len(seg.segments) == 1 and not seg._tombstones
+    assert seg.n_docs == 24 - len(victims)
+    compacted, _ = seg.search(QUERIES, batch_size=4, use_pallas=False)
+    c_ids = np.asarray(compacted.ids)
+    c_sc = np.asarray(compacted.scores)
+    for qi in range(len(QUERIES)):
+        got = set(c_ids[qi][np.isfinite(c_sc[qi])].tolist())
+        assert not (got & victims)
+        want = set(a_ids[qi][np.isfinite(a_sc[qi])].tolist())
+        # same survivors at the head (fused boundary ties may swap one)
+        assert len(got & want) >= len(want) - 1, (qi, got, want)
