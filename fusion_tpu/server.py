@@ -92,14 +92,16 @@ class SearchServer:
 
             def do_GET(self):  # noqa: N802
                 if self.path == "/healthz":
+                    s = server.searcher
+                    n = getattr(s, "n_docs", None)  # SegmentedHybridSearcher
+                    if n is None:
+                        n = int(np.asarray(s.corpus_ids).shape[0])
                     self._reply(
                         200,
                         {
                             "ok": True,
-                            "systems": server.searcher.active_systems,
-                            "corpus_docs": int(
-                                np.asarray(server.searcher.corpus_ids).shape[0]
-                            ),
+                            "systems": s.active_systems,
+                            "corpus_docs": int(n),
                         },
                     )
                 elif self.path == "/stats":
