@@ -26,6 +26,7 @@ segment-merge equivalent.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Mapping, Sequence
 
@@ -98,6 +99,9 @@ class SegmentedHybridSearcher:
         self.rerank_chunk = int(self._kwargs.pop("rerank_chunk", 512))
         self.cross_encoder = build_kwargs.get("cross_encoder")
 
+        # one coarse lock serializes searches against add/delete/compact —
+        # the advertised use is updating WHILE an HTTP dispatcher serves
+        self._lock = threading.RLock()
         self._tombstones: set[int] = set()
         self._has_bm25 = bm25_docs is not None
         self._bm25_docs: list[str] = list(bm25_docs) if bm25_docs else []
@@ -122,9 +126,11 @@ class SegmentedHybridSearcher:
 
     @property
     def n_docs(self) -> int:
+        """Logical (servable) doc count — tombstoned docs excluded."""
         if self._has_bm25:
             return len(self._bm25_ids)
-        return sum(len(c) for c in self._corpora)
+        physical = {i for c in self._corpora for i in c}
+        return len(physical - self._tombstones)
 
     @property
     def active_systems(self) -> list[str]:
@@ -177,86 +183,128 @@ class SegmentedHybridSearcher:
         self._refresh_ce_tables()
 
     def _refresh_ce_tables(self) -> None:
-        """Concatenated CE doc-token table + external-id → row lookup."""
+        """External-id → (segment, local row) lookup for the rerank gather.
+
+        The CE doc-token tables themselves STAY per-segment on device
+        (never fetched or re-uploaded — at corpus scale the concatenated
+        [N, Ld] matrix is multi-GB and the tunnel moves ~30 MB/s); only
+        the id maps (host numpy over ``corpus_ids``) are rebuilt here."""
         if self.cross_encoder is None:
-            self._ce_tok = self._ce_msk = None
+            self._ce_lookup = None
             return
-        toks = [np.asarray(s.ce_doc_tokens) for s in self.segments]
-        msks = [np.asarray(s.ce_doc_mask) for s in self.segments]
-        self._ce_tok = jnp.asarray(np.concatenate(toks, axis=0))
-        self._ce_msk = jnp.asarray(np.concatenate(msks, axis=0))
-        ids = np.concatenate(
-            [np.asarray(s.corpus_ids, np.int64) for s in self.segments]
-        )
+        ids, seg_of, row_of = [], [], []
+        for si, s in enumerate(self.segments):
+            cid = np.asarray(s.corpus_ids, np.int64)
+            ids.append(cid)
+            seg_of.append(np.full(cid.size, si, np.int32))
+            row_of.append(np.arange(cid.size, dtype=np.int32))
+        ids = np.concatenate(ids)
         order = np.argsort(ids, kind="stable")
-        self._ce_sorted_ids = ids[order]
-        self._ce_sorted_rows = order.astype(np.int32)
+        self._ce_lookup = (
+            ids[order],
+            np.concatenate(seg_of)[order],
+            np.concatenate(row_of)[order],
+        )
 
     # ------------------------------------------------------------------
     def add_documents(
         self, corpus: Mapping[int, str], bm25_docs: Sequence[str] | None = None
     ) -> None:
         """Online add: encodes ONLY the new docs (new neural segment) and
-        rebuilds the global BM25 index (exact idf)."""
-        existing = set(self._bm25_ids) if self._has_bm25 else {
-            i for c in self._corpora for i in c
-        }
-        dup = existing & set(corpus.keys())
-        assert not dup, f"doc ids already indexed: {sorted(dup)[:5]}..."
-        if self._has_bm25:
-            assert bm25_docs is not None and len(bm25_docs) == len(corpus), (
-                "lexical search is active: pass the delta's preprocessed "
-                "bm25_docs alongside the raw corpus"
-            )
-            self._bm25_ids.extend(corpus.keys())
-            self._bm25_docs.extend(bm25_docs)
-            self._rebuild_bm25()
-        if self._neural_active:
-            self._add_segment(dict(corpus))
+        rebuilds the global BM25 index (exact idf).
+
+        Re-adding a previously deleted id is allowed once its row is gone
+        from the neural segments (i.e. after :meth:`compact`); before
+        that, the stale row would duplicate the new one."""
+        with self._lock:
+            new_ids = {int(i) for i in corpus.keys()}
+            physical = {i for c in self._corpora for i in c}
+            blocked = new_ids & physical
+            if blocked:
+                raise ValueError(
+                    "doc ids still present in neural segments (compact() "
+                    f"before re-adding deleted ids): {sorted(blocked)[:5]}"
+                )
+            live = set(self._bm25_ids) if self._has_bm25 else physical
+            dup = new_ids & live
+            if dup:
+                raise ValueError(f"doc ids already indexed: {sorted(dup)[:5]}")
+            self._tombstones -= new_ids
+            if self._has_bm25:
+                if bm25_docs is None or len(bm25_docs) != len(corpus):
+                    raise ValueError(
+                        "lexical search is active: pass the delta's "
+                        "preprocessed bm25_docs alongside the raw corpus"
+                    )
+                self._bm25_ids.extend(corpus.keys())
+                self._bm25_docs.extend(bm25_docs)
+                self._rebuild_bm25()
+            if self._neural_active:
+                self._add_segment(dict(corpus))
 
     def delete_documents(self, ids) -> None:
         """Online delete: tombstone the ids (filtered from every merged
         list) and rebuild BM25 without them (exact df/N).  The neural
         segments keep the rows until :meth:`compact` reclaims them —
         the standard segment-tombstone design."""
-        ids = set(int(i) for i in ids)
-        known = set(self._bm25_ids) if self._has_bm25 else {
-            i for c in self._corpora for i in c
-        }
-        missing = ids - known
-        assert not missing, f"unknown doc ids: {sorted(missing)[:5]}..."
-        self._tombstones |= ids
-        if self._has_bm25:
-            keep = [
-                (i, d)
-                for i, d in zip(self._bm25_ids, self._bm25_docs)
-                if i not in self._tombstones
-            ]
-            self._bm25_ids = [i for i, _ in keep]
-            self._bm25_docs = [d for _, d in keep]
-            self._rebuild_bm25()
+        with self._lock:
+            ids = set(int(i) for i in ids)
+            known = set(self._bm25_ids) if self._has_bm25 else {
+                i for c in self._corpora for i in c
+            }
+            if self._neural_active and not self._has_bm25:
+                known -= self._tombstones
+            missing = ids - known
+            if missing:
+                raise ValueError(f"unknown doc ids: {sorted(missing)[:5]}")
+            if self._neural_active:
+                # rows stay in the segments until compact(); filter at merge
+                self._tombstones |= ids
+            if self._has_bm25:
+                drop = ids
+                keep = [
+                    (i, d)
+                    for i, d in zip(self._bm25_ids, self._bm25_docs)
+                    if i not in drop
+                ]
+                self._bm25_ids = [i for i, _ in keep]
+                self._bm25_docs = [d for _, d in keep]
+                self._rebuild_bm25()
 
     def compact(self) -> None:
         """Fold all neural segments into one (one full re-encode) and
         reclaim tombstoned rows; the segment-merge step of the design."""
-        if len(self.segments) <= 1 and not self._tombstones:
-            return
-        union: dict = {}
-        for c in self._corpora:
-            union.update(c)
-        for i in self._tombstones:
-            union.pop(i, None)
-        self._tombstones = set()
-        self.segments = []
-        self._corpora = []
-        self._add_segment(union)
+        with self._lock:
+            if not self._neural_active:
+                self._tombstones = set()  # BM25 was already rebuilt clean
+                return
+            if len(self.segments) <= 1 and not self._tombstones:
+                return
+            union: dict = {}
+            for c in self._corpora:
+                union.update(c)
+            for i in self._tombstones:
+                union.pop(i, None)
+            self._tombstones = set()
+            self.segments = []
+            self._corpora = []
+            self._add_segment(union)
 
     # ------------------------------------------------------------------
     def search(
         self, queries: Sequence[str], batch_size: int = 32,
         use_pallas: bool | None = None,
     ) -> tuple[RankedLists, float]:
-        """Same contract as ``HybridSearcher.search`` (external ids)."""
+        """Same contract as ``HybridSearcher.search`` (external ids).
+
+        Serialized against add/delete/compact by the instance lock (one
+        device program runs at a time anyway)."""
+        with self._lock:
+            return self._search_locked(queries, batch_size, use_pallas)
+
+    def _search_locked(
+        self, queries: Sequence[str], batch_size: int, use_pallas: bool | None
+    ) -> tuple[RankedLists, float]:
         t0 = time.perf_counter()
         per_system: dict[str, list[RankedLists]] = {}
         if self.bm25_searcher is not None:
@@ -311,15 +359,21 @@ class SegmentedHybridSearcher:
     def _rerank(
         self, queries: Sequence[str], fused: RankedLists, batch_size: int
     ) -> RankedLists:
-        """monoBERT stage over the fused head (external ids span segments)."""
+        """monoBERT stage over the fused head (external ids span segments).
+
+        Doc tokens are gathered from each segment's own device table (one
+        [Q, kr, Ld] gather per segment, combined by select-masks) — the
+        tables are never concatenated or moved off device."""
         ce = self.cross_encoder
         kr = min(self.rerank_depth, fused.depth)
         head_ids = np.asarray(fused.ids[:, :kr])
-        # external id -> row in the concatenated CE token table
-        pos = np.searchsorted(self._ce_sorted_ids, head_ids)
-        pos = np.clip(pos, 0, len(self._ce_sorted_ids) - 1)
-        found = self._ce_sorted_ids[pos] == head_ids
-        rows = np.where(found, self._ce_sorted_rows[pos], 0).astype(np.int32)
+        # external id -> (segment, local row), host-side sorted lookup
+        sorted_ids, seg_of, row_of = self._ce_lookup
+        pos = np.searchsorted(sorted_ids, head_ids)
+        pos = np.clip(pos, 0, len(sorted_ids) - 1)
+        found = sorted_ids[pos] == head_ids
+        segs = np.where(found, seg_of[pos], -1).astype(np.int32)
+        rows = np.where(found, row_of[pos], 0).astype(np.int32)
         valid = found & (head_ids != PAD_ID)
 
         out_parts = []
@@ -327,10 +381,22 @@ class SegmentedHybridSearcher:
         for start in range(0, len(queries), batch_size):
             chunk = list(queries[start : start + batch_size])
             q_ids, q_mask = ce.encode_queries_raw(chunk, max_query_tokens=q_len)
-            r = jnp.asarray(rows[start : start + len(chunk)])
-            v = jnp.asarray(valid[start : start + len(chunk)])
-            d_ids = self._ce_tok[r].astype(jnp.int32)
-            d_mask = self._ce_msk[r].astype(jnp.int32) * v[..., None]
+            d_ids = d_mask = None
+            for si, seg in enumerate(self.segments):
+                sl = slice(start, start + len(chunk))
+                pick = (segs[sl] == si) & valid[sl]
+                if not pick.any():
+                    continue
+                r = jnp.asarray(np.where(pick, rows[sl], 0))
+                m = jnp.asarray(pick.astype(np.int32))[..., None]
+                ti = seg.ce_doc_tokens[r].astype(jnp.int32) * m
+                tm = seg.ce_doc_mask[r].astype(jnp.int32) * m
+                d_ids = ti if d_ids is None else d_ids + ti
+                d_mask = tm if d_mask is None else d_mask + tm
+            if d_ids is None:  # every head slot is a pad
+                q = len(chunk)
+                d_ids = jnp.zeros((q, kr, 1), jnp.int32)
+                d_mask = jnp.zeros((q, kr, 1), jnp.int32)
             logits = ce.rerank_tokens(
                 ce.params, jnp.asarray(q_ids), jnp.asarray(q_mask),
                 d_ids, d_mask, pair_chunk=self.rerank_chunk,

@@ -121,13 +121,17 @@ class SearchServer:
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(length) or b"{}")
+                    if not isinstance(req, dict):
+                        raise ValueError("body must be a JSON object")
                     queries = req.get("queries")
                     if isinstance(queries, str):
                         queries = [queries]
                     if not queries or not all(isinstance(q, str) for q in queries):
                         raise ValueError('"queries" must be a non-empty list of strings')
                     topk = int(req.get("topk", server.default_topk))
-                except (ValueError, json.JSONDecodeError) as e:
+                    if topk < 1:
+                        raise ValueError('"topk" must be >= 1')
+                except (ValueError, TypeError, json.JSONDecodeError) as e:
                     with server._stats_lock:
                         server.stats["errors"] += 1
                     self._reply(400, {"error": str(e)})

@@ -135,7 +135,7 @@ def test_duplicate_ids_rejected_and_compact(models, prep):
     seg = SegmentedHybridSearcher(
         a, bm25_docs=prep.preprocess(list(a.values())), **kwargs
     )
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         seg.add_documents(a, bm25_docs=prep.preprocess(list(a.values())))
 
     b = _corpus(6, seed=8, base_id=300)
@@ -161,7 +161,7 @@ def test_delete_documents_tombstones_and_compact(models, prep):
     before, _ = seg.search(QUERIES, batch_size=4, use_pallas=False)
     victims = {int(np.asarray(before.ids)[qi, 0]) for qi in range(len(QUERIES))}
 
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         seg.delete_documents([999999])
     seg.delete_documents(victims)
     after, _ = seg.search(QUERIES, batch_size=4, use_pallas=False)
@@ -188,3 +188,28 @@ def test_delete_documents_tombstones_and_compact(models, prep):
         want = set(a_ids[qi][np.isfinite(a_sc[qi])].tolist())
         # same survivors at the head (fused boundary ties may swap one)
         assert len(got & want) >= len(want) - 1, (qi, got, want)
+
+
+def test_readd_after_delete_requires_compact(models, prep):
+    """A deleted id can come back only after compact() reclaims its stale
+    neural row (before that the old row would shadow the new one); after
+    compact + re-add the doc must be served again."""
+    a = _corpus(10, seed=9, base_id=0)
+    kwargs = _common_kwargs(models, prep)
+    seg = SegmentedHybridSearcher(
+        a, bm25_docs=prep.preprocess(list(a.values())), **kwargs
+    )
+    victim = next(iter(a))
+    seg.delete_documents([victim])
+    with pytest.raises(ValueError, match="compact"):
+        seg.add_documents({victim: a[victim]},
+                          bm25_docs=prep.preprocess([a[victim]]))
+    seg.compact()
+    seg.add_documents({victim: a[victim]},
+                      bm25_docs=prep.preprocess([a[victim]]))
+    assert victim not in seg._tombstones
+    assert seg.n_docs == 10
+    r, _ = seg.search([a[victim]], batch_size=4, use_pallas=False)
+    ids = np.asarray(r.ids)[0]
+    scores = np.asarray(r.scores)[0]
+    assert victim in set(ids[np.isfinite(scores)].tolist())

@@ -131,3 +131,15 @@ def test_stats_counters(server):
     assert stats["batches"] >= 1
     assert stats["queries"] >= stats["requests"]
     assert stats["mean_batch_ms"] > 0
+
+
+def test_malformed_bodies_get_400_not_dropped_connection(server):
+    """Non-dict JSON and non-coercible/invalid topk must produce an HTTP
+    400, never a handler crash that drops the connection."""
+    _, _, base = server
+    for payload in ([1, 2, 3], {"queries": ["q"], "topk": None},
+                    {"queries": ["q"], "topk": -3},
+                    {"queries": ["q"], "topk": 0}):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(f"{base}/search", payload)
+        assert exc.value.code == 400, payload
