@@ -367,7 +367,14 @@ class ShardedHybridSearcher(HybridSearcher):
         return systems
 
     # ------------------------------------------------------------------
-    def _device_program(self, batch: int, use_pallas: bool):
+    def _device_program(self, batch: int, use_pallas: bool, systems_out: bool = False):
+        if systems_out:
+            raise ValueError(
+                "ShardedHybridSearcher merges per-system lists inside the "
+                "mesh program; for per-system output use the single-device "
+                "HybridSearcher.search_systems or the standalone sharded "
+                "ops (sharded_dense_search & co.)"
+            )
         key = (batch, use_pallas)
         if key in self._programs:
             return self._programs[key]

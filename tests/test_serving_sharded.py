@@ -214,3 +214,14 @@ def test_scatter_splade_serving_matches_impact(models):
         np.testing.assert_allclose(
             np.sort(s2[qi][f2]), np.sort(s3[qi][f3]), rtol=1e-5
         )
+
+
+def test_search_systems_unsupported_on_sharded(models):
+    """Per-system output is a single-device hook; the sharded program fuses
+    in-program — asking for it must fail with guidance, not a TypeError."""
+    dense, _, _, _ = models
+    mesh = make_mesh(data=1, model=1, index=len(jax.devices()))
+    single = HybridSearcher.build(CORPUS, dense_model=dense, batch_size=4, topk=8)
+    sharded = ShardedHybridSearcher.from_searcher(single, mesh)
+    with pytest.raises(ValueError, match="search_systems"):
+        sharded.search_systems(QUERIES, batch_size=4, use_pallas=False)
