@@ -59,7 +59,16 @@ class InformationRetrievalEvaluator:
     def __call__(self, model, output_path: str | None = None, epoch: int = -1, steps: int = -1) -> float:
         import jax.numpy as jnp
 
-        top_k = max(self.metrics.recall_at_k) if self.metrics.recall_at_k else 100
+        # retrieval depth must cover EVERY configured k — deriving it from
+        # recall alone silently truncates e.g. map@100 to map@max(recall ks)
+        all_ks = (
+            list(self.metrics.recall_at_k)
+            + list(self.metrics.map_at_k)
+            + list(self.metrics.mrr_at_k)
+            + list(self.metrics.ndcg_at_k)
+            + list(self.metrics.accuracy_at_k)
+        )
+        top_k = max(all_ks) if all_ks else 100
 
         # Latency split mirrors the reference evaluator
         # (sentence_transformers.py:323-381): 'encoding' times QUERY encoding,
@@ -115,7 +124,9 @@ class InformationRetrievalEvaluator:
         if output_path:
             row = {"epoch": epoch, "steps": steps, **scores}
             write_metrics_csv(
-                os.path.join(output_path, f"ir_eval_{self.name or 'results'}.csv"), [row]
+                os.path.join(output_path, f"ir_eval_{self.name or 'results'}.csv"),
+                [row],
+                append=True,  # one row per eval call — keep the history
             )
         self.last_scores = scores
         return float(scores[self.main_score])
@@ -144,6 +155,11 @@ class RerankingEvaluator:
         all_labels, all_preds = [], []
         t0 = time.perf_counter()
         for sample in self.samples:
+            if not sample["positive"] or not sample["negative"]:
+                # reference skips degenerate pools (a zero-positive sample
+                # deflates the mean, a zero-negative one trivially scores
+                # recall=1) — sentence_transformers.py:759-760
+                continue
             docs = list(sample["positive"]) + list(sample["negative"])
             n_pos = len(sample["positive"])
             scores = model.predict(
@@ -155,7 +171,7 @@ class RerankingEvaluator:
         elapsed = time.perf_counter() - t0
 
         scores = self.metrics.compute_all_metrics(all_labels, all_preds)
-        scores["latency (ms/query)"] = elapsed / max(len(self.samples), 1) * 1000
+        scores["latency (ms/query)"] = elapsed / max(len(all_preds), 1) * 1000
         # best-model scalar: mean recall@10 (sentence_transformers.py:829)
         main = scores.get("recall@10", next(iter(scores.values())))
         if self.log_callback is not None:
@@ -165,6 +181,7 @@ class RerankingEvaluator:
             write_metrics_csv(
                 os.path.join(output_path, f"rerank_eval_{self.name or 'results'}.csv"),
                 [{"epoch": epoch, "steps": steps, **scores}],
+                append=True,
             )
         self.last_scores = scores
         return float(main)

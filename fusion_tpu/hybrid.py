@@ -225,9 +225,8 @@ class HybridPipeline:
             all_ids = list(self.corpus.keys())
             for qi, pos in enumerate(labels):
                 pos_set = set(pos)
-                negs = pyrandom.sample(
-                    [p for p in all_ids if p not in pos_set], k=min(len(pos), len(all_ids))
-                )
+                pool = [p for p in all_ids if p not in pos_set]
+                negs = pyrandom.sample(pool, k=min(len(pos), len(pool)))
                 for label, pids in (("positive", pos), ("negative", negs)):
                     for pid in pids:
                         if pid not in self.id2idx:

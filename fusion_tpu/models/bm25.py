@@ -95,12 +95,20 @@ class BM25Index:
         n = len(corpus)
 
         native_out = None
-        if use_native in ("auto", True) and n and not any("\n" in d for d in corpus):
-            from fusion_tpu import native as native_mod
+        if use_native in ("auto", True) and n:
+            if any("\n" in d for d in corpus):
+                # the builder's wire format is line-delimited
+                if use_native is True:
+                    raise RuntimeError(
+                        "native BM25 builder cannot take documents containing "
+                        "newlines — preprocess them out or use use_native='auto'"
+                    )
+            else:
+                from fusion_tpu import native as native_mod
 
-            native_out = native_mod.build_bm25_postings(list(corpus))
-            if native_out is None and use_native is True:
-                raise RuntimeError("native BM25 builder unavailable")
+                native_out = native_mod.build_bm25_postings(list(corpus))
+                if native_out is None and use_native is True:
+                    raise RuntimeError("native BM25 builder unavailable")
 
         import logging
 
@@ -475,15 +483,16 @@ class BM25Index:
         b = jnp.float32(self.b)
         for start in range(0, len(queries), query_batch):
             chunk = list(queries[start : start + query_batch])
-            pad_to = min(query_batch, max(1, len(chunk)))
-            while len(chunk) < pad_to:
+            real = len(chunk)
+            # pad the tail chunk to the full batch shape so the scorer keeps
+            # ONE compiled executable (a novel batch size costs a retrace —
+            # ~50 s per op over the remote-compile tunnel)
+            while len(chunk) < query_batch and len(queries) > query_batch:
                 chunk.append("")
             q_terms, q_weights = self.encode_queries(chunk)
             ranked = scorer(q_terms, q_weights, k1, b)
-            out_ids.append(np.asarray(ranked.ids)[: len(queries[start : start + query_batch])])
-            out_scores.append(
-                np.asarray(ranked.scores)[: len(queries[start : start + query_batch])]
-            )
+            out_ids.append(np.asarray(ranked.ids)[:real])
+            out_scores.append(np.asarray(ranked.scores)[:real])
         return RankedLists(
             ids=jnp.asarray(np.concatenate(out_ids, axis=0)),
             scores=jnp.asarray(np.concatenate(out_scores, axis=0)),

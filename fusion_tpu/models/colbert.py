@@ -173,10 +173,10 @@ class ColBERT:
         return ids
 
     # ------------------------------------------------------------------
-    def embed_tokens(self, params, input_ids, attention_mask, train: bool = False):
+    def embed_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):
         return self.module.apply(
             params, input_ids, attention_mask,
-            lang_idx=self._lang_idx, deterministic=not train,
+            lang_idx=self._lang_idx, deterministic=not train, rngs=rngs,
         )
 
     @staticmethod

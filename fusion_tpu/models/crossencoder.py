@@ -59,8 +59,10 @@ class CrossEncoder:
         self._score_jit = None
 
     # functional forward for training steps
-    def score_tokens(self, params, input_ids, attention_mask, train: bool = False):
-        return self.module.apply(params, input_ids, attention_mask, deterministic=not train)
+    def score_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):
+        return self.module.apply(
+            params, input_ids, attention_mask, deterministic=not train, rngs=rngs
+        )
 
     def _encode_pairs(self, queries: Sequence[str], docs: Sequence[str]):
         if hasattr(self.tokenizer, "pair"):

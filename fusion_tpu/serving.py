@@ -545,7 +545,7 @@ class HybridSearcher:
                 from fusion_tpu.models.heads import l2_normalize
 
                 q = self.splade_model.embed_tokens(
-                    ops["splade_params"], inputs["q_ids"], inputs["q_mask"]
+                    ops["splade_params"], inputs["sp_ids"], inputs["sp_mask"]
                 ).astype(jnp.float32)
                 if self.splade_model.similarity == "cos_sim":
                     q = l2_normalize(q)
@@ -571,7 +571,7 @@ class HybridSearcher:
                     )
             elif "splade_corpus" in ops:
                 q = self.splade_model.embed_tokens(
-                    ops["splade_params"], inputs["q_ids"], inputs["q_mask"]
+                    ops["splade_params"], inputs["sp_ids"], inputs["sp_mask"]
                 )
                 sc = ops["splade_corpus"]
                 if isinstance(self.splade_corpus, QuantizedDenseIndex):
@@ -799,9 +799,34 @@ class HybridSearcher:
             terms, weights = self.bm25.encode_queries(bm25_chunk)
             inputs["bm25_terms"], inputs["bm25_weights"] = terms, weights
         if self._wants_encoder_queries:
-            te = (self.dense_model or self.splade_model).text_encoder
-            ids, mask = te.encode(chunk, query_mode=True)
-            inputs["q_ids"], inputs["q_mask"] = jnp.asarray(ids), jnp.asarray(mask)
+            # each bi-encoder tokenizes with ITS OWN text encoder: dense and
+            # SPLADE checkpoints may differ in tokenizer/prefix/max length
+            # (BiEncoder.save persists these per model), and the splade
+            # index was built with splade's own tokenization
+            dense_active = self.dense_model is not None and (
+                self.dense_corpus is not None
+                or getattr(self, "dense_leg", None) is not None  # sharded form
+            )
+            splade_active = self.splade_model is not None and (
+                self.splade_corpus is not None
+                or self.splade_impact_index is not None
+                or self.splade_scatter_index is not None
+                or getattr(self, "splade_leg", None) is not None  # sharded forms
+                or getattr(self, "splade_shards", None) is not None
+                or getattr(self, "splade_scatter_shards", None) is not None
+            )
+            if dense_active:
+                ids, mask = self.dense_model.text_encoder.encode(chunk, query_mode=True)
+                inputs["q_ids"], inputs["q_mask"] = jnp.asarray(ids), jnp.asarray(mask)
+            if splade_active:
+                te = self.splade_model.text_encoder
+                if dense_active and te is self.dense_model.text_encoder:
+                    inputs["sp_ids"], inputs["sp_mask"] = inputs["q_ids"], inputs["q_mask"]
+                else:
+                    ids, mask = te.encode(chunk, query_mode=True)
+                    inputs["sp_ids"], inputs["sp_mask"] = (
+                        jnp.asarray(ids), jnp.asarray(mask),
+                    )
         if self._wants_colbert_queries:
             ids, mask = self.colbert_model.text_encoder.encode(chunk, query_mode=True)
             inputs["cb_ids"], inputs["cb_mask"] = jnp.asarray(ids), jnp.asarray(mask)

@@ -644,7 +644,7 @@ class ShardedHybridSearcher(HybridSearcher):
                 )
             if "splade_imp" in slots or "splade_dense" in slots or "splade_sc" in slots:
                 q = self.splade_model.embed_tokens(
-                    enc_params["splade"], inputs["q_ids"], inputs["q_mask"]
+                    enc_params["splade"], inputs["sp_ids"], inputs["sp_mask"]
                 )
                 if "splade_imp" in slots or "splade_sc" in slots:
                     qf = q.astype(jnp.float32)

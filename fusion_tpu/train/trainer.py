@@ -82,13 +82,33 @@ def _prefetch_batches(data_iterator, steps: int, depth: int):
     """
 
     def gen():
+        # `iter()` on an exhausted ITERATOR returns the same spent object, so
+        # cycling by re-`iter()` only works for re-iterable inputs (lists,
+        # samplers). For plain iterators/generators, cache the host batches
+        # on the first pass and cycle the cache; re-iterables are never
+        # cached (a 200k-step run must not retain 200k batches).
         it = iter(data_iterator)
+        reiterable = it is not data_iterator
+        seen: list[dict] = []
+        cache_pos = 0
         for _ in range(steps):
-            try:
-                batch = next(it)
-            except StopIteration:
-                it = iter(data_iterator)
-                batch = next(it)
+            batch = None
+            if it is not None:
+                try:
+                    batch = next(it)
+                    if not reiterable:
+                        seen.append(batch)
+                except StopIteration:
+                    if reiterable:
+                        it = iter(data_iterator)
+                        batch = next(it)  # empty re-iterable: let it raise
+                    else:
+                        it = None
+            if batch is None:
+                if not seen:
+                    raise ValueError("data_iterator yielded no batches")
+                batch = seen[cache_pos % len(seen)]
+                cache_pos += 1
             yield {k: jnp.asarray(v) for k, v in batch.items() if v is not None}
 
     if depth <= 0:
@@ -146,6 +166,13 @@ def freeze_labels(params, num_trainable_top_layers: int) -> Any:
         return "train"  # heads (mlm/colbert/pooler/classifier) stay live
 
     return jax.tree_util.tree_map_with_path(label, params)
+
+
+def _dropout_rngs(seed: int, step: jax.Array) -> dict:
+    """Per-step dropout PRNG (deterministic, resume-stable: derived from the
+    step counter).  Without it, ``train=True`` with ``dropout > 0`` raises
+    flax's missing-'dropout'-rng error on step 0."""
+    return {"dropout": jax.random.fold_in(jax.random.PRNGKey(seed), step)}
 
 
 def build_optimizer(cfg: FitConfig, params):
@@ -262,6 +289,7 @@ def make_biencoder_train_step(
     reg_loss_config: dict | None,
     total_steps: int,
     mesh=None,
+    dropout_seed: int = 0,
 ):
     """Jitted optimizer step; with ``mesh`` the batch is annotated as sharded
     over the ``data`` axis and params follow the tensor-parallel rules —
@@ -271,7 +299,8 @@ def make_biencoder_train_step(
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params):
             return biencoder_loss(
-                model, params, batch, state.step, rank_loss_config, reg_loss_config, total_steps
+                model, params, batch, state.step, rank_loss_config, reg_loss_config, total_steps,
+                rngs=_dropout_rngs(dropout_seed, state.step),
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -310,17 +339,24 @@ def make_biencoder_train_step(
 # ----------------------------------------------------------------------
 # ColBERT (late interaction over token embeddings)
 # ----------------------------------------------------------------------
-def make_colbert_train_step(model, tx, loss_name: str = "ce", total_steps: int = 0):
+def make_colbert_train_step(
+    model, tx, loss_name: str = "ce", total_steps: int = 0, dropout_seed: int = 0
+):
     """Triple/n-way training (reference colbert_ir.py:134-150: CE over
     [pos, negs] scores, or KLD against teacher scores)."""
 
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params):
+            rngs = _dropout_rngs(dropout_seed, state.step)
             q_tok = model.embed_tokens(
-                params, batch["query_ids"], batch["query_mask"], train=True
+                params, batch["query_ids"], batch["query_mask"], train=True, rngs=rngs
             )  # [B, Lq, D]
-            p_tok = model.embed_tokens(params, batch["pos_ids"], batch["pos_mask"], train=True)
-            n_tok = model.embed_tokens(params, batch["neg_ids"], batch["neg_mask"], train=True)
+            p_tok = model.embed_tokens(
+                params, batch["pos_ids"], batch["pos_mask"], train=True, rngs=rngs
+            )
+            n_tok = model.embed_tokens(
+                params, batch["neg_ids"], batch["neg_mask"], train=True, rngs=rngs
+            )
             bs = q_tok.shape[0]
             npq = n_tok.shape[0] // bs
 
@@ -356,10 +392,13 @@ def make_colbert_train_step(model, tx, loss_name: str = "ce", total_steps: int =
 # ----------------------------------------------------------------------
 # cross-encoder (pointwise BCE)
 # ----------------------------------------------------------------------
-def make_crossencoder_train_step(model, tx):
+def make_crossencoder_train_step(model, tx, dropout_seed: int = 0):
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params):
-            logits = model.score_tokens(params, batch["pair_ids"], batch["pair_mask"], train=True)
+            logits = model.score_tokens(
+                params, batch["pair_ids"], batch["pair_mask"], train=True,
+                rngs=_dropout_rngs(dropout_seed, state.step),
+            )
             loss = losses.bce_logits(logits, batch["labels"])
             return loss, {"loss": loss}
 

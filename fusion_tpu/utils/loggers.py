@@ -81,15 +81,23 @@ class LoggingHandler(logging.Handler):
             print(self.format(record))
 
 
-def write_metrics_csv(path: str, rows: list[Mapping[str, Any]]) -> None:
-    """CSV side-output (reference writes tuning/eval grids as CSVs)."""
+def write_metrics_csv(
+    path: str, rows: list[Mapping[str, Any]], append: bool = False
+) -> None:
+    """CSV side-output (reference writes tuning/eval grids as CSVs).
+
+    ``append=True`` adds rows to an existing file (header written once) —
+    the per-eval history mode the reference's evaluators use
+    (sentence_transformers.py:306-321 opens with newline append)."""
     if not rows:
         return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     keys = list(rows[0].keys())
-    with open(path, "w", newline="") as f:
+    exists = append and os.path.isfile(path) and os.path.getsize(path) > 0
+    with open(path, "a" if append else "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=keys)
-        writer.writeheader()
+        if not exists:
+            writer.writeheader()
         writer.writerows(rows)
 
 

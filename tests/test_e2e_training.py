@@ -132,3 +132,82 @@ def test_fit_prefetch_propagates_iterator_errors():
     with pytest.raises(RuntimeError, match="boom in data iterator"):
         fit(_NullModel(), _identity_step(), _CountingIterable(5, fail_at=2),
             fit_cfg, state=state)
+
+
+def test_fit_cycles_a_plain_generator():
+    """A generator (non-re-iterable) that runs dry mid-training must cycle
+    its cached batches instead of crashing (iter() on an exhausted
+    generator returns the same spent object)."""
+    from fusion_tpu.train.trainer import TrainState
+
+    logged = []
+    fit_cfg = FitConfig(
+        steps=7, log_every_n_steps=1, prefetch=2,
+        log_callback=lambda ep, spe, step, lr, value, name: (
+            logged.append(value) if name == "loss" else None
+        ),
+    )
+
+    def genfn():
+        for i in range(3):
+            yield {"loss_in": np.array(float(i + 1))}
+
+    state = TrainState(params={}, opt_state=(), step=jnp.asarray(0))
+
+    def step(state, batch):
+        return (
+            TrainState(state.params, state.opt_state, state.step + 1),
+            {"loss": batch["loss_in"]},
+        )
+
+    out = fit(_NullModel(), step, genfn(), fit_cfg, state=state)
+    assert int(out.step) == 7
+    assert logged == [1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 1.0]
+
+
+def test_train_steps_supply_dropout_rng():
+    """train=True with dropout > 0 must run (flax needs a 'dropout' rng;
+    without it step 0 raises) and produce a finite loss."""
+    import dataclasses
+
+    from fusion_tpu.models.biencoder import BiEncoder
+    from fusion_tpu.models.crossencoder import CrossEncoder
+    from fusion_tpu.models.encoder import EncoderConfig
+    from fusion_tpu.train.trainer import (
+        build_optimizer,
+        init_train_state,
+        make_biencoder_train_step,
+        make_crossencoder_train_step,
+    )
+
+    cfg = dataclasses.replace(EncoderConfig.tiny(vocab_size=128), dropout=0.1)
+    assert cfg.dropout > 0
+    model = BiEncoder(cfg, head="dense", max_query_length=6, max_doc_length=8)
+    fit_cfg = FitConfig(steps=2, batch_size=2, learning_rate=1e-4, scheduler="constant")
+    state, tx, _ = init_train_state(model, fit_cfg)
+    step = make_biencoder_train_step(
+        model, tx, {"name": "MNRLoss"}, None, total_steps=2
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "query_ids": rng.integers(1, 128, (2, 6)),
+        "query_mask": np.ones((2, 6), np.int32),
+        "pos_ids": rng.integers(1, 128, (2, 8)),
+        "pos_mask": np.ones((2, 8), np.int32),
+        "neg_ids": rng.integers(1, 128, (4, 8)),
+        "neg_mask": np.ones((4, 8), np.int32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    ce = CrossEncoder(cfg, max_length=12)
+    ce_state, ce_tx, _ = init_train_state(ce, fit_cfg)
+    ce_step = make_crossencoder_train_step(ce, ce_tx)
+    ce_batch = {
+        "pair_ids": jnp.asarray(rng.integers(1, 128, (4, 12))),
+        "pair_mask": jnp.ones((4, 12), jnp.int32),
+        "labels": jnp.asarray([1.0, 0.0, 1.0, 0.0]),
+    }
+    ce_state, ce_metrics = ce_step(ce_state, ce_batch)
+    assert np.isfinite(float(ce_metrics["loss"]))

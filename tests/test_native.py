@@ -66,3 +66,16 @@ def test_native_build_speed_at_scale(rng):
     dt = time.perf_counter() - t0
     assert out is not None
     assert dt < 5.0, f"native build too slow: {dt:.2f}s"
+
+
+def test_force_native_with_newlines_raises():
+    """use_native=True must never silently fall back: documents containing
+    newlines break the builder's line-delimited wire format, so forcing the
+    native path on them is an error, not a silent numpy build."""
+    from fusion_tpu.models.bm25 import BM25Index
+
+    with pytest.raises(RuntimeError, match="newline"):
+        BM25Index.build(["ok doc", "bad\ndoc"], use_native=True)
+    # auto mode silently uses the numpy path for the same corpus
+    idx = BM25Index.build(["ok doc", "bad\ndoc"], use_native="auto")
+    assert idx.n_docs == 2
