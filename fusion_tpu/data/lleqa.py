@@ -105,13 +105,13 @@ class LLeQALoader:
                     continue
                 qid = int(r["id"])
                 text = str(r["question"])
-                # train/dev dedup (lleqa.py:409-414): drop train questions
-                # duplicated in later splits
+                # train/dev dedup (lleqa.py:409-414, pandas isin semantics:
+                # EVERY matching train row is dropped, not just the first)
                 if split == "train":
                     seen_train.add(text)
                 elif text in seen_train:
-                    dup = next((q for q, t in queries["train"].items() if t == text), None)
-                    if dup is not None:  # drop from BOTH containers so the
+                    dups = [q for q, t in queries["train"].items() if t == text]
+                    for dup in dups:  # drop from BOTH containers so the
                         # train split stays internally consistent
                         qrels["train"].pop(dup, None)
                         queries["train"].pop(dup, None)

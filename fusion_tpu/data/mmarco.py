@@ -174,47 +174,61 @@ class MmarcoReader:
         hard_negative_records: Iterable[Mapping],
         ce_scores: Mapping[int, Mapping[int, float]],
     ) -> list:
-        """Reference sampling recipe (splade/mmarco.py:199-235):
+        """Reference sampling recipe (splade/mmarco.py:186-235):
 
         per record, the CE threshold is (min positive CE score − margin);
         negatives pooled over the selected mining systems are kept only
-        below the threshold; exactly ``negs_per_query`` must survive.
+        below the threshold; exactly ``negs_per_query`` must survive.  The
+        reference re-passes over the dump (``fIn.seek(0)``) until
+        ``max_train_examples`` are collected, re-seeding ONE rng with the
+        current example count at each pass start (``random.seed(num)``) —
+        a single filtered pass would silently undersample.
         """
-        samples = []
+        # multi-pass needs re-iteration; materialize one-shot iterators
+        # (the file readers stream — the reference re-seeks the file)
+        if iter(hard_negative_records) is hard_negative_records:
+            hard_negative_records = list(hard_negative_records)
+        samples: list = []
         num = 0
-        for data in hard_negative_records:
-            if num >= self.max_train_examples:
+        while num < self.max_train_examples:
+            pass_start = num
+            rng = random.Random(num)  # per-pass seed (splade/mmarco.py:190)
+            for data in hard_negative_records:
+                qid, pos_pids = int(data["qid"]), list(data["pos"])
+                if not pos_pids or qid not in self.train_queries:
+                    continue
+                scores = ce_scores.get(qid, {})
+                try:
+                    threshold = min(scores[p] for p in pos_pids) - self.ce_score_margin
+                except KeyError:
+                    continue
+                pos_pid = rng.choice(pos_pids)
+                pool: list[int] = []
+                for system in self.negs_mining_systems:
+                    pool.extend(data.get("neg", {}).get(system, []))
+                filtered = [
+                    p for p in dict.fromkeys(pool) if scores.get(p, 1e9) <= threshold
+                ]
+                neg_pids = rng.sample(filtered, min(self.negs_per_query, len(filtered)))
+                if len(neg_pids) != self.negs_per_query:
+                    continue
+                query = self.train_queries[qid]
+                pos = self.corpus[pos_pid]
+                negs = [self.corpus[p] for p in neg_pids]
+                if self.training_sample_format == "triplet":
+                    samples.append([query, pos, negs[0]])
+                elif self.training_sample_format == "tuple":
+                    samples.append([query, pos, *negs])
+                else:
+                    samples.append(
+                        [query, (pos, scores[pos_pid])]
+                        + [(n, scores[p]) for n, p in zip(negs, neg_pids)]
+                    )
+                num += 1
+                if num >= self.max_train_examples:
+                    break
+            if num == pass_start:  # nothing qualifies — avoid spinning
                 break
-            qid, pos_pids = int(data["qid"]), list(data["pos"])
-            if not pos_pids or qid not in self.train_queries:
-                continue
-            scores = ce_scores.get(qid, {})
-            try:
-                threshold = min(scores[p] for p in pos_pids) - self.ce_score_margin
-            except KeyError:
-                continue
-            rng = random.Random(num)  # per-example seed (splade/mmarco.py:190)
-            pos_pid = rng.choice(pos_pids)
-            pool: list[int] = []
-            for system in self.negs_mining_systems:
-                pool.extend(data.get("neg", {}).get(system, []))
-            filtered = [p for p in dict.fromkeys(pool) if scores.get(p, 1e9) <= threshold]
-            neg_pids = rng.sample(filtered, min(self.negs_per_query, len(filtered)))
-            if len(neg_pids) != self.negs_per_query:
-                continue
-            query = self.train_queries[qid]
-            pos = self.corpus[pos_pid]
-            negs = [self.corpus[p] for p in neg_pids]
-            if self.training_sample_format == "triplet":
-                samples.append([query, pos, negs[0]])
-            elif self.training_sample_format == "tuple":
-                samples.append([query, pos, *negs])
-            else:
-                samples.append(
-                    [query, (pos, scores[pos_pid])]
-                    + [(n, scores[p]) for n, p in zip(negs, neg_pids)]
-                )
-            num += 1
         return samples
 
     def sample_from_triples(self, triples: Iterable[Sequence[int]]) -> list:

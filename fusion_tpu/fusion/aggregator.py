@@ -102,7 +102,10 @@ def transform_scores(
 ) -> RankedLists:
     """Apply a rank/score transformation to each row of a ranked-list batch."""
     ids, scores = ranked.ids, ranked.scores
-    valid = ids != PAD_ID
+    # -inf-scored slots carry REAL ids when a list is padded past the corpus
+    # (e.g. a 900-doc corpus ranked to k=1000): rank-based transforms would
+    # otherwise hand those placeholder docs positive fused scores
+    valid = (ids != PAD_ID) & jnp.isfinite(scores)
     k = ids.shape[-1]
     if transformation == "borda-count":
         c = valid.sum(axis=-1, keepdims=True).astype(jnp.float32)

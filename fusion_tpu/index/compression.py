@@ -341,7 +341,10 @@ def compress_token_index(
 
     if num_centroids is None:
         num_centroids = int(2 ** np.ceil(np.log2(max(16 * np.sqrt(n_tokens), 2))))
-        num_centroids = min(num_centroids, n_tokens)
+    # k-means can produce at most as many centroids as sample rows: at full
+    # corpus scale 16·sqrt(n_tokens) exceeds sample_size and would crash the
+    # Lloyd update with a broadcast shape error
+    num_centroids = min(num_centroids, n_tokens, sample_size)
 
     rng = np.random.default_rng(seed)
     sample_idx = rng.choice(valid_idx, size=min(sample_size, n_tokens), replace=False)
@@ -368,8 +371,11 @@ def compress_token_index(
     cutoffs = np.quantile(vals, np.linspace(0, 1, levels + 1)[1:-1])
     codes = np.searchsorted(cutoffs, residuals).astype(np.uint8)
     bucket_weights = np.zeros(levels, dtype=np.float32)
-    flat_codes = codes.ravel()
-    vals_all = residuals.ravel()
+    # bucket means over VALID rows only — pad-slot residuals (≈ -centroid,
+    # large magnitude) would otherwise dominate the extreme buckets and bias
+    # every reconstruction that lands there
+    flat_codes = codes[valid].ravel()
+    vals_all = vals
     for b in range(levels):
         sel = flat_codes == b
         bucket_weights[b] = vals_all[sel].mean() if sel.any() else 0.0
@@ -377,9 +383,7 @@ def compress_token_index(
     packed = _pack_codes(codes.reshape(n, ld, d), nbits)
     return CompressedTokenIndex(
         centroids=centroids,
-        centroid_ids=jnp.asarray(np.asarray(assign.reshape(n, ld), dtype=np.int32))
-        if isinstance(assign, np.ndarray)
-        else jnp.asarray(assign.reshape(n, ld), dtype=jnp.int32),
+        centroid_ids=jnp.asarray(assign.reshape(n, ld).astype(np.int32)),
         codes=jnp.asarray(packed),
         mask=jnp.asarray(mask, dtype=jnp.float32),
         bucket_weights=jnp.asarray(bucket_weights),

@@ -312,7 +312,12 @@ class ColBERT:
             corpus_tm, doc_valid = index.prepared()
             from fusion_tpu.ops.maxsim import maxsim_search_tm
 
-            return maxsim_search_tm(q_tok, q_mask, corpus_tm, doc_valid, k=k)
+            # gate the kernel on the backend like the compressed branch —
+            # the tm form's XLA fallback has identical zeromask semantics
+            return maxsim_search_tm(
+                q_tok, q_mask, corpus_tm, doc_valid, k=k,
+                use_pallas=jax.default_backend() == "tpu",
+            )
         return maxsim_search(
             q_tok,
             q_mask,

@@ -94,7 +94,16 @@ class Embeddings(nn.Module):
     def __call__(self, input_ids, attention_mask, deterministic=True):
         c = self.cfg
         word = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.dtype, name="word")(input_ids)
-        pos_ids = roberta_position_ids(input_ids, c.pad_token_id)
+        if getattr(c, "position_offset", 2):
+            # RoBERTa/CamemBERT scheme: positions count non-pad tokens,
+            # offset past the pad index (HF create_position_ids_from_input_ids)
+            pos_ids = roberta_position_ids(input_ids, c.pad_token_id)
+        else:
+            # BERT scheme (position_offset=0, set by the HF importer for
+            # bert-named checkpoints): absolute positions 0..L-1
+            pos_ids = jnp.broadcast_to(
+                jnp.arange(input_ids.shape[-1], dtype=jnp.int32), input_ids.shape
+            )
         pos = nn.Embed(c.max_position, c.hidden_size, dtype=c.dtype, name="position")(pos_ids)
         tok_type = nn.Embed(c.type_vocab_size, c.hidden_size, dtype=c.dtype, name="token_type")(
             jnp.zeros_like(input_ids)
@@ -163,8 +172,15 @@ class SelfAttention(nn.Module):
             probs = nn.Dropout(c.dropout)(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         else:
-            # [B, H, Tq, Tk] logits in f32 for stable softmax
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+            # [B, H, Tq, Tk] logits accumulated in f32 (preferred_element_type,
+            # not a post-hoc astype — the MXU takes bf16 inputs but must not
+            # round the logits to bf16 before the softmax)
+            logits = (
+                jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+                )
+                * scale
+            )
             bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
             probs = jax.nn.softmax(logits + bias, axis=-1).astype(c.dtype)
             probs = nn.Dropout(c.dropout)(probs, deterministic=deterministic)

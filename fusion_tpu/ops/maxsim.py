@@ -401,15 +401,21 @@ def maxsim_search(
 
     doc_block = min(doc_block, n)
     num_blocks = -(-n // doc_block)
+    # XLA fallback with semantics IDENTICAL to the Pallas path above
+    # (colbert-ai zeroed-mask: masked doc tokens are zero vectors, so a
+    # query token whose valid sims are all negative maxes at 0) — the
+    # ranking must not depend on the use_pallas performance flag
+    zeroed_x = corpus_tokens * corpus_mask[..., None].astype(corpus_tokens.dtype)
+    doc_valid_x = corpus_mask.max(axis=1) > 0
 
     def block_scores(bi):
         start = bi * doc_block
         real_start = jnp.minimum(start, n - doc_block)
-        d_blk = jax.lax.dynamic_slice_in_dim(corpus_tokens, real_start, doc_block, axis=0)
-        m_blk = jax.lax.dynamic_slice_in_dim(corpus_mask, real_start, doc_block, axis=0)
-        scores = maxsim_scores(q_tokens, q_mask, d_blk, m_blk)
+        d_blk = jax.lax.dynamic_slice_in_dim(zeroed_x, real_start, doc_block, axis=0)
+        v_blk = jax.lax.dynamic_slice_in_dim(doc_valid_x, real_start, doc_block, axis=0)
+        scores = maxsim_scores_zeromask(q_tokens, q_mask, d_blk)
         ids = real_start + jnp.arange(doc_block, dtype=jnp.int32)
-        fresh = ids >= start
+        fresh = (ids >= start) & v_blk
         scores = jnp.where(fresh[None, :], scores, -jnp.inf)
         return scores, jnp.broadcast_to(ids, (q, doc_block))
 

@@ -186,9 +186,24 @@ def test_mmarco_ce_margin_filter():
     )
     records = [{"qid": 0, "pos": [0], "neg": {"bm25": [1, 2]}}]
     samples = reader.sample_from_hard_negatives(records, scores)
-    # pid 1 (score 9 > 10-3) filtered; pid 2 (2 <= 7) kept
-    assert len(samples) == 1
-    assert samples[0][2] == MM_CORPUS[2]
+    # the reference RE-PASSES the dump until max_train_examples are
+    # collected (splade/mmarco.py:186-190) — a 1-record dump yields 5
+    assert len(samples) == 5
+    for s in samples:
+        # pid 1 (score 9 > 10-3) filtered EVERY pass; pid 2 (2 <= 7) kept
+        assert s[2] == MM_CORPUS[2]
+
+
+def test_mmarco_sampling_stops_when_nothing_qualifies():
+    # every negative above threshold: no sample can ever be built — the
+    # multi-pass loop must terminate, not spin
+    scores = {0: {0: 10.0, 1: 9.5, 2: 9.0}}
+    reader = MmarcoReader(
+        "fr", MM_CORPUS, MM_QUERIES, max_train_examples=5,
+        negs_type="hard", negs_per_query=1,
+    )
+    records = [{"qid": 0, "pos": [0], "neg": {"bm25": [1, 2]}}]
+    assert reader.sample_from_hard_negatives(iter(records), scores) == []
 
 
 def test_mmarco_triples_and_cache_name():
