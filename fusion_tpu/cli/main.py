@@ -82,10 +82,7 @@ def _encoder_config(args):
 
 
 def _split_queries(data, split):
-    qids = list(data.queries[split].keys())
-    texts = [data.queries[split][q] for q in qids]
-    labels = [data.qrels[split].get(q, []) for q in qids]
-    return qids, texts, labels
+    return data.split(split)  # canonical impl: data/datasets.py RetrievalData
 
 
 def cmd_bm25(args):
@@ -155,10 +152,10 @@ def cmd_bm25(args):
 
 
 def _make_biencoder(args, head):
-    from fusion_tpu.cli.presets import TRAIN_PRESETS
+    from fusion_tpu.cli.presets import train_preset
     from fusion_tpu.models.biencoder import BiEncoder
 
-    preset = TRAIN_PRESETS[(("dpr" if head == "dense" else "splade"), args.dataset.split("-")[0])]
+    preset = train_preset("dpr" if head == "dense" else "splade", args.dataset)
     cfg = _encoder_config(args)
     return (
         BiEncoder(
@@ -250,11 +247,12 @@ def cmd_dpr(args):
 
         _seed_loop(args, one)
     else:
-        model, _ = _make_biencoder(args, "dense")
         if args.model_path:
             from fusion_tpu.models.biencoder import BiEncoder
 
             model = BiEncoder.load(args.model_path)
+        else:  # don't init a full base-scale model just to discard it
+            model, _ = _make_biencoder(args, "dense")
         _test_biencoder(args, model)
 
 
@@ -270,19 +268,20 @@ def cmd_splade(args):
 
         _seed_loop(args, one)
     else:
-        model, _ = _make_biencoder(args, "splade")
         if args.model_path:
             from fusion_tpu.models.biencoder import BiEncoder
 
             model = BiEncoder.load(args.model_path)
+        else:
+            model, _ = _make_biencoder(args, "splade")
         _test_biencoder(args, model)
 
 
 def cmd_colbert(args):
-    from fusion_tpu.cli.presets import TRAIN_PRESETS
+    from fusion_tpu.cli.presets import train_preset
     from fusion_tpu.models.colbert import ColBERT, TokenIndex
 
-    preset = TRAIN_PRESETS[("colbert", args.dataset.split("-")[0])]
+    preset = train_preset("colbert", args.dataset)
     cfg = _encoder_config(args)
     model = (
         ColBERT.load(args.model_path)
@@ -306,7 +305,15 @@ def cmd_colbert(args):
         sampler = loader.biencoder_sampler(negs_per_query=args.negs_per_query, seed=args.seed)
         steps = args.steps or 100
         batch_size = min(preset.batch_size, max(len(sampler), 2))
-        cfg_fit = FitConfig(steps=steps, batch_size=batch_size, learning_rate=args.lr or preset.learning_rate)
+        cfg_fit = FitConfig(
+            steps=steps, batch_size=batch_size,
+            learning_rate=args.lr or preset.learning_rate,
+            optimizer_name=args.optimizer, scheduler=preset.scheduler,
+            # the reference's 20k-step warmup rides warmup_steps
+            warmup_ratio=(preset.warmup_steps / steps)
+            if preset.warmup_steps else preset.warmup_ratio,
+            weight_decay=preset.weight_decay,
+        )
         state, tx, schedule = init_train_state(model, cfg_fit)
         step_fn = make_colbert_train_step(model, tx, loss_name=args.colbert_loss)
 
@@ -368,10 +375,10 @@ def cmd_colbert(args):
 
 
 def cmd_monobert(args):
-    from fusion_tpu.cli.presets import TRAIN_PRESETS
+    from fusion_tpu.cli.presets import train_preset
     from fusion_tpu.models.crossencoder import CrossEncoder
 
-    preset = TRAIN_PRESETS[("monobert", args.dataset.split("-")[0])]
+    preset = train_preset("monobert", args.dataset)
     cfg = _encoder_config(args)
     model = (
         CrossEncoder.load(args.model_path)
@@ -388,7 +395,14 @@ def cmd_monobert(args):
         pairs = loader.crossencoder_pairs(neg_per_pos=args.neg_per_pos, seed=args.seed)
         steps = args.steps or max(len(pairs) // 4, 1)
         batch_size = min(preset.batch_size, max(len(pairs), 2))
-        cfg_fit = FitConfig(steps=steps, batch_size=batch_size, learning_rate=args.lr or preset.learning_rate)
+        cfg_fit = FitConfig(
+            steps=steps, batch_size=batch_size,
+            learning_rate=args.lr or preset.learning_rate,
+            optimizer_name=args.optimizer, scheduler=preset.scheduler,
+            warmup_ratio=(preset.warmup_steps / steps)
+            if preset.warmup_steps else preset.warmup_ratio,
+            weight_decay=preset.weight_decay,
+        )
         state, tx, schedule = init_train_state(model, cfg_fit)
         step_fn = make_crossencoder_train_step(model, tx)
 
@@ -648,6 +662,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--tiny", action="store_true", help="tiny encoder for smoke tests")
         sp.add_argument("--bf16", action="store_true", default=True)
+        sp.add_argument("--no_bf16", dest="bf16", action="store_false",
+                        help="full-f32 run (numerics debugging)")
         sp.add_argument("--no_remat", action="store_true",
                         help="disable per-layer activation rematerialization")
         sp.add_argument("--attention_impl", default="einsum",
@@ -788,7 +804,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    args, _ = build_parser().parse_known_args(argv)
+    args, unknown = build_parser().parse_known_args(argv)
+    if unknown:  # reference behavior is to ignore; at least say so
+        print(f"# WARNING: ignoring unknown arguments: {unknown}", file=sys.stderr)
     args.model_name = args.command
     args.fn(args)
 

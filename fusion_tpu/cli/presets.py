@@ -118,3 +118,11 @@ def hybrid_sweep():
                     yield combo, method, norm
             else:
                 yield combo, method, None
+
+
+def train_preset(model: str, dataset: str) -> TrainPreset:
+    """Preset lookup with an mMARCO fallback: mMARCO-style datasets the
+    loaders support (mrtydi languages, SURVEY §2.5) share its recipe —
+    a bare dict lookup raised KeyError before any work ran."""
+    key = (model, dataset.split("-")[0])
+    return TRAIN_PRESETS.get(key, TRAIN_PRESETS[(model, "mmarco")])

@@ -84,10 +84,17 @@ class TripletSampler:
                 nid = pool.pop(0)
                 pool.append(nid)
                 out.append(nid)
-        while len(out) < self.negs_per_query:
-            nid = self.rng.choice(self.all_ids)
-            if nid not in self.qrels.get(qid, ()):  # random non-positive fallback
-                out.append(nid)
+        if len(out) < self.negs_per_query:
+            # random non-positive fallback; precomputing the pool keeps this
+            # bounded even when a query's positives cover the whole corpus
+            non_pos = [i for i in self.all_ids if i not in self.qrels.get(qid, ())]
+            if not non_pos:
+                raise ValueError(
+                    f"query {qid}: every corpus doc is a positive — cannot "
+                    "sample negatives"
+                )
+            while len(out) < self.negs_per_query:
+                out.append(self.rng.choice(non_pos))
         return out
 
     def samples(self) -> Iterator[list]:
@@ -189,6 +196,7 @@ def crossencoder_pairs(
         q = queries[qid]
         pos_set = set(pids)
         pool = list(negatives.get(qid, [])) if negatives else []
+        non_pos = None
         for pid in pids:
             out.append((q, corpus[pid], 1.0))
             for _ in range(neg_per_pos):
@@ -196,9 +204,11 @@ def crossencoder_pairs(
                     nid = pool.pop(0)
                     pool.append(nid)
                 else:
-                    nid = rng.choice(all_ids)
-                    while nid in pos_set:
-                        nid = rng.choice(all_ids)
+                    if non_pos is None:  # bounded fallback (see _next_negatives)
+                        non_pos = [i for i in all_ids if i not in pos_set]
+                    if not non_pos:
+                        continue
+                    nid = rng.choice(non_pos)
                 out.append((q, corpus[nid], 0.0))
     rng.shuffle(out)
     return out

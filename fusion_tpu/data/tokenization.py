@@ -90,6 +90,7 @@ class HFTokenizer:
     def __init__(self, model_name_or_path: str):
         from transformers import AutoTokenizer
 
+        self.name_or_path = str(model_name_or_path)  # persisted by save()
         self.tok = AutoTokenizer.from_pretrained(model_name_or_path)
         self.pad_token_id = self.tok.pad_token_id
         self.cls_token_id = self.tok.cls_token_id
@@ -199,3 +200,38 @@ class TextEncoder:
             ids = np.where(pads, self.tokenizer.mask_token_id, ids)
             mask = np.where(pads, 1, mask)
         return ids, mask
+
+
+def tokenizer_config(tokenizer) -> dict:
+    """Identity dict persisted in model config files: load() must rebuild
+    the SAME tokenization (substituting the hash tokenizer for an
+    HF-trained model would make every token id meaningless)."""
+    if hasattr(tokenizer, "name_or_path"):
+        return {"kind": "hf", "name_or_path": tokenizer.name_or_path}
+    return {
+        "kind": "wordhash",
+        "vocab_size": tokenizer.vocab_size,
+        "lowercase": getattr(tokenizer, "lowercase", True),
+    }
+
+
+def tokenizer_from_config(tok_cfg):
+    """Inverse of :func:`tokenizer_config`; None for configs predating it."""
+    if tok_cfg is None:
+        return None
+    if tok_cfg.get("kind") == "hf":
+        try:
+            return HFTokenizer(tok_cfg["name_or_path"])
+        except Exception as e:
+            raise RuntimeError(
+                f"checkpoint was trained with the HF tokenizer "
+                f"{tok_cfg['name_or_path']!r}, which could not be loaded — "
+                "pass tokenizer= explicitly (the hash fallback would make "
+                "token ids meaningless)"
+            ) from e
+    if tok_cfg.get("kind") == "wordhash":
+        return WordHashTokenizer(
+            vocab_size=tok_cfg["vocab_size"],
+            lowercase=tok_cfg.get("lowercase", True),
+        )
+    return None

@@ -32,6 +32,7 @@ import numpy as np
 
 import fusion_tpu
 from fusion_tpu.core.ranked import RankedLists
+from fusion_tpu.data import tokenization
 from fusion_tpu.data.tokenization import TextEncoder, WordHashTokenizer
 from fusion_tpu.models import heads
 from fusion_tpu.models.encoder import (
@@ -234,13 +235,20 @@ class BiEncoder:
             real = len(chunk)
             while len(chunk) < batch_size and n > batch_size:
                 chunk.append("")
-            pad_to = None
+            ids, mask = self.text_encoder.encode(chunk, query_mode=query_mode)
             if sort_by_length:
-                longest = max((len(s.split()) + 2 for s in chunk), default=1)
-                pad_to = 16
-                while pad_to < min(longest, max_len):
-                    pad_to *= 2
-            ids, mask = self.text_encoder.encode(chunk, query_mode=query_mode, pad_to=pad_to)
+                # bucket by TRIMMING trailing all-pad columns after full-width
+                # tokenization — never by guessing token counts from word
+                # counts (subword tokenizers exceed them, which would
+                # silently truncate docs below max_doc_length and change the
+                # embeddings vs the unbucketed path)
+                real_w = int(np.asarray(mask).sum(axis=1).max()) or 1
+                if real_w < ids.shape[1]:
+                    w = 16
+                    while w < real_w:
+                        w *= 2
+                    w = min(w, ids.shape[1])
+                    ids, mask = ids[:, :w], mask[:, :w]
             embs = fn(self.params, jnp.asarray(ids), jnp.asarray(mask))
             if pending is not None:
                 out.append(np.asarray(pending[0])[: pending[1]])
@@ -332,6 +340,10 @@ class BiEncoder:
             "augment_query_to_maxlen": self.text_encoder.augment_query_to_maxlen,
             "augment_doc_to_maxlen": self.text_encoder.augment_doc_to_maxlen,
             "do_lowercase": self.text_encoder.do_lowercase,
+            # tokenizer identity: load() must reconstruct the SAME
+            # tokenization — silently substituting the hash tokenizer for an
+            # HF-trained model would make every query id meaningless
+            "tokenizer": tokenization.tokenizer_config(self.text_encoder.tokenizer),
             "encoder": {
                 k: (v if not hasattr(v, "dtype") else str(v))
                 for k, v in dataclasses.asdict(self.cfg).items()
@@ -350,6 +362,8 @@ class BiEncoder:
 
         with open(os.path.join(path, CONFIG_FILENAME)) as f:
             config = json.load(f)
+        if tokenizer is None:
+            tokenizer = tokenization.tokenizer_from_config(config.get("tokenizer"))
         enc_cfg = dict(config["encoder"])
         if "languages" in enc_cfg:  # X-MOD trunk
             from fusion_tpu.models.xmod import XmodConfig

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import fusion_tpu
+from fusion_tpu.data import tokenization
 from fusion_tpu.core.ranked import RankedLists
 from fusion_tpu.data.tokenization import TextEncoder, WordHashTokenizer
 from fusion_tpu.models.encoder import Encoder, EncoderConfig
@@ -340,6 +341,7 @@ class ColBERT:
             "mask_punctuation": self.mask_punctuation,
             "max_query_length": self.text_encoder.max_query_length,
             "max_doc_length": self.text_encoder.max_doc_length,
+            "tokenizer": tokenization.tokenizer_config(self.text_encoder.tokenizer),
             "encoder": {k: v for k, v in dataclasses.asdict(self.cfg).items() if k != "dtype"},
             "__version__": {"fusion_tpu": fusion_tpu.__version__, "jax": jax.__version__},
         }
@@ -405,6 +407,8 @@ class ColBERT:
 
         with open(os.path.join(path, CONFIG_FILENAME)) as f:
             config = json.load(f)
+        if tokenizer is None:
+            tokenizer = tokenization.tokenizer_from_config(config.get("tokenizer"))
         enc_cfg = dict(config["encoder"])
         if "languages" in enc_cfg:  # X-MOD trunk
             from fusion_tpu.models.xmod import XmodConfig

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import fusion_tpu
+from fusion_tpu.data import tokenization
 from fusion_tpu.core.ranked import RankedLists, ranked_from_scores
 from fusion_tpu.data.tokenization import WordHashTokenizer, pair_encode_simple
 from fusion_tpu.models.encoder import Encoder, EncoderConfig
@@ -398,6 +399,7 @@ class CrossEncoder:
         config = {
             "model_type": "crossencoder",
             "max_length": self.max_length,
+            "tokenizer": tokenization.tokenizer_config(self.tokenizer),
             "encoder": {k: v for k, v in dataclasses.asdict(self.cfg).items() if k != "dtype"},
             "__version__": {"fusion_tpu": fusion_tpu.__version__, "jax": jax.__version__},
         }
@@ -433,6 +435,8 @@ class CrossEncoder:
 
         with open(os.path.join(path, CONFIG_FILENAME)) as f:
             config = json.load(f)
+        if tokenizer is None:
+            tokenizer = tokenization.tokenizer_from_config(config.get("tokenizer"))
         cfg = EncoderConfig(**config["encoder"])
         model = cls(cfg, tokenizer=tokenizer, max_length=config["max_length"])
         with open(os.path.join(path, "params.msgpack"), "rb") as f:

@@ -244,10 +244,12 @@ def load_hf_t5_encoder_params(model_name_or_path: str, pooling_mode: str = "mean
 
     Classification-head params are freshly initialized (the reference also
     trains them from scratch on top of pretrained encoders)."""
-    from transformers import AutoConfig, AutoModel
+    from transformers import AutoConfig, T5EncoderModel
 
     hf_cfg = AutoConfig.from_pretrained(model_name_or_path)
-    model = AutoModel.from_pretrained(model_name_or_path)
+    # encoder-only load (the decoder is ~half the checkpoint and unused —
+    # the reference wraps T5EncoderModel too, utils/t5.py)
+    model = T5EncoderModel.from_pretrained(model_name_or_path)
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     gated = getattr(hf_cfg, "feed_forward_proj", "relu").startswith("gated")
     cfg = T5Config(
