@@ -70,12 +70,29 @@ class MrTyDiLoader:
 
 def load_mrtydi_raw(lang: str) -> dict:  # pragma: no cover - needs network
     """Fetch Mr. TyDi from the HF hub (castorini/mr-tydi +
-    castorini/mr-tydi-corpus) into the raw fixture schema."""
+    castorini/mr-tydi-corpus) into the raw fixture schema.
+
+    HF config names are the FULL language names (MRTYDI_LANGUAGES), and
+    docids are 'article#passage' strings — they are densified to stable
+    int ids here (the framework's ranked lists are int32)."""
     from datasets import load_dataset
 
-    name = f"{lang}" if lang == "en" else lang
+    name = MRTYDI_LANGUAGES[lang]
     corpus_ds = load_dataset("castorini/mr-tydi-corpus", name, split="train")
-    corpus = {int(r["docid"]): f"{r.get('title', '')} {r['text']}".strip() for r in corpus_ds}
+    docid_to_int: dict[str, int] = {}
+    corpus: dict[int, str] = {}
+    for r in corpus_ds:
+        did = docid_to_int.setdefault(str(r["docid"]), len(docid_to_int))
+        corpus[did] = f"{r.get('title', '')} {r['text']}".strip()
+
+    def _ids(passages) -> list[int]:
+        out = []
+        for p in passages:
+            did = docid_to_int.get(str(p["docid"]))
+            if did is not None:
+                out.append(did)
+        return out
+
     raw: dict = {"corpus": corpus}
     for split, key_q, key_r in [
         ("train", "train_queries", "train_qrels"),
@@ -86,9 +103,9 @@ def load_mrtydi_raw(lang: str) -> dict:  # pragma: no cover - needs network
         for r in ds:
             qid = int(r["query_id"])
             queries[qid] = r["query"]
-            qrels[qid] = [int(p["docid"]) for p in r["positive_passages"]]
+            qrels[qid] = _ids(r["positive_passages"])
             if r.get("negative_passages"):
-                negatives[qid] = [int(p["docid"]) for p in r["negative_passages"]]
+                negatives[qid] = _ids(r["negative_passages"])
         raw[key_q], raw[key_r] = queries, qrels
         if split == "train":
             raw["negatives"] = negatives

@@ -197,18 +197,23 @@ class TextPreprocessor:
             low = tok.lower()
             if remove_num and _HAS_DIGIT_RE.match(tok):
                 continue
-            if remove_stop and low in FRENCH_STOPWORDS:
-                continue
-            # apostrophe clitics: l'article -> article handled by regex; strip
-            # leading elision remnant if any
+            # apostrophe clitics FIRST: "d'une"/"l'on" must reduce to their
+            # host word BEFORE the stopword check, or elided stopwords leak
+            # into the index (spaCy drops them via is_stop)
             if "'" in low:
                 head, _, tail = low.partition("'")
-                low = tail if head in FRENCH_STOPWORDS and tail else low
+                if head in FRENCH_STOPWORDS and tail:
+                    low = tail
+            if remove_stop and low in FRENCH_STOPWORDS:
+                continue
             if lemmatize:
                 low = self._stem(low) if self._stem is not None else _light_lemma(low)
             if not low:
                 continue
-            tokens.append(low if lowercase else tok)
+            # lemmatize=True always emits the (lowercase) lemma — previously
+            # lowercase=False silently discarded the lemmatization; with
+            # both off, the original surface form is kept
+            tokens.append(low if (lowercase or lemmatize) else tok)
         return " ".join(tokens)
 
     def _preprocess_spacy(

@@ -85,8 +85,18 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
+SIMILARITIES = ("cos_sim", "dot_score", "dot")
+
+
+def _check_similarity(similarity: str) -> None:
+    # a typo like "cosine" would otherwise silently score unnormalized dots
+    if similarity not in SIMILARITIES:
+        raise ValueError(f"similarity must be one of {SIMILARITIES}, got {similarity!r}")
+
+
 def pairwise_similarity(q: jax.Array, d: jax.Array, similarity: str = "cos_sim") -> jax.Array:
     """Row-aligned similarity: q [..., H] vs d [..., H] → [...]."""
+    _check_similarity(similarity)
     if similarity == "cos_sim":
         q, d = l2_normalize(q), l2_normalize(d)
     return (q * d).sum(axis=-1)
@@ -94,6 +104,7 @@ def pairwise_similarity(q: jax.Array, d: jax.Array, similarity: str = "cos_sim")
 
 def batchwise_similarity(q: jax.Array, d: jax.Array, similarity: str = "cos_sim") -> jax.Array:
     """All-pairs similarity: q [Nq, H] × d [Nd, H] → [Nq, Nd]."""
+    _check_similarity(similarity)
     if similarity == "cos_sim":
         q, d = l2_normalize(q), l2_normalize(d)
     return jnp.dot(q, d.T, preferred_element_type=jnp.float32)

@@ -21,6 +21,10 @@ def segmented_run_totals(keys, vals, max_run: int):
     """
     q = keys.shape[0]
     seg = vals
+    # shifts beyond the row length are no-ops (a run cannot exceed L);
+    # without the clamp an over-estimated max_run > 2·L pads an empty
+    # slice wider than the row and crashes with a broadcast error
+    max_run = min(max_run, keys.shape[1])
     d = 1
     while d < max_run:
         keys_shift = jnp.pad(keys[:, :-d], ((0, 0), (d, 0)), constant_values=-1)

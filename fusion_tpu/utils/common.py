@@ -57,8 +57,12 @@ def set_seed(seed: int = 42) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
-def count_parameters(params, trainable_only: bool = True) -> int:
-    """Total parameter count of a flax param tree."""
+def count_parameters(params) -> int:
+    """Total parameter count of a flax param tree.
+
+    (A former ``trainable_only`` flag was accepted but never honored —
+    freezing here is an optax mask, not a param-tree property, so a
+    "trainable" count is the caller's job via its own mask.)"""
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
 
 
@@ -105,12 +109,11 @@ def convert_colbert_results_to_negatives(
     Accepts an in-memory {qid: [pid,...]} dict or a ranking TSV path
     (qid \t pid \t rank [\t score])."""
     if isinstance(ranking, str):
-        parsed: dict[int, list[int]] = {}
-        with open(ranking) as f:
-            for line in f:
-                parts = line.rstrip("\n").split("\t")
-                parsed.setdefault(int(parts[0]), []).append(int(parts[1]))
-        ranking = parsed
+        # the canonical parser sorts by the RANK column — file order is not
+        # guaranteed (e.g. per-shard outputs merged by qid)
+        from fusion_tpu.utils.rankingio import read_ranking_tsv
+
+        ranking = read_ranking_tsv(ranking)
     out = {}
     for qid, preds in ranking.items():
         pos = set(qrels.get(qid, ()))

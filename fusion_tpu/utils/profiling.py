@@ -18,6 +18,7 @@ import time
 from contextlib import contextmanager
 
 import jax
+import numpy as np
 
 
 @contextmanager
@@ -48,7 +49,11 @@ class StageTimer:
         t0 = time.perf_counter()
         yield
         if fence is not None:
-            jax.block_until_ready(fence)
+            # host-fetch fence of ONE leaf element: block_until_ready returns
+            # EARLY on the tunneled TPU (CLAUDE.md timing invariant), and
+            # fetching a whole array would ship it through the ~30 MB/s tunnel
+            leaf = jax.tree_util.tree_leaves(fence)[0]
+            np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
         self.totals[name] = self.totals.get(name, 0.0) + (time.perf_counter() - t0)
 
     def report(self, num_queries: int = 1) -> dict[str, float]:

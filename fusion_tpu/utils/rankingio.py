@@ -65,10 +65,13 @@ def evaluate_ranking_file(
     from fusion_tpu.eval.metrics import Metrics
 
     ranking = read_ranking_tsv(path)
-    qids = [q for q in ranking if q in qrels]
-    preds = [ranking[q] for q in qids]
+    # every JUDGED query counts: one absent from the ranking file scores 0
+    # (intersecting would silently inflate the macro averages)
+    qids = list(qrels.keys())
+    preds = [ranking.get(q, []) for q in qids]
     labels = [list(qrels[q]) for q in qids]
     ev = Metrics(recall_at_k=recall_at_k, mrr_at_k=mrr_at_k)
     scores = ev.compute_all_metrics(labels, preds)
     scores["num_queries"] = len(qids)
+    scores["num_unanswered"] = sum(1 for q in qids if q not in ranking)
     return scores
