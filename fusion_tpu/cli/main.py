@@ -613,6 +613,7 @@ def cmd_serve(args):
         corpus_ids=np.array([]), dense_model=dense, splade_model=splade,
         colbert_model=colbert, cross_encoder=ce, rerank_depth=args.rerank_depth,
         fusion_method=args.fusion,
+        normalization=args.normalization,
         plaid_nprobe=args.plaid_nprobe, plaid_ncand=args.plaid_ncand,
         plaid_ncand_rescore=args.plaid_ncand_rescore or None,
         splade_query_terms=args.splade_query_terms, dense_impl=args.dense_impl,
@@ -756,6 +757,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--run_colbert", action="store_true")
     sp.add_argument("--run_monobert", action="store_true")
     sp.add_argument("--fusion", default="rrf", choices=["bcf", "rrf", "nsf"])
+    sp.add_argument("--normalization", default=None,
+                    choices=["min-max", "z-score", "arctan", "percentile-rank",
+                             "normal-curve-equivalent"],
+                    help="nsf score normalization; percentile/NCE use the "
+                    "quantile tables saved in the index dir")
     sp.add_argument("--dpr_path", default=None)
     sp.add_argument("--splade_path", default=None)
     sp.add_argument("--colbert_path", default=None)

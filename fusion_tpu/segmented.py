@@ -97,6 +97,9 @@ class SegmentedHybridSearcher:
         self.linear_weights = build_kwargs.get("linear_weights")
         self.rerank_depth = int(build_kwargs.get("rerank_depth", 100))
         self.rerank_chunk = int(self._kwargs.pop("rerank_chunk", 512))
+        self.percentile_distributions = self._kwargs.pop(
+            "percentile_distributions", None
+        )
         self.cross_encoder = build_kwargs.get("cross_encoder")
 
         # one coarse lock serializes searches against add/delete/compact —
@@ -331,6 +334,7 @@ class SegmentedHybridSearcher:
                 method=self.fusion_method,
                 normalization=self.normalization,
                 linear_weights=weights if self.fusion_method == "nsf" else None,
+                percentile_distributions=self.percentile_distributions,
                 return_topk=self.topk,
             )
         if self.cross_encoder is not None:

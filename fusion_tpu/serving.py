@@ -150,6 +150,11 @@ class HybridSearcher:
     rerank_buckets: tuple | None = None
     fusion_method: str = "rrf"
     normalization: str | None = None
+    # per-system quantile tables for percentile-rank / NCE normalization
+    # (reference hybrid.py:363-402); build with
+    # build_percentile_distributions() or assign tables from an offline
+    # HybridPipeline.analyze_score_distributions run
+    percentile_distributions: Mapping[str, np.ndarray] | None = None
     linear_weights: Mapping[str, float] | None = None
     topk: int = 1000
     # applied to queries for the lexical leg only (the neural legs take the
@@ -478,6 +483,23 @@ class HybridSearcher:
                     ops["cb_ivf"] = self.colbert_ivf.ivf_doc
             else:
                 ops["cb_prepared"] = ci.prepared()  # (corpus_tm, doc_valid)
+        if (
+            not systems_out  # per-system program never fuses (and the
+            # table builder itself runs through it before tables exist)
+            and self.fusion_method == "nsf"
+            and self.normalization in ("percentile-rank", "normal-curve-equivalent")
+        ):
+            if not self.percentile_distributions:
+                raise ValueError(
+                    f"normalization={self.normalization!r} needs per-system "
+                    "quantile tables — call build_percentile_distributions() "
+                    "or assign .percentile_distributions from an offline "
+                    "analyze_score_distributions run"
+                )
+            ops["pctl"] = {
+                s: jnp.asarray(t, jnp.float32)
+                for s, t in self.percentile_distributions.items()
+            }
         in_program_rerank = self._rerank_active and self.rerank_buckets is None
         if in_program_rerank:
             ops["ce_params"] = self.cross_encoder.params
@@ -635,6 +657,7 @@ class HybridSearcher:
                     method=self.fusion_method,
                     normalization=self.normalization,
                     linear_weights=weights if self.fusion_method == "nsf" else None,
+                    percentile_distributions=ops.get("pctl"),
                     return_topk=topk,
                 )
             if in_program_rerank:
@@ -711,6 +734,11 @@ class HybridSearcher:
                 ids=np.asarray(self.ce_doc_tokens),
                 mask=np.asarray(self.ce_doc_mask).astype(np.int8),
             )
+        if self.percentile_distributions:
+            np.savez_compressed(
+                os.path.join(path, "percentile_distributions.npz"),
+                **{s: np.asarray(t) for s, t in self.percentile_distributions.items()},
+            )
 
     def load_indexes(self, path: str, int8_corpus: bool = False) -> "HybridSearcher":
         import os
@@ -767,6 +795,10 @@ class HybridSearcher:
                 self.ce_doc_tokens = jnp.asarray(z["ids"])
                 self.ce_doc_mask = jnp.asarray(z["mask"])
                 self.ce_doc_lens = z["mask"].sum(axis=1).astype(np.int32)
+        pctl_path = os.path.join(path, "percentile_distributions.npz")
+        if os.path.exists(pctl_path):
+            with np.load(pctl_path) as z:
+                self.percentile_distributions = {s: z[s] for s in z.files}
         self._jitted.clear()
         return self
 
@@ -912,6 +944,36 @@ class HybridSearcher:
         if external_ids:
             ranked = ranked.remap_ids(self.corpus_ids)
         return ranked, elapsed / max(len(queries), 1) * 1000
+
+    def build_percentile_distributions(
+        self,
+        queries: Sequence[str],
+        num_points: int = 10_000,
+        batch_size: int = 32,
+        use_pallas: bool | None = None,
+    ) -> dict[str, np.ndarray]:
+        """Per-system quantile tables from a query sample's scores
+        (reference hybrid.py:363-402 pools all (query, doc) scores per
+        system; serving pools the per-query top-``self.topk`` tail instead —
+        the upper-tail sample the fused lists actually draw from).
+
+        Sets ``self.percentile_distributions`` and returns the tables; pass
+        the dev queries the reference uses for exact parity artifacts."""
+        from fusion_tpu.fusion.aggregator import build_percentile_distribution
+
+        per_system = self.search_systems(
+            queries, batch_size=batch_size, use_pallas=use_pallas,
+            external_ids=False,
+        )
+        tables = {}
+        for system, ranked in per_system.items():
+            scores = np.asarray(ranked.scores)
+            tables[system] = build_percentile_distribution(
+                scores[np.isfinite(scores)], num_points=num_points
+            )
+        self.percentile_distributions = tables
+        self._jitted.clear()  # tables ride as jit args; rebuild programs
+        return tables
 
     def search_systems(
         self,

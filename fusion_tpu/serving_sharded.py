@@ -213,6 +213,7 @@ class ShardedHybridSearcher(HybridSearcher):
             rerank_chunk=searcher.rerank_chunk,
             fusion_method=searcher.fusion_method,
             normalization=searcher.normalization,
+            percentile_distributions=searcher.percentile_distributions,
             linear_weights=searcher.linear_weights,
             topk=searcher.topk,
             bm25_preprocess=searcher.bm25_preprocess,
@@ -571,6 +572,9 @@ class ShardedHybridSearcher(HybridSearcher):
                     method=self.fusion_method,
                     normalization=self.normalization,
                     linear_weights=weights if self.fusion_method == "nsf" else None,
+                    # quantile tables are tiny (≤10k f32/system) — safe to
+                    # close over as constants, unlike the index arrays
+                    percentile_distributions=self.percentile_distributions,
                     return_topk=topk,
                 )
 

@@ -501,3 +501,57 @@ def test_padded_dense_index_persists_real_rows_only(tmp_path):
         corpus_ids=np.arange(n, dtype=np.int64), dense_model=_StubDenseModel(h)
     ).load_indexes(str(tmp_path), int8_corpus=True)
     assert s2.dense_corpus.values.shape[0] == n
+
+
+def test_percentile_rank_nsf_serving(models, tmp_path):
+    """NSF with percentile-rank normalization in the SERVING program:
+    requires quantile tables (clear error without), matches a manual
+    Aggregator.fuse with the same tables, and tables persist through
+    save/load (the reference's best hybrid config uses percentile NSF,
+    hybrid.py:254-278,363-402)."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.fusion.aggregator import Aggregator
+
+    dense, _, _ = models
+    prep = TextPreprocessor(spacy_model=None)
+    searcher = HybridSearcher.build(
+        CORPUS,
+        bm25_docs=prep.preprocess(list(CORPUS.values())),
+        dense_model=dense,
+        topk=8,
+        bm25_preprocess=lambda t: prep.preprocess(list(t)),
+        fusion_method="nsf",
+        normalization="percentile-rank",
+    )
+    with pytest.raises(ValueError, match="quantile tables"):
+        searcher.search(QUERIES, batch_size=4, use_pallas=False)
+
+    tables = searcher.build_percentile_distributions(QUERIES, num_points=100)
+    assert set(tables) == {"bm25", "dpr"}
+    got, _ = searcher.search(QUERIES, batch_size=4, use_pallas=False)
+
+    per_system = searcher.search_systems(
+        QUERIES, batch_size=4, use_pallas=False, external_ids=False
+    )
+    want = Aggregator.fuse(
+        per_system, method="nsf", normalization="percentile-rank",
+        linear_weights={s: 0.5 for s in per_system},
+        percentile_distributions={s: jnp.asarray(t) for s, t in tables.items()},
+        return_topk=8,
+    )
+    want = want.remap_ids(searcher.corpus_ids)
+    np.testing.assert_array_equal(np.asarray(got.ids), np.asarray(want.ids))
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), rtol=1e-6
+    )
+
+    searcher.save_indexes(str(tmp_path))
+    reloaded = HybridSearcher(
+        corpus_ids=np.array([]), dense_model=dense,
+        fusion_method="nsf", normalization="percentile-rank", topk=8,
+        bm25_preprocess=lambda t: prep.preprocess(list(t)),
+    ).load_indexes(str(tmp_path))
+    assert set(reloaded.percentile_distributions) == {"bm25", "dpr"}
+    got2, _ = reloaded.search(QUERIES, batch_size=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got2.ids), np.asarray(got.ids))
