@@ -165,7 +165,15 @@ class SearchServer:
     def address(self) -> tuple[str, int]:
         return self._http.server_address[:2]
 
-    def start(self) -> None:
+    def start(self, warmup: bool = True) -> None:
+        """``warmup=True`` runs one padded dummy batch through the searcher
+        before accepting traffic, so the first real request doesn't pay the
+        program compile (tens of seconds over a remote-compile tunnel)."""
+        if warmup:
+            try:
+                self.searcher.search([""] * self.max_batch, batch_size=self.max_batch)
+            except Exception:
+                pass  # surfaced again, with context, by the first request
         self._dispatcher.start()
         self._serve_thread = threading.Thread(
             target=self._http.serve_forever, daemon=True
@@ -204,7 +212,13 @@ class SearchServer:
             self._run_batch(batch)
 
     def _run_batch(self, batch: list[_Pending]) -> None:
-        queries = [q for p in batch for q in p.queries]
+        flat = [q for p in batch for q in p.queries]
+        # dedup identical query strings across the coalesced requests: every
+        # duplicate slot is a wasted encoder forward (resubmits and hot
+        # queries are common online); results fan back out by string
+        uniq: dict[str, int] = {}
+        slot_of = [uniq.setdefault(q, len(uniq)) for q in flat]
+        queries = list(uniq.keys())
         n_real = len(queries)
         # pad to ONE program shape: a jitted searcher compiles per batch
         # size, and a serving process must not pay a compile per novel size
@@ -226,13 +240,14 @@ class SearchServer:
         row = 0
         for p in batch:
             p.ids, p.scores = [], []
-            for qi in range(row, row + len(p.queries)):
+            for _ in p.queries:
+                qi = slot_of[row]  # dedup: duplicate strings share one row
+                row += 1
                 # rows are score-descending with -inf pads at the tail, so
                 # the finite entries are a prefix
                 kr = min(p.topk, int(np.isfinite(scores[qi]).sum()))
                 p.ids.append(ids[qi][:kr].astype(int).tolist())
                 p.scores.append([round(float(x), 6) for x in scores[qi][:kr]])
-            row += len(p.queries)
             p.batch_ms = batch_ms
             p.event.set()
 

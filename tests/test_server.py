@@ -143,3 +143,16 @@ def test_malformed_bodies_get_400_not_dropped_connection(server):
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(f"{base}/search", payload)
         assert exc.value.code == 400, payload
+
+
+def test_duplicate_queries_share_one_device_row(server):
+    """Identical query strings coalesced into one batch are scored once and
+    fanned back out — results must match the non-duplicated request."""
+    srv, _, base = server
+    single = _post(f"{base}/search", {"queries": ["chat tapis"], "topk": 3})
+    dup = _post(
+        f"{base}/search",
+        {"queries": ["chat tapis", "tribunal", "chat tapis"], "topk": 3},
+    )
+    assert dup["results"][0] == dup["results"][2] == single["results"][0]
+    assert dup["results"][1] != dup["results"][0]
