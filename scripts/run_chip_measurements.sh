@@ -41,6 +41,9 @@ python bench_mmarco.py \
   --legs bm25_inv,splade_scatter,dense_fused,plaid \
   > /tmp/chip_r03/bench_mmarco.log 2>&1
 tail -1 /tmp/chip_r03/bench_mmarco.log
+# refreshed artifact INTO the repo so the round-end auto-commit captures it
+tail -1 /tmp/chip_r03/bench_mmarco.log | grep -q '"metric"' \
+  && tail -1 /tmp/chip_r03/bench_mmarco.log > BENCH_MMARCO_r03_refresh.json
 
 echo "== 4/5 recall study (scatter + rescore entries, full scale)"
 python -c "
@@ -54,5 +57,7 @@ echo "== 5/5 bench_sharded (scatter splade + fused dense + rerank)"
 python bench_sharded.py --ce_attention einsum_bf16 \
   > /tmp/chip_r03/bench_sharded.log 2>&1
 tail -1 /tmp/chip_r03/bench_sharded.log
+tail -1 /tmp/chip_r03/bench_sharded.log | grep -q '"metric"' \
+  && tail -1 /tmp/chip_r03/bench_sharded.log > BENCH_SHARDED_r03_refresh.json
 
-echo "== done; artifacts in /tmp/chip_r03/"
+echo "== done; artifacts in /tmp/chip_r03/ (+ repo *_refresh.json)"
