@@ -224,6 +224,10 @@ def main():
         "bm25_weights": jnp.ones((B, 16), jnp.float32),
         "q_ids": jnp.asarray(rng.integers(5, V_S, (B, LQ)), jnp.int32),
         "q_mask": jnp.ones((B, LQ), jnp.int32),
+        # the splade leg tokenizes with its own encoder since the
+        # per-model-tokenizer fix; synthetic queries just alias the dense ones
+        "sp_ids": jnp.asarray(rng.integers(5, V_S, (B, LQ)), jnp.int32),
+        "sp_mask": jnp.ones((B, LQ), jnp.int32),
         "cb_ids": jnp.asarray(rng.integers(5, V_S, (B, LQ)), jnp.int32),
         "cb_mask": jnp.ones((B, LQ), jnp.int32),
         "ce_ids": jnp.asarray(rng.integers(5, V_S, (B, LQ)), jnp.int32),
