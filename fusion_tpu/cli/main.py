@@ -600,6 +600,7 @@ def cmd_serve(args):
             plaid_ncand_rescore=args.plaid_ncand_rescore or None,
             ivf_cap=args.ivf_cap,
             rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
+            rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
             dense_impl=args.dense_impl,
         )
         searcher.save_indexes(args.index_dir)
@@ -618,6 +619,7 @@ def cmd_serve(args):
         plaid_ncand_rescore=args.plaid_ncand_rescore or None,
         splade_query_terms=args.splade_query_terms, dense_impl=args.dense_impl,
         rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
+        rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
     ).load_indexes(args.index_dir, int8_corpus=args.int8_corpus)
     if args.run_bm25:
         from fusion_tpu.data.preprocessor import TextPreprocessor
@@ -805,6 +807,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="doc-width ladder for length-bucketed monoBERT "
                          "rerank (e.g. 64 128 192 256); omit for the flat "
                          "full-width in-program rerank")
+    sp.add_argument("--rerank_cascade", type=int, nargs=2, default=None,
+                    metavar=("KEEP", "STAGE1_TOKENS"),
+                    help="two-stage in-program rerank: score all candidates "
+                         "with docs truncated to STAGE1_TOKENS, rescore the "
+                         "top KEEP at full width (measure quality first)")
     sp.set_defaults(fn=cmd_serve)
     return p
 

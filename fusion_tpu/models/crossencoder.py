@@ -217,6 +217,52 @@ class CrossEncoder:
         ids, mask = self._pair_layout(qe, qm, d_ids, d_msk)
         return self._score_pairs_chunked(params, ids, mask, pair_chunk).reshape(q, k)
 
+    def rerank_tokens_cascade(
+        self,
+        params,
+        q_ids: jax.Array,
+        q_mask: jax.Array,
+        doc_ids: jax.Array,
+        doc_mask: jax.Array,
+        keep: int,
+        stage1_tokens: int,
+        pair_chunk: int = 512,
+    ) -> jax.Array:
+        """Two-stage jittable rerank: stage 1 scores ALL K candidates with
+        docs truncated to ``stage1_tokens``; the top-``keep`` by stage-1
+        logit are rescored at full width.
+
+        FLOPs ≈ flat · (stage1_tokens/Ld + keep/K) — e.g. keep=K/4 with a
+        Ld/4 prefilter costs ~half the flat stage.  The returned [Q, K]
+        logits keep a TOTAL order: kept candidates carry their full-width
+        logits, the rest carry stage-1 logits shifted strictly below the
+        kept minimum (their stage-1 relative order preserved).  Degenerate
+        settings (keep ≥ K and stage1_tokens ≥ Ld) equal ``rerank_tokens``
+        exactly.  Quality trade: a relevant doc whose evidence lives beyond
+        the stage-1 truncation AND whose prefix scores below the stage-1
+        cut is lost — measure on the target corpus before enabling."""
+        q, k, ld = doc_ids.shape
+        keep = max(1, min(keep, k))
+        w1 = min(stage1_tokens, ld)
+        s1 = self.rerank_tokens(
+            params, q_ids, q_mask, doc_ids[:, :, :w1], doc_mask[:, :, :w1], pair_chunk
+        )
+        if keep >= k and w1 >= ld:
+            return s1
+        _, idx = jax.lax.top_k(s1, keep)  # [Q, keep]
+        d2 = jnp.take_along_axis(doc_ids, idx[..., None], axis=1)
+        m2 = jnp.take_along_axis(doc_mask, idx[..., None], axis=1)
+        s2 = self.rerank_tokens(params, q_ids, q_mask, d2, m2, pair_chunk)
+        # non-kept slots: stage-1 scores shifted strictly below the kept
+        # minimum (margin 1.0 in logit space)
+        kept_min = s2.min(axis=1, keepdims=True)
+        kept_mask = jnp.zeros((q, k), bool)
+        kept_mask = jax.vmap(lambda m, i: m.at[i].set(True))(kept_mask, idx)
+        rest_max = jnp.where(kept_mask, -jnp.inf, s1).max(axis=1, keepdims=True)
+        rest = s1 - jnp.maximum(rest_max - kept_min + 1.0, 0.0)
+        out = jax.vmap(lambda o, i, v: o.at[i].set(v))(rest, idx, s2)
+        return out
+
     # -- length-bucketed rerank (host-orchestrated) ---------------------
     # chunk-count grid bounds the number of compiled shapes per bucket
     # width; dense through 16 then ~12% geometric steps (the old sparse

@@ -148,6 +148,10 @@ class HybridSearcher:
     # doc-width ladder for the length-bucketed rerank stage; None = flat
     # full-width rerank inside the single device program
     rerank_buckets: tuple | None = None
+    # (keep, stage1_tokens): two-stage in-program rerank — truncated-doc
+    # prefilter over all candidates, full-width rescore of the top ``keep``
+    # (CrossEncoder.rerank_tokens_cascade; measure quality before enabling)
+    rerank_cascade: tuple | None = None
     fusion_method: str = "rrf"
     normalization: str | None = None
     # per-system quantile tables for percentile-rank / NCE normalization
@@ -197,6 +201,7 @@ class HybridSearcher:
         plaid_ncand_rescore: int | None = 1024,
         ivf_cap: int = 1024,
         rerank_buckets: tuple | None = None,
+        rerank_cascade: tuple | None = None,
         dense_impl: str = "auto",
     ) -> "HybridSearcher":
         """Encode/build every requested index once (offline).
@@ -358,6 +363,7 @@ class HybridSearcher:
                 )
             )
             out.rerank_buckets = rerank_buckets
+            out.rerank_cascade = rerank_cascade
         return out
 
     @property
@@ -676,14 +682,27 @@ class HybridSearcher:
                     ops["ce_msk"][safe].astype(jnp.int32)
                     * (head_ids >= 0)[..., None]
                 )
-                logits = self.cross_encoder.rerank_tokens(
-                    ops["ce_params"],
-                    inputs["ce_ids"],
-                    inputs["ce_mask"],
-                    d_ids,
-                    d_mask,
-                    pair_chunk=self.rerank_chunk,
-                )
+                if self.rerank_cascade is not None:
+                    keep, s1_tokens = self.rerank_cascade
+                    logits = self.cross_encoder.rerank_tokens_cascade(
+                        ops["ce_params"],
+                        inputs["ce_ids"],
+                        inputs["ce_mask"],
+                        d_ids,
+                        d_mask,
+                        keep=int(keep),
+                        stage1_tokens=int(s1_tokens),
+                        pair_chunk=self.rerank_chunk,
+                    )
+                else:
+                    logits = self.cross_encoder.rerank_tokens(
+                        ops["ce_params"],
+                        inputs["ce_ids"],
+                        inputs["ce_mask"],
+                        d_ids,
+                        d_mask,
+                        pair_chunk=self.rerank_chunk,
+                    )
                 fused = rerank_head_merge(fused, head_ids, logits)
             return fused.ids, fused.scores
 

@@ -226,6 +226,86 @@ def test_searcher_rerank_bucketed_matches_flat(models):
     )
 
 
+def test_rerank_cascade_properties():
+    """Two-stage cascade rerank (CrossEncoder.rerank_tokens_cascade):
+    degenerate settings equal the flat rerank exactly; with a real cut the
+    kept candidates carry their full-width logits, everything else sits
+    strictly below the kept minimum with stage-1 relative order intact."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    docs = list(CORPUS.values())
+    d_ids, d_mask = ce.prepare_corpus_tokens(docs, max_doc_tokens=16)
+    q_ids, q_mask = ce.encode_queries_raw(QUERIES, max_query_tokens=6)
+    q_ids, q_mask = jnp.asarray(q_ids), jnp.asarray(q_mask)
+    cand = jnp.asarray(
+        [[0, 1, 2, 3, 4, 5], [3, 4, 5, 6, 7, 0], [6, 7, 0, 1, 2, 3]], jnp.int32
+    )
+    di, dm = d_ids[cand].astype(jnp.int32), d_mask[cand].astype(jnp.int32)
+    flat = np.asarray(ce.rerank_tokens(ce.params, q_ids, q_mask, di, dm, pair_chunk=4))
+
+    degen = np.asarray(ce.rerank_tokens_cascade(
+        ce.params, q_ids, q_mask, di, dm, keep=16, stage1_tokens=64, pair_chunk=4
+    ))
+    np.testing.assert_array_equal(degen, flat)
+
+    keep, w1 = 3, 8
+    s1 = np.asarray(ce.rerank_tokens(
+        ce.params, q_ids, q_mask, di[:, :, :w1], dm[:, :, :w1], pair_chunk=4
+    ))
+    out = np.asarray(ce.rerank_tokens_cascade(
+        ce.params, q_ids, q_mask, di, dm, keep=keep, stage1_tokens=w1, pair_chunk=4
+    ))
+    for qi in range(out.shape[0]):
+        kept = np.argsort(-s1[qi], kind="stable")[:keep]
+        rest = np.setdiff1d(np.arange(out.shape[1]), kept)
+        # kept slots carry the full-width logits
+        np.testing.assert_allclose(out[qi, kept], flat[qi, kept], rtol=2e-5, atol=2e-5)
+        # everything else strictly below the kept minimum
+        assert out[qi, rest].max() < out[qi, kept].min()
+        # stage-1 relative order preserved among the rest
+        np.testing.assert_array_equal(
+            np.argsort(-s1[qi][rest], kind="stable"),
+            np.argsort(-out[qi][rest], kind="stable"),
+        )
+
+
+def test_searcher_rerank_cascade_degenerate_matches_flat(models):
+    """HybridSearcher with a degenerate rerank_cascade (keep = depth,
+    stage-1 width = full) must rank exactly like the flat in-program
+    rerank; a real cut still yields a valid descending RankedLists row."""
+    dense, _, _ = models
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    kwargs = dict(dense_model=dense, batch_size=4, topk=8)
+    flat = HybridSearcher.build(CORPUS, cross_encoder=ce, rerank_depth=4, **kwargs)
+    casc = HybridSearcher.build(
+        CORPUS, cross_encoder=ce, rerank_depth=4,
+        rerank_cascade=(4, 4096), **kwargs,
+    )
+    r_flat, _ = flat.search(QUERIES, batch_size=4, use_pallas=False)
+    r_casc, _ = casc.search(QUERIES, batch_size=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(r_flat.ids), np.asarray(r_casc.ids))
+    np.testing.assert_allclose(
+        np.asarray(r_flat.scores), np.asarray(r_casc.scores), rtol=1e-4, atol=1e-5
+    )
+
+    cut = HybridSearcher.build(
+        CORPUS, cross_encoder=ce, rerank_depth=4,
+        rerank_cascade=(2, 8), **kwargs,
+    )
+    r_cut, _ = cut.search(QUERIES, batch_size=4, use_pallas=False)
+    ids, scores = np.asarray(r_cut.ids), np.asarray(r_cut.scores)
+    for qi in range(len(QUERIES)):
+        row = scores[qi]
+        finite = np.isfinite(row)
+        assert np.all(np.diff(row[finite]) <= 1e-6)
+        assert len(set(ids[qi][ids[qi] >= 0])) == (ids[qi] >= 0).sum()
+
+
 def test_rerank_index_persistence(models, tmp_path):
     from fusion_tpu.models.crossencoder import CrossEncoder
 
