@@ -245,7 +245,7 @@ def main():
     ce_ids_np, ce_mask_np = ce.encode_queries_raw(queries_tokens, max_query_tokens=32)
     ce_ids, ce_mask = jnp.asarray(ce_ids_np), jnp.asarray(ce_mask_np)
 
-    def make_rerank(ce_obj):
+    def make_rerank(ce_obj, cascade=None):
         def hybrid_rerank(hy_args, ce_params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask):
             ids, scores = hybrid(*hy_args)
             fused = RankedLists(ids=ids, scores=scores)
@@ -253,16 +253,22 @@ def main():
             safe = jnp.clip(head_ids, 0, N - 1)
             d_ids = ce_doc_toks[safe].astype(jnp.int32)
             d_msk = ce_doc_mask[safe].astype(jnp.int32) * (head_ids >= 0)[..., None]
-            logits = ce_obj.rerank_tokens(
-                ce_params, ce_ids, ce_mask, d_ids, d_msk, pair_chunk=512
-            )
+            if cascade is not None:
+                logits = ce_obj.rerank_tokens_cascade(
+                    ce_params, ce_ids, ce_mask, d_ids, d_msk,
+                    keep=cascade[0], stage1_tokens=cascade[1], pair_chunk=512,
+                )
+            else:
+                logits = ce_obj.rerank_tokens(
+                    ce_params, ce_ids, ce_mask, d_ids, d_msk, pair_chunk=512
+                )
             out = rerank_head_merge(fused, head_ids, logits)
             return out.ids, out.scores
 
         return jax.jit(hybrid_rerank)
 
-    def time_rerank(ce_obj, label):
-        rerank_jit = make_rerank(ce_obj)
+    def time_rerank(ce_obj, label, cascade=None):
+        rerank_jit = make_rerank(ce_obj, cascade)
         r_args = (args, ce.params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask)
         t0 = time.perf_counter()
         fetch(rerank_jit(*r_args))
@@ -289,6 +295,10 @@ def main():
 
     ce_b = CrossEncoder(_cfg_replace(cfg, attention_impl="einsum_bf16"), max_length=256)
     dt_rr_b = time_rerank(ce_b, "einsum_bf16")
+    # cascade: 64-token prefilter over all 100 candidates, full-width
+    # rescore of the top 25 — FLOPs ~(64/220 + 25/100) ≈ 0.54 of flat
+    CASCADE = (25, 64)
+    dt_rr_c = time_rerank(ce_b, "einsum_bf16+cascade", cascade=CASCADE)
 
     # length-bucketed rerank (serving: HybridSearcher(rerank_buckets=...)):
     # each pair padded to its doc's bucket width, not the corpus max — the
@@ -426,6 +436,11 @@ def main():
                 ),
                 "ms_per_batch_rerank_bucketed_raw": round(dt_rr_bk_raw * 1000, 2),
                 "q_per_s_with_rerank_bucketed": round(B / dt_rr_bk, 2),
+                "ms_per_batch_rerank_stage_bf16attn_cascade": round(
+                    (dt_rr_c - dt) * 1000, 2
+                ),
+                "q_per_s_with_rerank_cascade": round(B / dt_rr_c, 2),
+                "cascade_keep_stage1": list(CASCADE),
                 "buckets": list(BUCKETS),
                 "doc_len_mix": "uniform 40-220 tokens",
             },
