@@ -211,6 +211,7 @@ class ShardedHybridSearcher(HybridSearcher):
             rerank_depth=searcher.rerank_depth,
             ce_query_length=searcher.ce_query_length,
             rerank_chunk=searcher.rerank_chunk,
+            rerank_cascade=searcher.rerank_cascade,
             fusion_method=searcher.fusion_method,
             normalization=searcher.normalization,
             percentile_distributions=searcher.percentile_distributions,
@@ -611,10 +612,18 @@ class ShardedHybridSearcher(HybridSearcher):
                 sl = lambda x: jax.lax.dynamic_slice_in_dim(  # noqa: E731
                     x, shard_idx * rows, rows, axis=0
                 )
-                logits_local = ce.rerank_tokens(
-                    arrs[-1], sl(ce_ids), sl(ce_mask), sl(d_ids_p), sl(d_msk_p),
-                    pair_chunk=self.rerank_chunk,
-                )
+                if self.rerank_cascade is not None:
+                    logits_local = ce.rerank_tokens_cascade(
+                        arrs[-1], sl(ce_ids), sl(ce_mask), sl(d_ids_p), sl(d_msk_p),
+                        keep=int(self.rerank_cascade[0]),
+                        stage1_tokens=int(self.rerank_cascade[1]),
+                        pair_chunk=self.rerank_chunk,
+                    )
+                else:
+                    logits_local = ce.rerank_tokens(
+                        arrs[-1], sl(ce_ids), sl(ce_mask), sl(d_ids_p), sl(d_msk_p),
+                        pair_chunk=self.rerank_chunk,
+                    )
                 logits = jax.lax.all_gather(logits_local, INDEX_AXIS)
                 logits = logits.reshape(rows * n_shards, kr)[:q]
                 fused = rerank_head_merge(fused, head_ids, logits)

@@ -225,3 +225,41 @@ def test_search_systems_unsupported_on_sharded(models):
     sharded = ShardedHybridSearcher.from_searcher(single, mesh)
     with pytest.raises(ValueError, match="search_systems"):
         sharded.search_systems(QUERIES, batch_size=4, use_pallas=False)
+
+
+def test_sharded_rerank_cascade_matches_single(models):
+    """Cascade rerank inside the sharded mesh program: degenerate settings
+    equal the sharded flat rerank; a real cut matches the single-device
+    cascade searcher (same keep/stage-1 → same program, just sharded)."""
+    dense, _, _, ce = models
+    mesh = make_mesh(data=1, model=1, index=len(jax.devices()))
+    common = dict(
+        dense_model=dense, cross_encoder=ce, rerank_depth=4,
+        batch_size=4, topk=8, int8_corpus=True,
+    )
+    flat = HybridSearcher.build(CORPUS, **common)
+    casc = HybridSearcher.build(CORPUS, rerank_cascade=(2, 8), **common)
+
+    sh_flat = ShardedHybridSearcher.from_searcher(flat, mesh)
+    degen = HybridSearcher.build(CORPUS, rerank_cascade=(4, 4096), **common)
+    sh_degen = ShardedHybridSearcher.from_searcher(degen, mesh)
+    assert sh_degen.rerank_cascade == (4, 4096)
+    r_flat, _ = sh_flat.search(QUERIES, batch_size=4, use_pallas=False)
+    r_degen, _ = sh_degen.search(QUERIES, batch_size=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(r_flat.ids), np.asarray(r_degen.ids))
+
+    sh_casc = ShardedHybridSearcher.from_searcher(casc, mesh)
+    r_single, _ = casc.search(QUERIES, batch_size=4, use_pallas=False)
+    r_multi, _ = sh_casc.search(QUERIES, batch_size=4, use_pallas=False)
+    s_ids, m_ids = np.asarray(r_single.ids), np.asarray(r_multi.ids)
+    s_sc, m_sc = np.asarray(r_single.scores), np.asarray(r_multi.scores)
+    for qi in range(len(QUERIES)):
+        assert m_ids[qi, 0] == s_ids[qi, 0]
+        # reranked head agrees; the tail beyond rerank depth may differ at
+        # exactly-tied fused scores (single vs sharded top-k tie-breaking
+        # on this tiny duplicate-word corpus)
+        assert set(m_ids[qi, :4]) == set(s_ids[qi, :4])
+        row = m_sc[qi][np.isfinite(m_sc[qi])]
+        assert np.all(np.diff(row) <= 1e-6)
+        agree = (s_ids[qi] == m_ids[qi]) & np.isfinite(s_sc[qi]) & np.isfinite(m_sc[qi])
+        np.testing.assert_allclose(s_sc[qi][agree], m_sc[qi][agree], rtol=2e-3, atol=2e-4)
