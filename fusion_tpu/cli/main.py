@@ -374,17 +374,37 @@ def cmd_colbert(args):
         print(json.dumps({"searched": len(queries)}))
 
 
+def _load_crossencoder(path: str):
+    """Load a cross-encoder checkpoint of either backbone (BERT-style or
+    T5 — the reference's CrossEncoderCustom dispatches on the checkpoint
+    type the same way, sentence_transformers.py:525-534)."""
+    from fusion_tpu.models.crossencoder import CONFIG_FILENAME, CrossEncoder
+
+    with open(os.path.join(path, CONFIG_FILENAME)) as f:
+        mtype = json.load(f).get("model_type")
+    if mtype == "t5_crossencoder":
+        from fusion_tpu.models.t5 import T5CrossEncoder
+
+        return T5CrossEncoder.load(path)
+    return CrossEncoder.load(path)
+
+
 def cmd_monobert(args):
     from fusion_tpu.cli.presets import train_preset
     from fusion_tpu.models.crossencoder import CrossEncoder
 
     preset = train_preset("monobert", args.dataset)
     cfg = _encoder_config(args)
-    model = (
-        CrossEncoder.load(args.model_path)
-        if args.model_path
-        else CrossEncoder(cfg, max_length=32 if args.tiny else preset.max_doc_length, seed=args.seed)
-    )
+    max_len = 32 if args.tiny else preset.max_doc_length
+    if args.model_path:
+        model = _load_crossencoder(args.model_path)
+    elif getattr(args, "backbone", "bert") == "t5":
+        from fusion_tpu.models.t5 import T5Config, T5CrossEncoder
+
+        t5cfg = T5Config.tiny() if args.tiny else T5Config(vocab_size=cfg.vocab_size)
+        model = T5CrossEncoder(t5cfg, max_length=max_len, seed=args.seed)
+    else:
+        model = CrossEncoder(cfg, max_length=max_len, seed=args.seed)
     loader = _load_lleqa(args)
     data = loader.load()
 
@@ -533,7 +553,7 @@ def cmd_hybrid(args):
     )
 
     if args.run_monobert:
-        ce = CrossEncoder.load(args.monobert_path) if args.monobert_path else CrossEncoder(
+        ce = _load_crossencoder(args.monobert_path) if args.monobert_path else CrossEncoder(
             cfg, max_length=32 if args.tiny else 256
         )
         depth = min(args.rerank_depth, topk)
@@ -566,7 +586,7 @@ def cmd_serve(args):
               else BiEncoder(cfg, head="splade", **lengths)) if args.run_splade else None
     colbert = (ColBERT.load(args.colbert_path) if args.colbert_path
                else ColBERT(cfg, dim=16 if args.tiny else 128, **lengths)) if args.run_colbert else None
-    ce = (CrossEncoder.load(args.monobert_path) if args.monobert_path
+    ce = (_load_crossencoder(args.monobert_path) if args.monobert_path
           else CrossEncoder(cfg, max_length=32 if args.tiny else 256)) if args.run_monobert else None
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -720,6 +740,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--task", default="test", choices=["train", "test"])
     sp.add_argument("--neg_per_pos", type=int, default=4)
+    sp.add_argument("--backbone", default="bert", choices=["bert", "t5"],
+                    help="cross-encoder trunk; t5 builds a monoT5-style "
+                         "encoder-classifier (reference "
+                         "sentence_transformers.py:525-534)")
     sp.set_defaults(fn=cmd_monobert)
 
     sp = sub.add_parser("hybrid")

@@ -38,75 +38,20 @@ class CrossEncoderModule(nn.Module):
         return CrossEncoderHead(self.cfg, name="head")(hidden)
 
 
-class CrossEncoder:
-    def __init__(
-        self,
-        cfg: EncoderConfig,
-        params: Any = None,
-        tokenizer=None,
-        max_length: int = 256,
-        seed: int = 42,
-    ):
-        self.cfg = cfg
-        self.max_length = max_length
-        self.module = CrossEncoderModule(cfg)
-        if params is None:
-            dummy = jnp.ones((1, 4), dtype=jnp.int32)
-            params = self.module.init(
-                jax.random.PRNGKey(seed), dummy, jnp.ones((1, 4), jnp.int32), deterministic=True
-            )
-        self.params = params
-        self.tokenizer = tokenizer or WordHashTokenizer(vocab_size=cfg.vocab_size)
-        self._score_jit = None
+class PairRerankMixin:
+    """Device-resident (query, doc) pair rerank machinery, shared by
+    cross-encoder backbones (BERT-style ``CrossEncoder``, T5-style
+    ``T5CrossEncoder``).
 
-    # functional forward for training steps
-    def score_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):
-        return self.module.apply(
-            params, input_ids, attention_mask, deterministic=not train, rngs=rngs
-        )
+    A subclass provides ``score_tokens(params, ids, mask, train=...)``,
+    ``predict``, and the attributes ``cfg`` (with ``vocab_size``),
+    ``max_length``, ``tokenizer``, ``params``; it may override
+    ``_pair_layout`` (default: ``[CLS | q | SEP | d]``) and
+    ``PAIR_SPECIALS`` (how many special-token slots that layout inserts —
+    used for MXU lane alignment of the pair sequence)."""
 
-    def _encode_pairs(self, queries: Sequence[str], docs: Sequence[str]):
-        if hasattr(self.tokenizer, "pair"):
-            return self.tokenizer.pair(queries, docs, self.max_length)
-        return pair_encode_simple(self.tokenizer, queries, docs, self.max_length)
+    PAIR_SPECIALS = 2
 
-    def _get_score_fn(self):
-        if self._score_jit is None:
-            self._score_jit = jax.jit(
-                lambda params, ids, mask: self.score_tokens(params, ids, mask, train=False)
-            )
-        return self._score_jit
-
-    def predict(
-        self, pairs: Sequence[tuple[str, str]], batch_size: int = 64, apply_sigmoid: bool = True
-    ) -> np.ndarray:
-        """Relevance scores for (query, doc) pairs."""
-        fn = self._get_score_fn()
-        out = []
-        for start in range(0, len(pairs), batch_size):
-            chunk = list(pairs[start : start + batch_size])
-            real = len(chunk)
-            while len(chunk) < batch_size and len(pairs) > batch_size:
-                chunk.append(("", ""))
-            ids, mask = self._encode_pairs([q for q, _ in chunk], [d for _, d in chunk])
-            logits = np.asarray(fn(self.params, jnp.asarray(ids), jnp.asarray(mask)))[:real]
-            out.append(logits)
-        logits = np.concatenate(out, axis=0) if out else np.zeros(0, np.float32)
-        if apply_sigmoid:
-            return 1.0 / (1.0 + np.exp(-logits))
-        return logits
-
-    def rank(
-        self, query: str, documents: Sequence[str], top_k: int | None = None, batch_size: int = 64
-    ) -> list[dict]:
-        """Rerank one query's candidates (reference CrossEncoder.rank API)."""
-        scores = self.predict([(query, d) for d in documents], batch_size=batch_size)
-        order = np.argsort(-scores, kind="stable")[: top_k or len(documents)]
-        return [{"corpus_id": int(i), "score": float(scores[i])} for i in order]
-
-    # ------------------------------------------------------------------
-    # device-resident rerank path (serving)
-    # ------------------------------------------------------------------
     def prepare_corpus_tokens(
         self,
         documents: Sequence[str],
@@ -210,7 +155,7 @@ class CrossEncoder:
         # measurably SLOWER in absolute terms than the next multiple on a
         # v5e (254 -> 1721 ms vs 256 -> 1370 ms at 3072 pairs; see
         # aligned_buckets); pad slots carry attention 0, scores are exact
-        pad = -(2 + lq + ld) % 128
+        pad = -(self.PAIR_SPECIALS + lq + ld) % 128
         if pad:
             d_ids = jnp.pad(d_ids, ((0, 0), (0, pad)))
             d_msk = jnp.pad(d_msk, ((0, 0), (0, pad)))
@@ -272,10 +217,10 @@ class CrossEncoder:
         18, 20, 22, 25, 28, 32, 36, 40, 45, 51, 57, 64, 72, 81, 91, 102, 114, 128,
     )
 
-    @staticmethod
-    def aligned_buckets(lq: int, ld_full: int, align: int = 128) -> tuple:
+    @classmethod
+    def aligned_buckets(cls, lq: int, ld_full: int, align: int = 128) -> tuple:
         """Doc-width ladder whose PAIR sequence lengths land on ``align``
-        multiples (pair seq = 2 specials + lq + ld).  Measured on a v5e
+        multiples (pair seq = PAIR_SPECIALS + lq + ld).  Measured on a v5e
         (scripts/probe_rerank_width.py): per-pair cost is NOT monotone in
         width — seq 256 runs 25% FASTER than seq 254 in absolute terms
         (1370 vs 1721 ms at 3072 pairs), so the last bucket rounds UP past
@@ -284,7 +229,7 @@ class CrossEncoder:
         ladder = []
         k = 1
         while True:
-            ld = align * k - (lq + 2)
+            ld = align * k - (lq + cls.PAIR_SPECIALS)
             if ld > 0:
                 ladder.append(ld)
             if ld >= ld_full:
@@ -436,6 +381,73 @@ class CrossEncoder:
         remapped = np.take_along_axis(ids, np.clip(pos, 0, k - 1), axis=1)
         remapped = np.where(pos < 0, -1, remapped)
         return RankedLists(ids=jnp.asarray(remapped), scores=ranked.scores)
+
+
+class CrossEncoder(PairRerankMixin):
+    def __init__(
+        self,
+        cfg: EncoderConfig,
+        params: Any = None,
+        tokenizer=None,
+        max_length: int = 256,
+        seed: int = 42,
+    ):
+        self.cfg = cfg
+        self.max_length = max_length
+        self.module = CrossEncoderModule(cfg)
+        if params is None:
+            dummy = jnp.ones((1, 4), dtype=jnp.int32)
+            params = self.module.init(
+                jax.random.PRNGKey(seed), dummy, jnp.ones((1, 4), jnp.int32), deterministic=True
+            )
+        self.params = params
+        self.tokenizer = tokenizer or WordHashTokenizer(vocab_size=cfg.vocab_size)
+        self._score_jit = None
+
+    # functional forward for training steps
+    def score_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):
+        return self.module.apply(
+            params, input_ids, attention_mask, deterministic=not train, rngs=rngs
+        )
+
+    def _encode_pairs(self, queries: Sequence[str], docs: Sequence[str]):
+        if hasattr(self.tokenizer, "pair"):
+            return self.tokenizer.pair(queries, docs, self.max_length)
+        return pair_encode_simple(self.tokenizer, queries, docs, self.max_length)
+
+    def _get_score_fn(self):
+        if self._score_jit is None:
+            self._score_jit = jax.jit(
+                lambda params, ids, mask: self.score_tokens(params, ids, mask, train=False)
+            )
+        return self._score_jit
+
+    def predict(
+        self, pairs: Sequence[tuple[str, str]], batch_size: int = 64, apply_sigmoid: bool = True
+    ) -> np.ndarray:
+        """Relevance scores for (query, doc) pairs."""
+        fn = self._get_score_fn()
+        out = []
+        for start in range(0, len(pairs), batch_size):
+            chunk = list(pairs[start : start + batch_size])
+            real = len(chunk)
+            while len(chunk) < batch_size and len(pairs) > batch_size:
+                chunk.append(("", ""))
+            ids, mask = self._encode_pairs([q for q, _ in chunk], [d for _, d in chunk])
+            logits = np.asarray(fn(self.params, jnp.asarray(ids), jnp.asarray(mask)))[:real]
+            out.append(logits)
+        logits = np.concatenate(out, axis=0) if out else np.zeros(0, np.float32)
+        if apply_sigmoid:
+            return 1.0 / (1.0 + np.exp(-logits))
+        return logits
+
+    def rank(
+        self, query: str, documents: Sequence[str], top_k: int | None = None, batch_size: int = 64
+    ) -> list[dict]:
+        """Rerank one query's candidates (reference CrossEncoder.rank API)."""
+        scores = self.predict([(query, d) for d in documents], batch_size=batch_size)
+        order = np.argsort(-scores, kind="stable")[: top_k or len(documents)]
+        return [{"corpus_id": int(i), "score": float(scores[i])} for i in order]
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

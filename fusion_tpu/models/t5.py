@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fusion_tpu.models.crossencoder import PairRerankMixin
+
 
 @dataclasses.dataclass(frozen=True)
 class T5Config:
@@ -192,13 +194,37 @@ def mt5_config(**kw) -> T5Config:
     return T5Config(**kw)
 
 
-class T5CrossEncoder:
+class T5CrossEncoder(PairRerankMixin):
     """monoT5-style pointwise reranker over (query, doc) pairs.
 
     Drop-in alternative backbone for the cross-encoder stage (the reference
     constructs T5EncoderForSequenceClassification inside CrossEncoderCustom
     when given a T5/mT5 checkpoint, sentence_transformers.py:525-534).
+    Inherits the device-resident rerank surface (``rerank_tokens``,
+    cascade/bucketed variants, ``prepare_corpus_tokens``), so it serves as
+    ``HybridSearcher(cross_encoder=...)`` exactly like the BERT-style
+    ``CrossEncoder``; the pair layout is T5's ``[q | EOS | d]`` (no CLS —
+    relative position bias needs no position ids, mid-sequence pads carry
+    attention 0).
     """
+
+    PAIR_SPECIALS = 1
+
+    def _pair_layout(self, q_ids, q_mask, d_ids, d_msk):
+        n = q_ids.shape[0]
+        tok = self.tokenizer
+        sep = getattr(tok, "sep_token_id", None)
+        if sep is None:
+            sep = getattr(tok, "eos_token_id", 1)
+        sep_col = jnp.full((n, 1), sep, jnp.int32)
+        ones = jnp.ones((n, 1), jnp.int32)
+        ids = jnp.concatenate(
+            [q_ids.astype(jnp.int32), sep_col, d_ids.astype(jnp.int32)], axis=-1
+        )
+        mask = jnp.concatenate(
+            [q_mask.astype(jnp.int32), ones, d_msk.astype(jnp.int32)], axis=-1
+        )
+        return jnp.where(mask > 0, ids, tok.pad_token_id), mask
 
     def __init__(self, cfg: T5Config, params=None, tokenizer=None, max_length: int = 256, seed: int = 0):
         from fusion_tpu.data.tokenization import WordHashTokenizer
@@ -213,8 +239,10 @@ class T5CrossEncoder:
         self.tokenizer = tokenizer or WordHashTokenizer(vocab_size=cfg.vocab_size)
         self._score_jit = None
 
-    def score_tokens(self, params, input_ids, attention_mask, train: bool = False):
-        logits = self.module.apply(params, input_ids, attention_mask, deterministic=not train)
+    def score_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):
+        logits = self.module.apply(
+            params, input_ids, attention_mask, deterministic=not train, rngs=rngs
+        )
         return logits[..., 0]
 
     def predict(self, pairs, batch_size: int = 64, apply_sigmoid: bool = True):
@@ -237,6 +265,56 @@ class T5CrossEncoder:
             out.append(logits)
         logits = np.concatenate(out) if out else np.zeros(0, np.float32)
         return 1.0 / (1.0 + np.exp(-logits)) if apply_sigmoid else logits
+
+    # -- persistence (mirrors CrossEncoder.save/load) -------------------
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        from flax import serialization
+
+        import fusion_tpu
+        from fusion_tpu.data import tokenization
+
+        os.makedirs(path, exist_ok=True)
+        config = {
+            "model_type": "t5_crossencoder",
+            "max_length": self.max_length,
+            "tokenizer": tokenization.tokenizer_config(self.tokenizer),
+            "encoder": {
+                k: v for k, v in dataclasses.asdict(self.cfg).items() if k != "dtype"
+            },
+            "__version__": {"fusion_tpu": fusion_tpu.__version__, "jax": jax.__version__},
+        }
+        with open(os.path.join(path, "config_fusion_tpu.json"), "w") as f:
+            json.dump(config, f, indent=2)
+        with open(os.path.join(path, "params.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(self.params))
+
+    @classmethod
+    def load(cls, path: str, tokenizer=None) -> "T5CrossEncoder":
+        import json
+        import os
+
+        from fusion_tpu.data import tokenization
+        from fusion_tpu.models.encoder import restore_params_bytes
+
+        with open(os.path.join(path, "config_fusion_tpu.json")) as f:
+            config = json.load(f)
+        if config.get("model_type") != "t5_crossencoder":
+            raise ValueError(
+                f"{path} holds a {config.get('model_type')!r} checkpoint, "
+                "not a t5_crossencoder (use CrossEncoder.load)"
+            )
+        if tokenizer is None:
+            tokenizer = tokenization.tokenizer_from_config(config.get("tokenizer"))
+        model = cls(
+            T5Config(**config["encoder"]), tokenizer=tokenizer,
+            max_length=config["max_length"],
+        )
+        with open(os.path.join(path, "params.msgpack"), "rb") as f:
+            model.params = restore_params_bytes(model.params, f.read())
+        return model
 
 
 def load_hf_t5_encoder_params(model_name_or_path: str, pooling_mode: str = "mean", num_labels: int = 1):

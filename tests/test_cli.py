@@ -205,3 +205,14 @@ def test_cli_serve_scale_mode(tmp_path, fixture_path):
          "--run_bm25", "--split", "dev"], tmp_path, fixture_path)
     rows = open(tmp_path / "serve_ranking.tsv").read().splitlines()
     assert rows
+
+
+def test_cli_monobert_t5_backbone(tmp_path, fixture_path):
+    """--backbone t5 trains/saves a T5 cross-encoder; test reloads it by
+    checkpoint type (reference dispatches T5/mT5 the same way)."""
+    run(["monobert", "--task", "train", "--steps", "2", "--backbone", "t5"],
+        tmp_path, fixture_path)
+    cfg = json.load(open(tmp_path / "final" / "config_fusion_tpu.json"))
+    assert cfg["model_type"] == "t5_crossencoder"
+    run(["monobert", "--task", "test", "--model_path", str(tmp_path / "final")],
+        tmp_path, fixture_path)

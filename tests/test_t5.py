@@ -111,3 +111,69 @@ def test_t5_crossencoder_predict_and_train(rng):
         params, opt_state, loss = step(params, opt_state)
         history.append(float(loss))
     assert history[-1] < history[0]
+
+
+def test_t5_device_rerank_surface():
+    """T5CrossEncoder inherits the device-resident rerank machinery
+    (PairRerankMixin): chunk invariance, cascade degenerate equality, and
+    the bucketed path matching full width under the T5 [q | EOS | d]
+    layout (relative positions — pad slots carry attention 0)."""
+    ce = T5CrossEncoder(T5Config.tiny(), max_length=64)
+    docs = [f"doc sujet{i} mots w{i} w{i+1} contenu" for i in range(10)] + ["un"]
+    queries = ["sujet3 w3", "w7 contenu", "sujet9"]
+    d_ids, d_mask, d_lens = ce.prepare_corpus_tokens(
+        docs, max_doc_tokens=12, return_lens=True
+    )
+    q_ids, q_mask = ce.encode_queries_raw(queries, max_query_tokens=4)
+    q_ids, q_mask = jnp.asarray(q_ids), jnp.asarray(q_mask)
+    cand = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 0]], jnp.int32)
+    di, dm = jnp.asarray(d_ids)[cand].astype(jnp.int32), jnp.asarray(d_mask)[cand].astype(jnp.int32)
+
+    one = ce.rerank_tokens(ce.params, q_ids, q_mask, di, dm, pair_chunk=64)
+    chunked = ce.rerank_tokens(ce.params, q_ids, q_mask, di, dm, pair_chunk=2)
+    np.testing.assert_allclose(
+        np.asarray(one), np.asarray(chunked), rtol=2e-5, atol=2e-5
+    )
+
+    degen = ce.rerank_tokens_cascade(
+        ce.params, q_ids, q_mask, di, dm, keep=8, stage1_tokens=64, pair_chunk=4
+    )
+    np.testing.assert_array_equal(np.asarray(degen), np.asarray(one))
+
+    head = np.asarray(cand, np.int32)
+    bucketed = ce.rerank_tokens_bucketed(
+        ce.params, q_ids, q_mask, jnp.asarray(d_ids), jnp.asarray(d_mask),
+        head, d_lens, buckets=(4, 8, 12), pair_chunk=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bucketed), np.asarray(one), rtol=2e-5, atol=2e-5
+    )
+    # T5 ladder aligns pair seq with ONE special slot
+    assert (T5CrossEncoder.aligned_buckets(4, 12)[0] + 4 + 1) % 128 == 0
+
+
+def test_t5_serves_as_hybrid_cross_encoder():
+    """HybridSearcher accepts a T5 backbone for the rerank stage (reference
+    CrossEncoderCustom handles T5/mT5, sentence_transformers.py:525-534)."""
+    from fusion_tpu.models.biencoder import BiEncoder
+    from fusion_tpu.models.encoder import EncoderConfig
+    from fusion_tpu.serving import HybridSearcher
+
+    corpus = {i: f"texte sujet{i} mots w{i} w{i+1}" for i in range(20)}
+    dense = BiEncoder(EncoderConfig.tiny(vocab_size=512), head="dense")
+    ce = T5CrossEncoder(T5Config.tiny(), max_length=48)
+    plain = HybridSearcher.build(corpus, dense_model=dense, batch_size=4, topk=8)
+    rr = HybridSearcher.build(
+        corpus, dense_model=dense, cross_encoder=ce, rerank_depth=4,
+        batch_size=4, topk=8,
+    )
+    assert rr.active_systems == ["dpr", "monobert"]
+    base, _ = plain.search(list(corpus.values())[:3], batch_size=4, use_pallas=False)
+    got, _ = rr.search(list(corpus.values())[:3], batch_size=4, use_pallas=False)
+    b_ids, g_ids = np.asarray(base.ids), np.asarray(got.ids)
+    g_sc = np.asarray(got.scores)
+    for qi in range(3):
+        assert set(g_ids[qi, :4]) == set(b_ids[qi, :4])  # head is a permutation
+        np.testing.assert_array_equal(g_ids[qi, 4:], b_ids[qi, 4:])
+        row = g_sc[qi][np.isfinite(g_sc[qi])]
+        assert np.all(np.diff(row) <= 1e-6)
