@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--splade_impl", default="scatter", choices=["impact", "scatter"])
     ap.add_argument("--ce_attention", default="einsum",
                     choices=["einsum", "einsum_bf16", "flash"])
+    ap.add_argument("--rerank_cascade", type=int, nargs=2, default=(25, 64),
+                    metavar=("KEEP", "STAGE1_TOKENS"),
+                    help="also time the two-stage cascade rerank at these "
+                         "settings (0 0 to skip)")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
     args = ap.parse_args()
@@ -273,6 +277,15 @@ def main():
 
     dt_hybrid = run(0, "sharded hybrid, 4 legs + fusion")
     dt_rerank = run(args.rerank_depth, "sharded hybrid + rerank") if args.rerank_depth else None
+    dt_cascade = None
+    if args.rerank_depth and args.rerank_cascade and args.rerank_cascade[0] > 0:
+        searcher.rerank_cascade = tuple(args.rerank_cascade)
+        dt_cascade = run(
+            args.rerank_depth,
+            f"sharded hybrid + cascade rerank keep={args.rerank_cascade[0]} "
+            f"stage1={args.rerank_cascade[1]}",
+        )
+        searcher.rerank_cascade = None
 
     detail = {
         "corpus_docs": N, "shards": S, "docs_per_shard": per, "batch": B,
@@ -305,6 +318,16 @@ def main():
             ),
             "est_pod_q_per_s_with_rerank": round(
                 B / ((dt_hybrid + rerank_only / S) + detail["ici_estimate_ms"] / 1000), 1
+            ),
+        })
+    if dt_cascade is not None:
+        cascade_only = dt_cascade - dt_hybrid
+        detail.update({
+            "rerank_cascade_keep_stage1": list(args.rerank_cascade),
+            "ms_per_batch_with_cascade_rerank_S1": round(dt_cascade * 1000, 2),
+            "cascade_rerank_stage_ms_S1": round(cascade_only * 1000, 2),
+            "est_pod_q_per_s_with_cascade_rerank": round(
+                B / ((dt_hybrid + cascade_only / S) + detail["ici_estimate_ms"] / 1000), 1
             ),
         })
 

@@ -189,11 +189,13 @@ class PairRerankMixin:
         q, k, ld = doc_ids.shape
         keep = max(1, min(keep, k))
         w1 = min(stage1_tokens, ld)
+        if keep >= k or w1 >= ld:
+            # degenerate settings: a full-width stage (either one) already
+            # scores every candidate exactly — one flat pass, no cascade
+            return self.rerank_tokens(params, q_ids, q_mask, doc_ids, doc_mask, pair_chunk)
         s1 = self.rerank_tokens(
             params, q_ids, q_mask, doc_ids[:, :, :w1], doc_mask[:, :, :w1], pair_chunk
         )
-        if keep >= k and w1 >= ld:
-            return s1
         _, idx = jax.lax.top_k(s1, keep)  # [Q, keep]
         d2 = jnp.take_along_axis(doc_ids, idx[..., None], axis=1)
         m2 = jnp.take_along_axis(doc_mask, idx[..., None], axis=1)
