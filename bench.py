@@ -299,6 +299,13 @@ def main():
     # rescore of the top 25 — FLOPs ~(64/220 + 25/100) ≈ 0.54 of flat
     CASCADE = (25, 64)
     dt_rr_c = time_rerank(ce_b, "einsum_bf16+cascade", cascade=CASCADE)
+    # int8 trunk matmuls (2× MXU throughput; quality study:
+    # scripts/cascade_study.py --int8) — same params, serving-speed view
+    ce_i8 = CrossEncoder(
+        _cfg_replace(cfg, attention_impl="einsum_bf16", quantize="int8"),
+        max_length=256,
+    )
+    dt_rr_i8 = time_rerank(ce_i8, "einsum_bf16+int8")
 
     # length-bucketed rerank (serving: HybridSearcher(rerank_buckets=...)):
     # each pair padded to its doc's bucket width, not the corpus max — the
@@ -441,6 +448,8 @@ def main():
                 ),
                 "q_per_s_with_rerank_cascade": round(B / dt_rr_c, 2),
                 "cascade_keep_stage1": list(CASCADE),
+                "ms_per_batch_rerank_stage_int8": round((dt_rr_i8 - dt) * 1000, 2),
+                "q_per_s_with_rerank_int8": round(B / dt_rr_i8, 2),
                 "buckets": list(BUCKETS),
                 "doc_len_mix": "uniform 40-220 tokens",
             },

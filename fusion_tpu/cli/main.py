@@ -588,6 +588,10 @@ def cmd_serve(args):
                else ColBERT(cfg, dim=16 if args.tiny else 128, **lengths)) if args.run_colbert else None
     ce = (_load_crossencoder(args.monobert_path) if args.monobert_path
           else CrossEncoder(cfg, max_length=32 if args.tiny else 256)) if args.run_monobert else None
+    if ce is not None and getattr(args, "ce_int8", False):
+        if not hasattr(ce, "quantized"):
+            raise SystemExit("--ce_int8 requires a BERT-style cross-encoder checkpoint")
+        ce = ce.quantized()
 
     os.makedirs(args.output_dir, exist_ok=True)
     if args.task == "build":
@@ -836,6 +840,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="two-stage in-program rerank: score all candidates "
                          "with docs truncated to STAGE1_TOKENS, rescore the "
                          "top KEEP at full width (measure quality first)")
+    sp.add_argument("--ce_int8", action="store_true",
+                    help="serve the rerank stage with dynamic int8 trunk "
+                         "matmuls (2x MXU throughput; measure quality "
+                         "first: scripts/cascade_study.py --int8)")
     sp.set_defaults(fn=cmd_serve)
     return p
 

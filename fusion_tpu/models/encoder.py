@@ -58,6 +58,16 @@ class EncoderConfig:
     # probs at bs 1024 × L 256 are 3.2 GB of recompute traffic PER LAYER).
     # Requires dropout == 0 in training mode and L a multiple of 128.
     attention_impl: str = "einsum"
+    # None: bf16/f32 MXU matmuls.  'int8': SERVING-ONLY dynamic symmetric
+    # int8 quantization of every trunk dense matmul (qkv/out/ffn) — per-row
+    # activation + per-column weight absmax scales computed inside the
+    # program, int8×int8 MXU dot (2× bf16 throughput on v5e) with i32
+    # accumulation, f32 rescale.  Params stay f32/bf16 (quantization is in
+    # the forward), so any checkpoint serves either way.  round() has zero
+    # gradient — do NOT train with this set; use it via
+    # `dataclasses.replace(cfg, quantize='int8')` at serving time and
+    # measure ranking quality first (scripts/cascade_study.py --int8).
+    quantize: str | None = None
 
     @classmethod
     def tiny(cls, vocab_size: int = 128, **kw) -> "EncoderConfig":
@@ -85,6 +95,46 @@ def roberta_position_ids(input_ids: jax.Array, pad_token_id: int) -> jax.Array:
     """Positions count non-pad tokens, offset past the pad index."""
     mask = (input_ids != pad_token_id).astype(jnp.int32)
     return jnp.cumsum(mask, axis=-1) * mask + pad_token_id
+
+
+def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                     preferred_element_type=None):
+    """Drop-in ``lax.dot_general`` with dynamic symmetric int8 quantization.
+
+    Per-row (all contracting dims reduced) absmax scales for both operands,
+    int8×int8 dot with i32 accumulation — the v5e MXU's 2×-throughput
+    path — then an f32 rescale.  Inference-only: ``round`` has zero
+    gradient.  Assumes no batch dims (true for nn.Dense/DenseGeneral)."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    assert not lb and not rb, "int8_dot_general: batch dims unsupported"
+    lc = tuple(d % lhs.ndim for d in lc)
+    rc = tuple(d % rhs.ndim for d in rc)
+    ls = jnp.max(jnp.abs(lhs.astype(jnp.float32)), axis=lc, keepdims=True)
+    rs = jnp.max(jnp.abs(rhs.astype(jnp.float32)), axis=rc, keepdims=True)
+    ls = jnp.maximum(ls, 1e-12)
+    rs = jnp.maximum(rs, 1e-12)
+    lq = jnp.round(lhs.astype(jnp.float32) / ls * 127.0).astype(jnp.int8)
+    rq = jnp.round(rhs.astype(jnp.float32) / rs * 127.0).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        lq, rq, dimension_numbers, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    # output layout = lhs free dims then rhs free dims (no batch dims)
+    l_free = [d for d in range(lhs.ndim) if d not in lc]
+    r_free = [d for d in range(rhs.ndim) if d not in rc]
+    ls_out = jnp.squeeze(ls, axis=lc).reshape(
+        tuple(lhs.shape[d] for d in l_free) + (1,) * len(r_free)
+    )
+    rs_out = jnp.squeeze(rs, axis=rc)
+    out = out * (ls_out * rs_out / (127.0 * 127.0))
+    # keep the caller's dtype contract (flax promotes operands to
+    # module dtype before calling dot_general)
+    out = out.astype(preferred_element_type or lhs.dtype)
+    return out
+
+
+def _trunk_dot_general(cfg):
+    """dot_general for the trunk's dense layers (None = lax default)."""
+    return int8_dot_general if getattr(cfg, "quantize", None) == "int8" else None
 
 
 class Embeddings(nn.Module):
@@ -125,7 +175,8 @@ class SelfAttention(nn.Module):
         # larger MXU calls and one HBM read of x (the HF import stacks the
         # reference checkpoint's separate q/k/v weights on axis 1)
         qkv = nn.DenseGeneral(
-            features=(3, c.num_heads, head_dim), dtype=c.dtype, name="qkv"
+            features=(3, c.num_heads, head_dim), dtype=c.dtype, name="qkv",
+            dot_general=_trunk_dot_general(c),
         )(x)  # [B, L, 3, heads, hd]
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = 1.0 / math.sqrt(head_dim)
@@ -185,7 +236,10 @@ class SelfAttention(nn.Module):
             probs = jax.nn.softmax(logits + bias, axis=-1).astype(c.dtype)
             probs = nn.Dropout(c.dropout)(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        out = nn.DenseGeneral(c.hidden_size, axis=(-2, -1), dtype=c.dtype, name="out")(ctx)
+        out = nn.DenseGeneral(
+            c.hidden_size, axis=(-2, -1), dtype=c.dtype, name="out",
+            dot_general=_trunk_dot_general(c),
+        )(ctx)
         return out
 
 
@@ -200,9 +254,10 @@ class TransformerLayer(nn.Module):
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attn_ln")(
             x + attn
         ).astype(c.dtype)
-        h = nn.Dense(c.intermediate_size, dtype=c.dtype, name="ffn_in")(x)
+        dg = _trunk_dot_general(c)
+        h = nn.Dense(c.intermediate_size, dtype=c.dtype, name="ffn_in", dot_general=dg)(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="ffn_out")(h)
+        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="ffn_out", dot_general=dg)(h)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="ffn_ln")(
             x + h

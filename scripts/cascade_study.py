@@ -110,6 +110,10 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--write", action="store_true",
                     help="write CASCADE_STUDY_r03.json at the repo root")
+    ap.add_argument("--int8", action="store_true",
+                    help="also measure the int8-trunk serving path "
+                         "(CrossEncoder.quantized) against the f32 flat "
+                         "rerank on the trained model")
     args = ap.parse_args()
 
     import jax
@@ -188,6 +192,18 @@ def main():
     flat_m = gold_metrics(flat)
     print(f"# flat rerank: {json.dumps(flat_m['all'])}", file=sys.stderr)
 
+    int8_m = None
+    if args.int8:
+        ce8 = ce.quantized()
+        s8 = np.asarray(ce8.rerank_tokens(ce8.params, q_ids, q_mask, di, dm,
+                                          pair_chunk=256))
+        int8_m = gold_metrics(s8)
+        int8_m["score_corr_vs_f32"] = round(
+            float(np.corrcoef(flat.ravel(), s8.ravel())[0, 1]), 5
+        )
+        print(f"# int8 flat rerank: {json.dumps(int8_m['all'])} "
+              f"corr {int8_m['score_corr_vs_f32']}", file=sys.stderr)
+
     grid = []
     for stage1 in (8, 16, 24, LD):
         for keep in (4, 8, 16):
@@ -219,6 +235,7 @@ def main():
                      "planted-topic synthetic corpus",
         },
         "flat": flat_m,
+        "int8_flat": int8_m,
         "cascade_grid": grid,
         "reading": (
             "cascade matches flat wherever the planted evidence depth <= "

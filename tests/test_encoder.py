@@ -207,3 +207,40 @@ def test_einsum_bf16_attention_parity(rng):
 
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_int8_quantized_forward_close_to_f32():
+    """quantize='int8' (dynamic symmetric int8 trunk matmuls) tracks the
+    f32 forward closely on a tiny trunk: the serving-speed path must not
+    change hidden states beyond per-layer quantization noise."""
+    import dataclasses
+
+    from fusion_tpu.models.encoder import Encoder, init_encoder_params
+
+    cfg = EncoderConfig.tiny(vocab_size=256, hidden_size=64, num_heads=4,
+                             intermediate_size=128)
+    _, params = init_encoder_params(cfg, seed=0, with_mlm=False)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 250, size=(3, 16)).astype(np.int32))
+    mask = jnp.ones((3, 16), jnp.int32)
+    h = np.asarray(Encoder(cfg).apply(params, ids, mask))
+    h8 = np.asarray(
+        Encoder(dataclasses.replace(cfg, quantize="int8")).apply(params, ids, mask)
+    )
+    assert np.abs(h - h8).max() / np.abs(h).max() < 0.05
+    assert np.corrcoef(h.ravel(), h8.ravel())[0, 1] > 0.995
+
+
+def test_int8_crossencoder_rank_agreement():
+    """CrossEncoder.quantized(): same params, int8 trunk — pairwise scores
+    stay rank-consistent with the f32 model on well-separated pairs."""
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512, hidden_size=64,
+                                         intermediate_size=128), max_length=32)
+    ce8 = ce.quantized()
+    assert ce8.params is ce.params
+    pairs = [(f"query {i}", f"doc sujet {i} mots") for i in range(12)]
+    s = ce.predict(pairs, apply_sigmoid=False)
+    s8 = ce8.predict(pairs, apply_sigmoid=False)
+    assert np.corrcoef(s, s8)[0, 1] > 0.98
