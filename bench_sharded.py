@@ -286,6 +286,11 @@ def main():
             f"stage1={args.rerank_cascade[1]}",
         )
         searcher.rerank_cascade = None
+    dt_int8 = None
+    if args.rerank_depth:
+        searcher.cross_encoder = ce.quantized()
+        dt_int8 = run(args.rerank_depth, "sharded hybrid + int8 rerank")
+        searcher.cross_encoder = ce
 
     detail = {
         "corpus_docs": N, "shards": S, "docs_per_shard": per, "batch": B,
@@ -328,6 +333,15 @@ def main():
             "cascade_rerank_stage_ms_S1": round(cascade_only * 1000, 2),
             "est_pod_q_per_s_with_cascade_rerank": round(
                 B / ((dt_hybrid + cascade_only / S) + detail["ici_estimate_ms"] / 1000), 1
+            ),
+        })
+    if dt_int8 is not None:
+        int8_only = dt_int8 - dt_hybrid
+        detail.update({
+            "ms_per_batch_with_int8_rerank_S1": round(dt_int8 * 1000, 2),
+            "int8_rerank_stage_ms_S1": round(int8_only * 1000, 2),
+            "est_pod_q_per_s_with_int8_rerank": round(
+                B / ((dt_hybrid + int8_only / S) + detail["ici_estimate_ms"] / 1000), 1
             ),
         })
 
