@@ -301,11 +301,7 @@ def main():
     dt_rr_c = time_rerank(ce_b, "einsum_bf16+cascade", cascade=CASCADE)
     # int8 trunk matmuls (2× MXU throughput; quality study:
     # scripts/cascade_study.py --int8) — same params, serving-speed view
-    ce_i8 = CrossEncoder(
-        _cfg_replace(cfg, attention_impl="einsum_bf16", quantize="int8"),
-        max_length=256,
-    )
-    dt_rr_i8 = time_rerank(ce_i8, "einsum_bf16+int8")
+    dt_rr_i8 = time_rerank(ce_b.quantized(), "einsum_bf16+int8")
 
     # length-bucketed rerank (serving: HybridSearcher(rerank_buckets=...)):
     # each pair padded to its doc's bucket width, not the corpus max — the

@@ -196,7 +196,12 @@ class PairRerankMixin:
         s1 = self.rerank_tokens(
             params, q_ids, q_mask, doc_ids[:, :, :w1], doc_mask[:, :, :w1], pair_chunk
         )
-        _, idx = jax.lax.top_k(s1, keep)  # [Q, keep]
+        # keep slots must go to REAL candidates: pad slots (serving zeroes
+        # their doc_mask for head_ids < 0) score a query-only "empty doc"
+        # logit that could otherwise outrank weak real candidates and steal
+        # their full-width rescore
+        valid = doc_mask.sum(axis=-1) > 0  # [Q, K]
+        _, idx = jax.lax.top_k(jnp.where(valid, s1, -jnp.inf), keep)  # [Q, keep]
         d2 = jnp.take_along_axis(doc_ids, idx[..., None], axis=1)
         m2 = jnp.take_along_axis(doc_mask, idx[..., None], axis=1)
         s2 = self.rerank_tokens(params, q_ids, q_mask, d2, m2, pair_chunk)

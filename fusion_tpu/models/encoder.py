@@ -109,6 +109,8 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     assert not lb and not rb, "int8_dot_general: batch dims unsupported"
     lc = tuple(d % lhs.ndim for d in lc)
     rc = tuple(d % rhs.ndim for d in rc)
+    # forward the NORMALIZED dims (lax.dot_general rejects negatives)
+    dimension_numbers = ((lc, rc), (lb, rb))
     ls = jnp.max(jnp.abs(lhs.astype(jnp.float32)), axis=lc, keepdims=True)
     rs = jnp.max(jnp.abs(rhs.astype(jnp.float32)), axis=rc, keepdims=True)
     ls = jnp.maximum(ls, 1e-12)

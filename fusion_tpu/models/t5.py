@@ -96,8 +96,14 @@ class T5SelfAttention(nn.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
 
         if self.has_relative_bias:
-            pos = jnp.arange(t)
-            rel = pos[None, :] - pos[:, None]  # memory - query
+            # mask-aware positions: count attended slots, so mid-sequence
+            # pad runs (the device pair layout keeps the query's tail pads
+            # in place, PairRerankMixin._pair_layout) do NOT inflate
+            # q<->d relative distances.  For contiguous end-padded inputs
+            # this equals arange on every attended position, so HF parity
+            # and the host predict() path are unchanged.
+            pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1  # [B, T]
+            rel = pos[:, None, :] - pos[:, :, None]  # [B, T, T] memory - query
             buckets = relative_position_bucket(
                 rel, c.relative_attention_num_buckets, c.relative_attention_max_distance
             )
@@ -106,7 +112,7 @@ class T5SelfAttention(nn.Module):
                 nn.initializers.normal(1.0),
                 (c.relative_attention_num_buckets, c.num_heads),
             )
-            position_bias = bias_table[buckets].transpose(2, 0, 1)[None]  # [1, H, T, T]
+            position_bias = bias_table[buckets].transpose(0, 3, 1, 2)  # [B, H, T, T]
         if position_bias is not None:
             logits = logits + position_bias.astype(jnp.float32)
 

@@ -435,7 +435,17 @@ class HybridSearcher:
         dense_fused = self._dense_fused_active(use_pallas)
         if dense_fused:
             self._ensure_padded_dense()
-        key = (batch, use_pallas, self.rerank_buckets is None, dense_fused, systems_out)
+        if self.rerank_cascade is not None and self.rerank_buckets is not None:
+            raise ValueError(
+                "rerank_cascade and rerank_buckets are mutually exclusive "
+                "(the bucketed stage runs outside the device program and "
+                "would silently ignore the cascade) — configure one"
+            )
+        # cascade settings and the cross-encoder object identity are part
+        # of the compiled program (toggling either must not reuse a stale
+        # program — e.g. swapping in cross_encoder.quantized())
+        key = (batch, use_pallas, self.rerank_buckets is None, dense_fused,
+               systems_out, self.rerank_cascade, id(self.cross_encoder))
         if key in self._jitted:
             return self._jitted[key]
 

@@ -198,7 +198,11 @@ class ShardedHybridSearcher(HybridSearcher):
         dense/SPLADE → int8 or bf16 matrix shards, or the SPLADE impact
         index; ColBERT → compressed index + IVF (PLAID).  ``place=True``
         device_puts every shard array with its NamedSharding so the jitted
-        program never reshuffles the index."""
+        program never reshuffles the index.
+
+        ``rerank_cascade`` carries over; ``rerank_buckets`` does NOT (the
+        bucketed ladder is host-orchestrated and single-device only) — a
+        bucketed searcher shards to the flat in-program rerank."""
         n_shards = int(mesh.shape[INDEX_AXIS])
         out = cls(
             corpus_ids=searcher.corpus_ids,
@@ -377,7 +381,11 @@ class ShardedHybridSearcher(HybridSearcher):
                 "HybridSearcher.search_systems or the standalone sharded "
                 "ops (sharded_dense_search & co.)"
             )
-        key = (batch, use_pallas)
+        # rerank knobs and the cross-encoder object identity are baked into
+        # the compiled program — toggling either (bench_sharded swaps in
+        # cross_encoder.quantized()) must not reuse a stale program
+        key = (batch, use_pallas, self.rerank_depth, self.rerank_cascade,
+               id(self.cross_encoder))
         if key in self._programs:
             return self._programs[key]
 

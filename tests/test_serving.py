@@ -635,3 +635,62 @@ def test_percentile_rank_nsf_serving(models, tmp_path):
     assert set(reloaded.percentile_distributions) == {"bm25", "dpr"}
     got2, _ = reloaded.search(QUERIES, batch_size=4, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(got2.ids), np.asarray(got.ids))
+
+
+def test_rerank_cascade_pads_never_steal_keep_slots():
+    """Pad candidates (doc_mask all zero — serving's head_ids < 0 form)
+    must not consume keep slots: the top-``keep`` VALID candidates by
+    stage-1 logit get the full-width rescore even when the query-only
+    'empty doc' logit outranks them."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    docs = list(CORPUS.values())
+    d_ids, d_mask = ce.prepare_corpus_tokens(docs, max_doc_tokens=16)
+    q_ids, q_mask = ce.encode_queries_raw(QUERIES, max_query_tokens=6)
+    q_ids, q_mask = jnp.asarray(q_ids), jnp.asarray(q_mask)
+    cand = jnp.asarray([[0, 1, 2, 3, 4, 5]] * 3, jnp.int32)
+    di = d_ids[cand].astype(jnp.int32)
+    dm = d_mask[cand].astype(jnp.int32)
+    # last 3 slots are pads (mask zeroed), as the serving program builds them
+    dm = dm.at[:, 3:, :].set(0)
+    keep, w1 = 2, 8
+    out = np.asarray(ce.rerank_tokens_cascade(
+        ce.params, q_ids, q_mask, di, dm, keep=keep, stage1_tokens=w1, pair_chunk=4
+    ))
+    s1 = np.asarray(ce.rerank_tokens(
+        ce.params, q_ids, q_mask, di[:, :, :w1], dm[:, :, :w1], pair_chunk=4
+    ))
+    flat = np.asarray(ce.rerank_tokens(ce.params, q_ids, q_mask, di, dm, pair_chunk=4))
+    for qi in range(out.shape[0]):
+        kept = np.argsort(-s1[qi, :3], kind="stable")[:keep]  # top-keep VALID
+        np.testing.assert_allclose(out[qi, kept], flat[qi, kept], rtol=2e-5, atol=2e-5)
+        rest = np.setdiff1d(np.arange(6), kept)
+        assert out[qi, rest].max() < out[qi, kept].min()
+
+
+def test_rerank_cascade_toggle_recompiles(models):
+    """Toggling rerank_cascade (or swapping the cross-encoder, e.g.
+    .quantized()) after a first search must not reuse the stale program."""
+    dense, _, _ = models
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    sr = HybridSearcher.build(
+        CORPUS, dense_model=dense, cross_encoder=ce, rerank_depth=4,
+        batch_size=4, topk=8,
+    )
+    p_flat = sr._device_program(4, use_pallas=False)
+    sr.rerank_cascade = (2, 8)
+    p_casc = sr._device_program(4, use_pallas=False)
+    assert p_casc is not p_flat
+    sr.rerank_cascade = None
+    sr.cross_encoder = ce.quantized()
+    assert sr._device_program(4, use_pallas=False) is not p_flat
+
+    sr.rerank_cascade = (2, 8)
+    sr.rerank_buckets = (8, 16)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sr.search(QUERIES, batch_size=4, use_pallas=False)

@@ -177,3 +177,34 @@ def test_t5_serves_as_hybrid_cross_encoder():
         np.testing.assert_array_equal(g_ids[qi, 4:], b_ids[qi, 4:])
         row = g_sc[qi][np.isfinite(g_sc[qi])]
         assert np.all(np.diff(row) <= 1e-6)
+
+
+def test_t5_pair_scores_invariant_to_mid_sequence_pads():
+    """The device pair layout leaves the query's tail pads mid-sequence;
+    with mask-aware relative positions a pair must score exactly like the
+    contiguously packed encoding (what training/predict produce)."""
+    ce = T5CrossEncoder(T5Config.tiny(), max_length=64)
+    tok = ce.tokenizer
+    q_text, d_text = "chat noir", "le chat noir dort sur le tapis"
+    q_ids, q_mask = ce.encode_queries_raw([q_text], max_query_tokens=8)  # 6 mid pads
+    d_ids, d_mask = ce.prepare_corpus_tokens([d_text], max_doc_tokens=12)
+    device = np.asarray(ce.rerank_tokens(
+        ce.params,
+        jnp.asarray(q_ids), jnp.asarray(q_mask),
+        jnp.asarray(d_ids)[None].astype(jnp.int32),
+        jnp.asarray(d_mask)[None].astype(jnp.int32),
+        pair_chunk=4,
+    ))[0, 0]
+
+    sep = getattr(tok, "sep_token_id", None) or getattr(tok, "eos_token_id", 1)
+    qt, dt = tok.token_ids(q_text), tok.token_ids(d_text)
+    row = qt + [sep] + dt
+    width = 32
+    ids = np.full((1, width), tok.pad_token_id, np.int32)
+    mask = np.zeros((1, width), np.int32)
+    ids[0, : len(row)] = row
+    mask[0, : len(row)] = 1
+    packed = float(np.asarray(
+        ce.score_tokens(ce.params, jnp.asarray(ids), jnp.asarray(mask))
+    )[0])
+    np.testing.assert_allclose(device, packed, rtol=2e-5, atol=2e-5)
