@@ -60,4 +60,10 @@ tail -1 /tmp/chip_r03/bench_sharded.log
 tail -1 /tmp/chip_r03/bench_sharded.log | grep -q '"metric"' \
   && tail -1 /tmp/chip_r03/bench_sharded.log > BENCH_SHARDED_r03_refresh.json
 
+echo "== 6/6 bench.py preview (rerank detail now includes cascade + int8 legs)"
+python bench.py > /tmp/chip_r03/bench.log 2>&1
+tail -1 /tmp/chip_r03/bench.log
+tail -1 /tmp/chip_r03/bench.log | grep -q '"metric"' \
+  && tail -1 /tmp/chip_r03/bench.log > BENCH_r03_preview.json
+
 echo "== done; artifacts in /tmp/chip_r03/ (+ repo *_refresh.json)"
