@@ -626,6 +626,7 @@ def cmd_serve(args):
             rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
             rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
             dense_impl=args.dense_impl,
+            encoders_int8=getattr(args, "encoders_int8", False),
         )
         searcher.save_indexes(args.index_dir)
         print(json.dumps({
@@ -645,6 +646,11 @@ def cmd_serve(args):
         rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
         rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
     ).load_indexes(args.index_dir, int8_corpus=args.int8_corpus)
+    if getattr(args, "encoders_int8", False):
+        for attr in ("dense_model", "splade_model", "colbert_model"):
+            model = getattr(searcher, attr)
+            if model is not None:
+                setattr(searcher, attr, model.quantized())
     if args.run_bm25:
         from fusion_tpu.data.preprocessor import TextPreprocessor
 
@@ -844,6 +850,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve the rerank stage with dynamic int8 trunk "
                          "matmuls (2x MXU throughput; measure quality "
                          "first: scripts/cascade_study.py --int8)")
+    sp.add_argument("--encoders_int8", action="store_true",
+                    help="serve the QUERY encoders (dense/SPLADE/ColBERT) "
+                         "with int8 trunk matmuls; the corpus index stays "
+                         "f32-encoded (measure retrieval overlap first)")
     sp.set_defaults(fn=cmd_serve)
     return p
 

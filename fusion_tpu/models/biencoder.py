@@ -171,6 +171,25 @@ class BiEncoder:
         self._encode_jit = None  # lang is baked into the cached executable
         return self
 
+    def quantized(self, mode: str = "int8") -> "BiEncoder":
+        """Serving-speed view: same params/tokenizer, trunk dense matmuls on
+        the dynamic int8 MXU path (encoder.int8_dot_general).  Use for the
+        QUERY side at serving (the corpus index is built with the f32
+        forward; the int8 corpus index is a separate, orthogonal knob) and
+        measure retrieval overlap first.  Inference-only."""
+        if self._is_xmod:
+            raise ValueError(
+                "quantized() supports plain trunks only (the X-MOD adapter "
+                "modules are not wired for int8)"
+            )
+        import copy
+
+        out = copy.copy(self)
+        out.cfg = dataclasses.replace(self.cfg, quantize=mode)
+        out.module = EncoderWithMLM(out.cfg) if self.head == "splade" else Encoder(out.cfg)
+        out._encode_jit = None
+        return out
+
     def embed_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):
         """Token batch → embeddings [B, H] (dense) or [B, V] (splade)."""
         kw = {"lang_idx": self._lang_idx} if self._is_xmod else {}

@@ -173,6 +173,24 @@ class ColBERT:
                 ids.update(tokenizer.token_ids(ch))
         return ids
 
+    def quantized(self, mode: str = "int8") -> "ColBERT":
+        """Serving-speed view: trunk dense matmuls on the dynamic int8 MXU
+        path; same params/tokenizer.  Query-side serving only — index with
+        the f32 forward and measure overlap first.  Inference-only."""
+        if hasattr(self.cfg, "lang_index"):
+            raise ValueError(
+                "quantized() supports plain trunks only (the X-MOD adapter "
+                "modules are not wired for int8)"
+            )
+        import copy
+        import dataclasses as _dc
+
+        out = copy.copy(self)
+        out.cfg = _dc.replace(self.cfg, quantize=mode)
+        out.module = ColBERTModule(out.cfg, dim=self.dim)
+        out._encode_jit = None
+        return out
+
     # ------------------------------------------------------------------
     def embed_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):
         return self.module.apply(

@@ -203,6 +203,7 @@ class HybridSearcher:
         rerank_buckets: tuple | None = None,
         rerank_cascade: tuple | None = None,
         dense_impl: str = "auto",
+        encoders_int8: bool = False,
     ) -> "HybridSearcher":
         """Encode/build every requested index once (offline).
 
@@ -364,6 +365,13 @@ class HybridSearcher:
             )
             out.rerank_buckets = rerank_buckets
             out.rerank_cascade = rerank_cascade
+        if encoders_int8:
+            # query-side int8 trunks (corpus was encoded f32 above; the
+            # int8 CORPUS matrices are the separate int8_corpus knob)
+            for attr in ("dense_model", "splade_model", "colbert_model"):
+                model = getattr(out, attr)
+                if model is not None:
+                    setattr(out, attr, model.quantized())
         return out
 
     @property

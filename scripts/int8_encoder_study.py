@@ -1,0 +1,137 @@
+"""Retrieval-quality study for int8 QUERY encoders (BiEncoder.quantized).
+
+`serve --encoders_int8` runs the query-side trunks on the dynamic int8
+MXU path against the f32-encoded corpus.  This script measures what that
+mixed-precision pairing does to retrieval on a TRAINED model: a tiny
+dense bi-encoder is MNRL-trained on a planted-topic corpus (same world
+as scripts/cascade_study.py), then every query is searched with the f32
+and the int8 encoder and the ranked lists are compared (top-k overlap,
+gold-doc rank deltas).  The SPLADE head is measured the same way
+untrained-for-ranking is meaningless for it, so it reports activation
+correlation only.
+
+Pure CPU.  Prints ONE json line; --write drops INT8_ENCODER_STUDY_r03.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_topics", type=int, default=64)
+    ap.add_argument("--docs_per_topic", type=int, default=6)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # NEVER claim the chip
+    import jax.numpy as jnp
+
+    from cascade_study import build_world  # same planted-topic corpus
+
+    from fusion_tpu import BiEncoder, EncoderConfig
+    from fusion_tpu.data.datasets import TripletSampler, batch_iterator, collate_biencoder
+    from fusion_tpu.ops.mips import dense_search
+    from fusion_tpu.train.trainer import (
+        FitConfig,
+        fit,
+        init_train_state,
+        make_biencoder_train_step,
+    )
+
+    rng = np.random.default_rng(42)
+    corpus_list, doc_topic, _, queries = build_world(
+        rng, args.n_topics, args.docs_per_topic, doc_words=24, sig_words=3,
+        positions={"mid": 10},
+    )
+    corpus = {i: t for i, t in enumerate(corpus_list)}
+    train_queries = {t: q for t, q in enumerate(queries)}
+    train_qrels = {
+        t: np.flatnonzero(doc_topic == t).tolist() for t in range(args.n_topics)
+    }
+
+    cfg = EncoderConfig.tiny(
+        vocab_size=4096, hidden_size=64, num_heads=4, intermediate_size=128,
+        max_position=128,
+    )
+    dense = BiEncoder(cfg, head="dense", max_query_length=8, max_doc_length=32)
+    fit_cfg = FitConfig(steps=args.steps, batch_size=16, learning_rate=1e-3,
+                        scheduler="constant")
+    state, tx, schedule = init_train_state(dense, fit_cfg)
+    step = make_biencoder_train_step(dense, tx, {"name": "MNRLoss"}, None, fit_cfg.steps)
+    sampler = TripletSampler(corpus, train_queries, train_qrels,
+                             negs_per_query=1, seed=0)
+    batches = batch_iterator(
+        sampler.epochs(), lambda s: collate_biencoder(dense.text_encoder, s, 1), 16
+    )
+    fit(dense, step, batches, fit_cfg, schedule=schedule, state=state)
+    print("# dense bi-encoder trained", file=sys.stderr)
+
+    corpus_emb = dense.encode(corpus_list, query_mode=False, batch_size=64)  # f32 model encodes docs
+    dense8 = dense.quantized()
+
+    def search_with(model):
+        q_emb = model.encode(queries, query_mode=True, batch_size=64)
+        return dense_search(
+            jnp.asarray(q_emb), jnp.asarray(corpus_emb), k=args.k,
+            similarity=model.similarity,
+        )
+
+    r32 = search_with(dense)
+    r8 = search_with(dense8)
+    i32, i8 = np.asarray(r32.ids), np.asarray(r8.ids)
+    overlap = np.mean([
+        len(set(i32[q].tolist()) & set(i8[q].tolist())) / args.k
+        for q in range(len(queries))
+    ])
+    gold_rank = lambda ids: np.array([  # noqa: E731
+        int(np.where(np.isin(ids[t], train_qrels[t]))[0][0])
+        if np.isin(ids[t], train_qrels[t]).any() else args.k
+        for t in range(len(queries))
+    ])
+    g32, g8 = gold_rank(i32), gold_rank(i8)
+    mrr = lambda g: round(float(np.mean(1.0 / (g + 1))), 4)  # noqa: E731
+
+    # SPLADE head: activation fidelity only (untrained ranking is noise)
+    splade = BiEncoder(cfg, head="splade", max_query_length=8, max_doc_length=32)
+    s = np.asarray(splade.encode(queries[:8], query_mode=True))
+    s8 = np.asarray(splade.quantized().encode(queries[:8], query_mode=True))
+    splade_corr = round(float(np.corrcoef(s.ravel(), s8.ravel())[0, 1]), 5)
+
+    result = {
+        "metric": "int8_query_encoder_overlap",
+        "value": round(float(overlap), 4),
+        "unit": f"mean_top{args.k}_overlap",
+        "setup": {
+            "n_topics": args.n_topics, "docs": len(corpus_list),
+            "train_steps": args.steps,
+            "pairing": "f32-encoded corpus, int8 query trunk "
+                       "(serve --encoders_int8)",
+        },
+        "dense": {
+            "top1_agreement": round(float(np.mean(i32[:, 0] == i8[:, 0])), 4),
+            "mrr_f32": mrr(g32), "mrr_int8": mrr(g8),
+            "gold_rank_changed_queries": int(np.sum(g32 != g8)),
+        },
+        "splade_activation_corr": splade_corr,
+    }
+    print(json.dumps(result))
+    if args.write:
+        with open("INT8_ENCODER_STUDY_r03.json", "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

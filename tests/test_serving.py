@@ -694,3 +694,21 @@ def test_rerank_cascade_toggle_recompiles(models):
     sr.rerank_buckets = (8, 16)
     with pytest.raises(ValueError, match="mutually exclusive"):
         sr.search(QUERIES, batch_size=4, use_pallas=False)
+
+
+def test_encoders_int8_serving(models):
+    """encoders_int8=True serves int8 query encoders against the
+    f32-encoded corpus: same program shape, near-identical ranking on a
+    separated corpus (encoder output correlation ~0.9999)."""
+    dense, splade, _ = models
+    kwargs = dict(dense_model=dense, splade_model=splade, batch_size=4, topk=8)
+    f32 = HybridSearcher.build(CORPUS, **kwargs)
+    i8 = HybridSearcher.build(CORPUS, encoders_int8=True, **kwargs)
+    assert i8.dense_model is not dense and i8.dense_model.params is dense.params
+    assert i8.dense_model.cfg.quantize == "int8"
+    r1, _ = f32.search(QUERIES, batch_size=4, use_pallas=False)
+    r2, _ = i8.search(QUERIES, batch_size=4, use_pallas=False)
+    i1, i2 = np.asarray(r1.ids), np.asarray(r2.ids)
+    for qi in range(len(QUERIES)):
+        assert i1[qi, 0] == i2[qi, 0]  # top-1 stable under int8 noise
+        assert len(set(i1[qi, :4]) & set(i2[qi, :4])) >= 3
