@@ -153,35 +153,39 @@ def main():
     # ------------------------------------------------------------------
     # the fused hybrid step, jitted end-to-end
     # ------------------------------------------------------------------
-    def hybrid(
-        params_dense, params_splade, params_colbert,
-        q_ids, q_mask, q_terms, q_weights,
-        post_doc, post_impact, d_corpus, s_corpus, c_tm, c_valid,
-    ):
-        # query encoding (3 encoder forwards)
-        q_dense = dense.embed_tokens(params_dense, q_ids, q_mask)
-        q_splade = splade.embed_tokens(params_splade, q_ids, q_mask)
-        q_tok = colbert.embed_tokens(params_colbert, q_ids, q_mask)
+    def make_hybrid(dm, sm, cm):
+        def hybrid(
+            params_dense, params_splade, params_colbert,
+            q_ids, q_mask, q_terms, q_weights,
+            post_doc, post_impact, d_corpus, s_corpus, c_tm, c_valid,
+        ):
+            # query encoding (3 encoder forwards)
+            q_dense = dm.embed_tokens(params_dense, q_ids, q_mask)
+            q_splade = sm.embed_tokens(params_splade, q_ids, q_mask)
+            q_tok = cm.embed_tokens(params_colbert, q_ids, q_mask)
 
-        # BM25: impact-ordered inverted index (sort + run reduction)
-        from fusion_tpu.index.inverted import _impact_search
+            # BM25: impact-ordered inverted index (sort + run reduction)
+            from fusion_tpu.index.inverted import _impact_search
 
-        r1 = _impact_search(
-            q_terms, q_weights, post_doc, post_impact, N, TOPK
-        )
+            r1 = _impact_search(
+                q_terms, q_weights, post_doc, post_impact, N, TOPK
+            )
 
-        r2 = dense_search(q_dense.astype(jnp.bfloat16), d_corpus, k=TOPK, similarity="cos_sim")
-        r3 = dense_search(q_splade.astype(jnp.bfloat16), s_corpus, k=TOPK, similarity="dot_score")
-        r4 = maxsim_search_tm(
-            q_tok.astype(jnp.bfloat16), q_mask.astype(jnp.float32),
-            c_tm, c_valid, k=TOPK, use_pallas=on_tpu,
-        )
-        fused = Aggregator.fuse(
-            {"bm25": r1, "dpr": r2, "splade": r3, "colbert": r4}, method="rrf",
-            return_topk=TOPK,
-        )
-        return fused.ids, fused.scores
+            r2 = dense_search(q_dense.astype(jnp.bfloat16), d_corpus, k=TOPK, similarity="cos_sim")
+            r3 = dense_search(q_splade.astype(jnp.bfloat16), s_corpus, k=TOPK, similarity="dot_score")
+            r4 = maxsim_search_tm(
+                q_tok.astype(jnp.bfloat16), q_mask.astype(jnp.float32),
+                c_tm, c_valid, k=TOPK, use_pallas=on_tpu,
+            )
+            fused = Aggregator.fuse(
+                {"bm25": r1, "dpr": r2, "splade": r3, "colbert": r4}, method="rrf",
+                return_topk=TOPK,
+            )
+            return fused.ids, fused.scores
 
+        return hybrid
+
+    hybrid = make_hybrid(dense, splade, colbert)
     hybrid_jit = jax.jit(hybrid)
     args = (
         dense.params, splade.params, colbert.params,
@@ -213,6 +217,26 @@ def main():
     fetch(out)
     dt = max((time.perf_counter() - t0 - t_single) / (iters - 1), 1e-9)
     qps = B / dt
+
+    # int8 query encoders (serve --encoders_int8; overlap study
+    # INT8_ENCODER_STUDY_r03.json): same params, quantized trunk views
+    hybrid_i8_jit = jax.jit(make_hybrid(
+        dense.quantized(), splade.quantized(), colbert.quantized()
+    ))
+    t0 = time.perf_counter()
+    fetch(hybrid_i8_jit(*args))
+    print(f"# hybrid[int8 encoders] compile+first run: "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    fetch(hybrid_i8_jit(*args))
+    t_single_i8 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = hybrid_i8_jit(*args)
+    fetch(out)
+    dt_i8 = max((time.perf_counter() - t0 - t_single_i8) / (iters - 1), 1e-9)
+    print(f"# hybrid[int8 encoders]: {dt_i8*1000:.1f} ms/batch", file=sys.stderr)
 
     # tunnel round-trip cost (refunded from host-hop stages below: on local
     # hardware a small fetch is ~0.1 ms, not the tunnel RTT)
@@ -421,6 +445,8 @@ def main():
         "detail": {
             "corpus_docs": N, "batch": B, "topk": TOPK,
             "ms_per_batch_fused": round(dt * 1000, 2),
+            "ms_per_batch_fused_int8_encoders": round(dt_i8 * 1000, 2),
+            "q_per_s_int8_encoders": round(B / dt_i8, 2),
             "ms_per_batch_reference_structure": round(dt_base_adj * 1000, 2),
             "ms_per_batch_reference_structure_raw": round(dt_base * 1000, 2),
             "host_roundtrip_ms": round(t_rt * 1000, 2),
