@@ -219,24 +219,30 @@ def main():
     qps = B / dt
 
     # int8 query encoders (serve --encoders_int8; overlap study
-    # INT8_ENCODER_STUDY_r03.json): same params, quantized trunk views
-    hybrid_i8_jit = jax.jit(make_hybrid(
-        dense.quantized(), splade.quantized(), colbert.quantized()
-    ))
-    t0 = time.perf_counter()
-    fetch(hybrid_i8_jit(*args))
-    print(f"# hybrid[int8 encoders] compile+first run: "
-          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    fetch(hybrid_i8_jit(*args))
-    t_single_i8 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = hybrid_i8_jit(*args)
-    fetch(out)
-    dt_i8 = max((time.perf_counter() - t0 - t_single_i8) / (iters - 1), 1e-9)
-    print(f"# hybrid[int8 encoders]: {dt_i8*1000:.1f} ms/batch", file=sys.stderr)
+    # INT8_ENCODER_STUDY_r03.json): same params, quantized trunk views.
+    # Guarded: an int8 lowering failure on this backend must not kill the
+    # headline number.
+    dt_i8 = None
+    try:
+        hybrid_i8_jit = jax.jit(make_hybrid(
+            dense.quantized(), splade.quantized(), colbert.quantized()
+        ))
+        t0 = time.perf_counter()
+        fetch(hybrid_i8_jit(*args))
+        print(f"# hybrid[int8 encoders] compile+first run: "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        fetch(hybrid_i8_jit(*args))
+        t_single_i8 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = hybrid_i8_jit(*args)
+        fetch(out)
+        dt_i8 = max((time.perf_counter() - t0 - t_single_i8) / (iters - 1), 1e-9)
+        print(f"# hybrid[int8 encoders]: {dt_i8*1000:.1f} ms/batch", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"# hybrid[int8 encoders] FAILED: {e}", file=sys.stderr)
 
     # tunnel round-trip cost (refunded from host-hop stages below: on local
     # hardware a small fetch is ~0.1 ms, not the tunnel RTT)
@@ -324,8 +330,13 @@ def main():
     CASCADE = (25, 64)
     dt_rr_c = time_rerank(ce_b, "einsum_bf16+cascade", cascade=CASCADE)
     # int8 trunk matmuls (2× MXU throughput; quality study:
-    # scripts/cascade_study.py --int8) — same params, serving-speed view
-    dt_rr_i8 = time_rerank(ce_b.quantized(), "einsum_bf16+int8")
+    # scripts/cascade_study.py --int8) — same params, serving-speed view.
+    # Guarded like the int8 encoder leg.
+    try:
+        dt_rr_i8 = time_rerank(ce_b.quantized(), "einsum_bf16+int8")
+    except Exception as e:  # pragma: no cover - backend-specific
+        dt_rr_i8 = None
+        print(f"# hybrid+rerank[einsum_bf16+int8] FAILED: {e}", file=sys.stderr)
 
     # length-bucketed rerank (serving: HybridSearcher(rerank_buckets=...)):
     # each pair padded to its doc's bucket width, not the corpus max — the
@@ -445,8 +456,10 @@ def main():
         "detail": {
             "corpus_docs": N, "batch": B, "topk": TOPK,
             "ms_per_batch_fused": round(dt * 1000, 2),
-            "ms_per_batch_fused_int8_encoders": round(dt_i8 * 1000, 2),
-            "q_per_s_int8_encoders": round(B / dt_i8, 2),
+            "ms_per_batch_fused_int8_encoders": (
+                round(dt_i8 * 1000, 2) if dt_i8 else None
+            ),
+            "q_per_s_int8_encoders": round(B / dt_i8, 2) if dt_i8 else None,
             "ms_per_batch_reference_structure": round(dt_base_adj * 1000, 2),
             "ms_per_batch_reference_structure_raw": round(dt_base * 1000, 2),
             "host_roundtrip_ms": round(t_rt * 1000, 2),
@@ -470,8 +483,12 @@ def main():
                 ),
                 "q_per_s_with_rerank_cascade": round(B / dt_rr_c, 2),
                 "cascade_keep_stage1": list(CASCADE),
-                "ms_per_batch_rerank_stage_int8": round((dt_rr_i8 - dt) * 1000, 2),
-                "q_per_s_with_rerank_int8": round(B / dt_rr_i8, 2),
+                "ms_per_batch_rerank_stage_int8": (
+                    round((dt_rr_i8 - dt) * 1000, 2) if dt_rr_i8 else None
+                ),
+                "q_per_s_with_rerank_int8": (
+                    round(B / dt_rr_i8, 2) if dt_rr_i8 else None
+                ),
                 "buckets": list(BUCKETS),
                 "doc_len_mix": "uniform 40-220 tokens",
             },
