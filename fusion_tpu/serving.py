@@ -449,11 +449,12 @@ class HybridSearcher:
                 "(the bucketed stage runs outside the device program and "
                 "would silently ignore the cascade) — configure one"
             )
-        # cascade settings and the cross-encoder object identity are part
-        # of the compiled program (toggling either must not reuse a stale
-        # program — e.g. swapping in cross_encoder.quantized())
+        # cascade settings and every model object's identity are part of
+        # the compiled program (swapping in .quantized() views or toggling
+        # the cascade must not reuse a stale program)
         key = (batch, use_pallas, self.rerank_buckets is None, dense_fused,
-               systems_out, self.rerank_cascade, id(self.cross_encoder))
+               systems_out, self.rerank_cascade, id(self.cross_encoder),
+               id(self.dense_model), id(self.splade_model), id(self.colbert_model))
         if key in self._jitted:
             return self._jitted[key]
 
