@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fusion_tpu.models.crossencoder import PairRerankMixin
+from fusion_tpu.models.encoder import _trunk_dot_general
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +42,9 @@ class T5Config:
     pooling_mode: str = "mean"  # 'first' | 'mean' | 'max' (t5.py:36-38)
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    # None | 'int8': serving-only dynamic int8 trunk matmuls (see
+    # EncoderConfig.quantize — same semantics, same dot_general)
+    quantize: str | None = None
 
     @classmethod
     def tiny(cls, **kw) -> "T5Config":
@@ -84,10 +88,11 @@ class T5SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, attention_mask, position_bias=None):
         c = self.cfg
+        dg = _trunk_dot_general(c)
         inner = c.num_heads * c.d_kv
-        q = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="k")(x)
-        v = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="v")(x)
+        q = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="q", dot_general=dg)(x)
+        k = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="k", dot_general=dg)(x)
+        v = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="v", dot_general=dg)(x)
         b, t, _ = x.shape
         q = q.reshape(b, t, c.num_heads, c.d_kv)
         k = k.reshape(b, t, c.num_heads, c.d_kv)
@@ -119,7 +124,7 @@ class T5SelfAttention(nn.Module):
         logits = logits + jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
         probs = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, inner)
-        out = nn.Dense(c.d_model, use_bias=False, dtype=c.dtype, name="o")(ctx)
+        out = nn.Dense(c.d_model, use_bias=False, dtype=c.dtype, name="o", dot_general=dg)(ctx)
         return out, position_bias
 
 
@@ -136,13 +141,14 @@ class T5Block(nn.Module):
         )(h, attention_mask, position_bias)
         x = x + attn
         h = RMSNorm(c.layer_norm_eps, name="ffn_norm")(x)
+        dg = _trunk_dot_general(c)
         if c.gated_ffn:
-            wi0 = nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi_0")(h)
-            wi1 = nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi_1")(h)
+            wi0 = nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi_0", dot_general=dg)(h)
+            wi1 = nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi_1", dot_general=dg)(h)
             h = nn.gelu(wi0, approximate=True) * wi1
         else:
-            h = nn.relu(nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi")(h))
-        h = nn.Dense(c.d_model, use_bias=False, dtype=c.dtype, name="wo")(h)
+            h = nn.relu(nn.Dense(c.d_ff, use_bias=False, dtype=c.dtype, name="wi", dot_general=dg)(h))
+        h = nn.Dense(c.d_model, use_bias=False, dtype=c.dtype, name="wo", dot_general=dg)(h)
         return x + h, position_bias
 
 
@@ -271,6 +277,17 @@ class T5CrossEncoder(PairRerankMixin):
             out.append(logits)
         logits = np.concatenate(out) if out else np.zeros(0, np.float32)
         return 1.0 / (1.0 + np.exp(-logits)) if apply_sigmoid else logits
+
+    def quantized(self, mode: str = "int8") -> "T5CrossEncoder":
+        """Serving-speed view: same params/tokenizer, trunk dense matmuls
+        on the dynamic int8 MXU path (see CrossEncoder.quantized)."""
+        import copy
+
+        out = copy.copy(self)
+        out.cfg = dataclasses.replace(self.cfg, quantize=mode)
+        out.module = T5EncoderForSequenceClassification(out.cfg)
+        out._score_jit = None
+        return out
 
     # -- persistence (mirrors CrossEncoder.save/load) -------------------
     def save(self, path: str) -> None:

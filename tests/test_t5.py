@@ -208,3 +208,17 @@ def test_t5_pair_scores_invariant_to_mid_sequence_pads():
         ce.score_tokens(ce.params, jnp.asarray(ids), jnp.asarray(mask))
     )[0])
     np.testing.assert_allclose(device, packed, rtol=2e-5, atol=2e-5)
+
+
+def test_t5_int8_quantized_scores_close():
+    """T5CrossEncoder.quantized(): int8 trunk matmuls track the f32 scores
+    (same dot_general injection as the BERT trunk)."""
+    ce = T5CrossEncoder(
+        T5Config.tiny(d_model=64, d_kv=16, d_ff=128), max_length=32
+    )
+    ce8 = ce.quantized()
+    assert ce8.params is ce.params and ce8.cfg.quantize == "int8"
+    pairs = [(f"requete {i}", f"doc sujet {i} mots") for i in range(10)]
+    s = ce.predict(pairs, apply_sigmoid=False)
+    s8 = ce8.predict(pairs, apply_sigmoid=False)
+    assert np.corrcoef(s, s8)[0, 1] > 0.98
