@@ -647,10 +647,7 @@ def cmd_serve(args):
         rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
     ).load_indexes(args.index_dir, int8_corpus=args.int8_corpus)
     if getattr(args, "encoders_int8", False):
-        for attr in ("dense_model", "splade_model", "colbert_model"):
-            model = getattr(searcher, attr)
-            if model is not None:
-                setattr(searcher, attr, model.quantized())
+        searcher.quantize_encoders()
     if args.run_bm25:
         from fusion_tpu.data.preprocessor import TextPreprocessor
 

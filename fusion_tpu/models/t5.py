@@ -287,6 +287,9 @@ class T5CrossEncoder(PairRerankMixin):
         out.cfg = dataclasses.replace(self.cfg, quantize=mode)
         out.module = T5EncoderForSequenceClassification(out.cfg)
         out._score_jit = None
+        # never share jitted caches with the f32 view (the bucketed-rerank
+        # cache closes over self.module)
+        out._bucket_jit_cache = {}
         return out
 
     # -- persistence (mirrors CrossEncoder.save/load) -------------------

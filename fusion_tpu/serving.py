@@ -368,11 +368,19 @@ class HybridSearcher:
         if encoders_int8:
             # query-side int8 trunks (corpus was encoded f32 above; the
             # int8 CORPUS matrices are the separate int8_corpus knob)
-            for attr in ("dense_model", "splade_model", "colbert_model"):
-                model = getattr(out, attr)
-                if model is not None:
-                    setattr(out, attr, model.quantized())
+            out.quantize_encoders()
         return out
+
+    def quantize_encoders(self, mode: str = "int8") -> "HybridSearcher":
+        """Swap the query-side encoders for their ``quantized`` views
+        (``serve --encoders_int8``); retrieval overlap measured in
+        INT8_ENCODER_STUDY_r03.json.  Safe after searches — the program
+        cache keys on the model objects."""
+        for attr in ("dense_model", "splade_model", "colbert_model"):
+            model = getattr(self, attr)
+            if model is not None:
+                setattr(self, attr, model.quantized(mode))
+        return self
 
     @property
     def active_systems(self) -> list[str]:
@@ -451,10 +459,12 @@ class HybridSearcher:
             )
         # cascade settings and every model object's identity are part of
         # the compiled program (swapping in .quantized() views or toggling
-        # the cascade must not reuse a stale program)
+        # the cascade must not reuse a stale program).  The model OBJECTS
+        # go in the key — identity-hashed AND strongly referenced, so a
+        # freed id can never be recycled onto a stale entry.
         key = (batch, use_pallas, self.rerank_buckets is None, dense_fused,
-               systems_out, self.rerank_cascade, id(self.cross_encoder),
-               id(self.dense_model), id(self.splade_model), id(self.colbert_model))
+               systems_out, self.rerank_cascade, self.cross_encoder,
+               self.dense_model, self.splade_model, self.colbert_model)
         if key in self._jitted:
             return self._jitted[key]
 

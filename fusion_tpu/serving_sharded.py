@@ -381,11 +381,13 @@ class ShardedHybridSearcher(HybridSearcher):
                 "HybridSearcher.search_systems or the standalone sharded "
                 "ops (sharded_dense_search & co.)"
             )
-        # rerank knobs and the cross-encoder object identity are baked into
-        # the compiled program — toggling either (bench_sharded swaps in
-        # cross_encoder.quantized()) must not reuse a stale program
+        # rerank knobs and every model object are baked into the compiled
+        # program — swapping any (bench_sharded swaps in
+        # cross_encoder.quantized()) must not reuse a stale program; the
+        # objects themselves are keyed (identity hash + strong reference)
         key = (batch, use_pallas, self.rerank_depth, self.rerank_cascade,
-               id(self.cross_encoder))
+               self.cross_encoder, self.dense_model, self.splade_model,
+               self.colbert_model)
         if key in self._programs:
             return self._programs[key]
 

@@ -102,7 +102,10 @@ def main():
         for t in range(len(queries))
     ])
     g32, g8 = gold_rank(i32), gold_rank(i8)
-    mrr = lambda g: round(float(np.mean(1.0 / (g + 1))), 4)  # noqa: E731
+    # standard MRR@k: a gold doc absent from the top-k contributes 0
+    mrr = lambda g: round(  # noqa: E731
+        float(np.mean(np.where(g < args.k, 1.0 / (g + 1), 0.0))), 4
+    )
 
     # SPLADE head: activation fidelity only (untrained ranking is noise)
     splade = BiEncoder(cfg, head="splade", max_query_length=8, max_doc_length=32)
