@@ -177,16 +177,21 @@ class BiEncoder:
         QUERY side at serving (the corpus index is built with the f32
         forward; the int8 corpus index is a separate, orthogonal knob) and
         measure retrieval overlap first.  Inference-only."""
-        if self._is_xmod:
-            raise ValueError(
-                "quantized() supports plain trunks only (the X-MOD adapter "
-                "modules are not wired for int8)"
-            )
         import copy
 
         out = copy.copy(self)
         out.cfg = dataclasses.replace(self.cfg, quantize=mode)
-        out.module = EncoderWithMLM(out.cfg) if self.head == "splade" else Encoder(out.cfg)
+        if self._is_xmod:
+            from fusion_tpu.models.xmod import XmodEncoder, XmodEncoderWithMLM
+
+            out.module = (
+                XmodEncoderWithMLM(out.cfg) if self.head == "splade"
+                else XmodEncoder(out.cfg)
+            )
+        else:
+            out.module = (
+                EncoderWithMLM(out.cfg) if self.head == "splade" else Encoder(out.cfg)
+            )
         out._encode_jit = None
         return out
 

@@ -175,13 +175,9 @@ class ColBERT:
 
     def quantized(self, mode: str = "int8") -> "ColBERT":
         """Serving-speed view: trunk dense matmuls on the dynamic int8 MXU
-        path; same params/tokenizer.  Query-side serving only — index with
-        the f32 forward and measure overlap first.  Inference-only."""
-        if hasattr(self.cfg, "lang_index"):
-            raise ValueError(
-                "quantized() supports plain trunks only (the X-MOD adapter "
-                "modules are not wired for int8)"
-            )
+        path (X-MOD trunks included; their bottleneck adapters stay f32);
+        same params/tokenizer.  Query-side serving only — index with the
+        f32 forward and measure overlap first.  Inference-only."""
         import copy
         import dataclasses as _dc
 

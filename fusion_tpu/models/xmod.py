@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fusion_tpu.models.encoder import Embeddings, SelfAttention
+from fusion_tpu.models.encoder import Embeddings, SelfAttention, _trunk_dot_general
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,6 +61,10 @@ class XmodConfig:
     remat: bool = False
     # see EncoderConfig.attention_impl ('einsum' | 'flash')
     attention_impl: str = "einsum"
+    # None | 'int8': serving-only dynamic int8 trunk matmuls (see
+    # EncoderConfig.quantize); qkv/out/ffn run int8, the per-language
+    # bottleneck adapters stay f32 (small matmuls, language-critical)
+    quantize: str | None = None
     # X-MOD specifics (facebook/xmod-base defaults)
     languages: tuple[str, ...] = ("en_XX",)
     adapter_reduction_factor: int = 2
@@ -129,9 +133,10 @@ class XmodLayer(nn.Module):
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attn_ln")(
             x + attn
         ).astype(c.dtype)
-        h = nn.Dense(c.intermediate_size, dtype=c.dtype, name="ffn_in")(x)
+        dg = _trunk_dot_general(c)
+        h = nn.Dense(c.intermediate_size, dtype=c.dtype, name="ffn_in", dot_general=dg)(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="ffn_out")(h)
+        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="ffn_out", dot_general=dg)(h)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
         r = x + h
 

@@ -237,3 +237,28 @@ def test_biencoder_on_xmod_trunk(tiny_hf_xmod_mlm, tmp_path):
         lang_idx=cfg2.lang_index("fr_XX"), deterministic=True,
     )
     np.testing.assert_allclose(np.asarray(logits), th, rtol=2e-3, atol=2e-3)
+
+
+def test_xmod_int8_quantized_close():
+    """quantize='int8' on the X-MOD trunk (shared SelfAttention + FFN
+    int8 dot_general; adapters stay f32) tracks the f32 forward, per
+    language."""
+    import dataclasses
+
+    import numpy as np
+
+    from fusion_tpu.models.biencoder import BiEncoder
+
+    from fusion_tpu.models.xmod import XmodConfig
+
+    cfg = XmodConfig.tiny(vocab_size=256, hidden_size=64, num_heads=4,
+                          intermediate_size=128)
+    be = BiEncoder(cfg, head="dense")
+    be8 = be.quantized()
+    assert be8.params is be.params and be8.cfg.quantize == "int8"
+    for lang in cfg.languages:
+        be.set_language(lang)
+        be8.set_language(lang)
+        e = np.asarray(be.encode(["le chat noir", "un contrat"]))
+        e8 = np.asarray(be8.encode(["le chat noir", "un contrat"]))
+        assert np.corrcoef(e.ravel(), e8.ravel())[0, 1] > 0.995
