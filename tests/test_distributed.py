@@ -66,6 +66,32 @@ def test_dryrun_entrypoints_run():
     dryrun_multichip(8)
 
 
+def test_dryrun_is_relay_proof_in_fresh_process():
+    """Driver contract (MULTICHIP_r03 regression): the dryrun must complete
+    in a FRESH process with NO CPU pin in the environment — i.e. it must pin
+    jax_platforms=cpu itself before any backend init, so a pre-registered
+    accelerator plugin (axon TPU) is never initialized.  Round 3 failed this
+    (rc=124): ``jax.devices()`` ran before the pin and hung on the dead
+    tunnel relay.  This test reproduces the driver's exact launch condition."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # reuse the persistent compile cache so the subprocess dryrun stays fast
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/fusion_tpu_jax_cache"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8); print('DRYRUN_DONE')"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "DRYRUN_DONE" in proc.stdout
+    # the accelerator plugin must never have been initialized
+    assert "TPU" not in proc.stdout
+
+
 def test_sharded_impact_search_matches_single(rng):
     """Index-parallel impact search over 8 doc-range shards must agree with
     the single-device search (global ids, same scores)."""
