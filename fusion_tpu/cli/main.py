@@ -169,6 +169,33 @@ def _make_biencoder(args, head):
     )
 
 
+def _training_mesh(args, batch_size: int):
+    """Data-parallel mesh over all visible devices (the reference trains on
+    every GPU by default, multi_dense_biencoder.py:56, colbert_ir.py:87-92).
+
+    Returns ``(mesh, batch_size)`` — ``mesh=None`` when disabled or only one
+    device is visible.  The batch must split evenly over the ``data`` axis,
+    so the axis size is ``gcd(batch_size, n_devices)`` (a tiny fixture batch
+    on an 8-device mesh still trains, just on fewer devices)."""
+    if not getattr(args, "data_parallel", True):
+        return None, batch_size
+    import math
+
+    import jax
+
+    n = jax.device_count()
+    if n <= 1:
+        return None, batch_size
+    d = math.gcd(batch_size, n)
+    if d <= 1:
+        return None, batch_size
+    from fusion_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(data=d, model=1, index=1, devices=jax.devices()[:d])
+    print(f"[train] data-parallel over {d} devices (batch {batch_size})")
+    return mesh, batch_size
+
+
 def _train_biencoder(args, model, preset, rank_loss, reg_loss):
     from fusion_tpu.data.datasets import batch_iterator, collate_biencoder
     from fusion_tpu.train.trainer import (
@@ -184,7 +211,7 @@ def _train_biencoder(args, model, preset, rank_loss, reg_loss):
     steps = args.steps or preset.steps or (
         (preset.epochs or 1) * max(len(sampler) // min(preset.batch_size, len(sampler)), 1)
     )
-    batch_size = min(preset.batch_size, max(len(sampler), 2))
+    batch_size = args.train_batch_size or min(preset.batch_size, max(len(sampler), 2))
     logger = WandbLogger(args.dataset, f"{args.model_name}-{args.seed}", log_dir=os.path.join(args.output_dir, "logs"))
     cfg = FitConfig(
         steps=steps,
@@ -201,7 +228,12 @@ def _train_biencoder(args, model, preset, rank_loss, reg_loss):
         freeze_layers_except_last_n=getattr(args, "freeze_layers_except_last_n", None),
     )
     state, tx, schedule = init_train_state(model, cfg)
-    step_fn = make_biencoder_train_step(model, tx, rank_loss, reg_loss, total_steps=steps)
+    mesh, batch_size = _training_mesh(args, batch_size)
+    step_fn = make_biencoder_train_step(
+        model, tx, rank_loss, reg_loss, total_steps=steps, mesh=mesh
+    )
+    if mesh is not None:
+        state = step_fn.place_state(state)
     batches = batch_iterator(
         sampler.epochs(), lambda s: collate_biencoder(model.text_encoder, s, args.negs_per_query),
         batch_size,
@@ -304,7 +336,7 @@ def cmd_colbert(args):
 
         sampler = loader.biencoder_sampler(negs_per_query=args.negs_per_query, seed=args.seed)
         steps = args.steps or 100
-        batch_size = min(preset.batch_size, max(len(sampler), 2))
+        batch_size = args.train_batch_size or min(preset.batch_size, max(len(sampler), 2))
         cfg_fit = FitConfig(
             steps=steps, batch_size=batch_size,
             learning_rate=args.lr or preset.learning_rate,
@@ -315,7 +347,10 @@ def cmd_colbert(args):
             weight_decay=preset.weight_decay,
         )
         state, tx, schedule = init_train_state(model, cfg_fit)
-        step_fn = make_colbert_train_step(model, tx, loss_name=args.colbert_loss)
+        mesh, batch_size = _training_mesh(args, batch_size)
+        step_fn = make_colbert_train_step(model, tx, loss_name=args.colbert_loss, mesh=mesh)
+        if mesh is not None:
+            state = step_fn.place_state(state)
 
         def collate(samples):
             from fusion_tpu.data.datasets import collate_biencoder
@@ -414,7 +449,7 @@ def cmd_monobert(args):
 
         pairs = loader.crossencoder_pairs(neg_per_pos=args.neg_per_pos, seed=args.seed)
         steps = args.steps or max(len(pairs) // 4, 1)
-        batch_size = min(preset.batch_size, max(len(pairs), 2))
+        batch_size = args.train_batch_size or min(preset.batch_size, max(len(pairs), 2))
         cfg_fit = FitConfig(
             steps=steps, batch_size=batch_size,
             learning_rate=args.lr or preset.learning_rate,
@@ -424,7 +459,10 @@ def cmd_monobert(args):
             weight_decay=preset.weight_decay,
         )
         state, tx, schedule = init_train_state(model, cfg_fit)
-        step_fn = make_crossencoder_train_step(model, tx)
+        mesh, batch_size = _training_mesh(args, batch_size)
+        step_fn = make_crossencoder_train_step(model, tx, mesh=mesh)
+        if mesh is not None:
+            state = step_fn.place_state(state)
 
         def sample_stream():
             while True:
@@ -622,6 +660,7 @@ def cmd_serve(args):
             plaid_nprobe=args.plaid_nprobe,
             plaid_ncand=args.plaid_ncand,
             plaid_ncand_rescore=args.plaid_ncand_rescore or None,
+            plaid_rescore_impl=args.plaid_rescore_impl,
             ivf_cap=args.ivf_cap,
             rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
             rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
@@ -642,6 +681,7 @@ def cmd_serve(args):
         normalization=args.normalization,
         plaid_nprobe=args.plaid_nprobe, plaid_ncand=args.plaid_ncand,
         plaid_ncand_rescore=args.plaid_ncand_rescore or None,
+        plaid_rescore_impl=args.plaid_rescore_impl,
         splade_query_terms=args.splade_query_terms, dense_impl=args.dense_impl,
         rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
         rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
@@ -701,6 +741,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="einsum_bf16 = 2-byte attention buffers (~0.4%% "
                              "softmax error); flash = Pallas flash attention")
         sp.add_argument("--batch_size", type=int, default=32)
+        sp.add_argument("--train_batch_size", type=int, default=None,
+                        help="override the preset's training batch size")
         sp.add_argument("--model_path", default=None)
         sp.add_argument("--steps", type=int, default=None)
         sp.add_argument("--lr", type=float, default=None)
@@ -710,6 +752,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--ckpt_save_steps", type=int, default=None)
         sp.add_argument("--seeds", default=None, help="comma list for multi-seed reruns")
         sp.add_argument("--freeze_layers_except_last_n", type=int, default=None)
+        sp.add_argument("--no_data_parallel", dest="data_parallel",
+                        action="store_false", default=True,
+                        help="train single-device even when multiple devices "
+                             "are visible (default: data-parallel over all "
+                             "devices, the reference's DDP-on-all-GPUs form, "
+                             "multi_dense_biencoder.py:56)")
 
     sp = sub.add_parser("bm25")
     common(sp)
@@ -834,6 +882,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="candidates reaching PLAID's exact decompressed "
                          "tier after centroid-only pruning (0 = rescore "
                          "all --plaid_ncand)")
+    sp.add_argument("--plaid_rescore_impl", choices=["gather", "factored"],
+                    default="gather",
+                    help="exact-tier form: 'gather' reads a centroid row "
+                         "per candidate token; 'factored' reuses the "
+                         "pruning tier's centroid-score table and only "
+                         "reconstructs residuals")
     sp.add_argument("--rerank_buckets", type=int, nargs="*", default=None,
                     help="doc-width ladder for length-bucketed monoBERT "
                          "rerank (e.g. 64 128 192 256); omit for the flat "

@@ -192,6 +192,43 @@ def build_optimizer(cfg: FitConfig, params):
     return tx, schedule
 
 
+def _finalize_step(train_step, mesh):
+    """Jit a ``(state, batch) → (state, metrics)`` step; with ``mesh`` the
+    batch is placed sharded over the ``data`` axis and the wrapper gains a
+    ``place_state`` method laying params out by the tensor-parallel rules —
+    XLA inserts the gradient psum (the reference's DDP+NCCL equivalent,
+    colbert_ir.py:87-92)."""
+    step = jax.jit(train_step, donate_argnums=(0,))
+    if mesh is None:
+        return step
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fusion_tpu.parallel.sharding import DATA_AXIS, encoder_param_spec
+
+    def place_batch(batch: dict) -> dict:
+        out = {}
+        for k, v in batch.items():
+            v = jnp.asarray(v)
+            spec = P(DATA_AXIS, *([None] * (v.ndim - 1)))
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        return out
+
+    def sharded_step(state: TrainState, batch: dict):
+        return step(state, place_batch(batch))
+
+    sharded_step.place_state = lambda state: TrainState(
+        params=jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            state.params,
+            encoder_param_spec(state.params),
+        ),
+        opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())),
+        step=state.step,
+    )
+    return sharded_step
+
+
 # ----------------------------------------------------------------------
 # bi-encoder (dense MNRL / SPLADE InfoNCE+regs / MarginMSE / KLD)
 # ----------------------------------------------------------------------
@@ -308,39 +345,15 @@ def make_biencoder_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,))
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from fusion_tpu.parallel.sharding import DATA_AXIS, encoder_param_spec
-
-    def place_batch(batch: dict) -> dict:
-        shard = NamedSharding(mesh, P(DATA_AXIS, None))
-        return {k: jax.device_put(jnp.asarray(v), shard) for k, v in batch.items()}
-
-    step = jax.jit(train_step, donate_argnums=(0,))
-
-    def sharded_step(state: TrainState, batch: dict):
-        return step(state, place_batch(batch))
-
-    sharded_step.place_state = lambda state: TrainState(
-        params=jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-            state.params,
-            encoder_param_spec(state.params),
-        ),
-        opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())),
-        step=state.step,
-    )
-    return sharded_step
+    return _finalize_step(train_step, mesh)
 
 
 # ----------------------------------------------------------------------
 # ColBERT (late interaction over token embeddings)
 # ----------------------------------------------------------------------
 def make_colbert_train_step(
-    model, tx, loss_name: str = "ce", total_steps: int = 0, dropout_seed: int = 0
+    model, tx, loss_name: str = "ce", total_steps: int = 0, dropout_seed: int = 0,
+    mesh=None,
 ):
     """Triple/n-way training (reference colbert_ir.py:134-150: CE over
     [pos, negs] scores, or KLD against teacher scores)."""
@@ -386,13 +399,13 @@ def make_colbert_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return _finalize_step(train_step, mesh)
 
 
 # ----------------------------------------------------------------------
 # cross-encoder (pointwise BCE)
 # ----------------------------------------------------------------------
-def make_crossencoder_train_step(model, tx, dropout_seed: int = 0):
+def make_crossencoder_train_step(model, tx, dropout_seed: int = 0, mesh=None):
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params):
             logits = model.score_tokens(
@@ -407,7 +420,7 @@ def make_crossencoder_train_step(model, tx, dropout_seed: int = 0):
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return _finalize_step(train_step, mesh)
 
 
 # ----------------------------------------------------------------------

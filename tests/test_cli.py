@@ -216,3 +216,40 @@ def test_cli_monobert_t5_backbone(tmp_path, fixture_path):
     assert cfg["model_type"] == "t5_crossencoder"
     run(["monobert", "--task", "test", "--model_path", str(tmp_path / "final")],
         tmp_path, fixture_path)
+
+
+def _load_final_params(path):
+    import jax
+    from flax import serialization
+
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(p): v for p, v in flat}
+
+
+@pytest.mark.parametrize("argv", [
+    ["dpr", "--task", "train"],
+    ["splade", "--task", "train", "--splade_variant", "spladev2"],
+    ["colbert", "--task", "train"],
+    ["monobert", "--task", "train"],
+], ids=["dpr", "splade", "colbert", "monobert"])
+def test_cli_train_data_parallel_matches_single_device(argv, tmp_path, fixture_path):
+    """The CLI trains data-parallel over all visible devices by default
+    (reference: DDP on all GPUs, multi_dense_biencoder.py:56).  On the
+    8-virtual-device mesh, 3 DP steps at batch 4 must produce the same
+    final params as --no_data_parallel (XLA's grad psum == single-device
+    sum over the same batch)."""
+    import numpy as np
+
+    common = argv + ["--steps", "3", "--train_batch_size", "4"]
+    run(common, tmp_path / "dp", fixture_path)
+    run(common + ["--no_data_parallel"], tmp_path / "sd", fixture_path)
+    dp = _load_final_params(str(tmp_path / "dp" / "final"))
+    sd = _load_final_params(str(tmp_path / "sd" / "final"))
+    assert dp.keys() == sd.keys()
+    for k in dp:
+        np.testing.assert_allclose(
+            np.asarray(dp[k], np.float32), np.asarray(sd[k], np.float32),
+            rtol=2e-4, atol=1e-5, err_msg=k,
+        )
