@@ -514,6 +514,19 @@ def main():
             "index_gb": round(idx_gb, 2), "nprobe": NPROBE, "ncand": NCAND,
             "form": "rescore all ncand (pre-round-3 two-stage comparison)",
         }
+        # round-4 factored rescore: exact tier reuses the pruning tier's
+        # centroid-score table (no per-token centroid row gather)
+        fn3 = functools.partial(
+            plaid_search, k=TOPK, nprobe=NPROBE, ncand=NCAND, cand_chunk=512,
+            ncand_rescore=NCAND_RESCORE, rescore_impl="factored",
+        )
+        dt3 = time_batch(fn3, (q_tok, q_mask, index, ivf), iters=4,
+                         label="colbert plaid (factored)")
+        legs["colbert_plaid_factored"] = {
+            "ms_per_batch": round(dt3 * 1000, 2), "q_per_s": round(B / dt3, 1),
+            "nprobe": NPROBE, "ncand": NCAND, "ncand_rescore": NCAND_RESCORE,
+            "form": "three-stage with table-factored exact rescore",
+        }
         del cid, codes, cents, mask, ivf_doc, index, ivf, q_tok, q_mask
         gc.collect()
 

@@ -214,6 +214,31 @@ def plaid_candidates(
     return cand.astype(jnp.int32), top_scores
 
 
+def _centroid_score_table(q_tok: jax.Array, centroids: jax.Array) -> jax.Array:
+    """bf16 [Q·C, Lq] table of every (query token · centroid) score, in the
+    flattened one-axis layout both the pruning tier and the factored exact
+    rescore row-gather from (token-minor: each candidate token's [Lq] column
+    is one contiguous row).
+
+    Built as a per-query [C, D]·[Lq, D]ᵀ matmul — this keeps the table in
+    its NATURAL matmul output layout; an einsum 'qid,cd->qci' transposes the
+    ~0.5 GB table after a [Q, Lq, C] matmul (measured 2x the whole leg)."""
+    c = centroids.shape[0]
+    q = q_tok.shape[0]
+    cents_b = centroids.astype(jnp.bfloat16)
+    q_b = q_tok.astype(jnp.bfloat16)
+    lq = q_tok.shape[1]
+    return jax.vmap(
+        lambda qt: jax.lax.dot_general(
+            cents_b, qt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )(q_b).astype(jnp.bfloat16).reshape(q * c, lq)
+
+
+_centroid_score_table_jit = jax.jit(_centroid_score_table)
+
+
 @functools.partial(jax.jit, static_argnames=("ncand2", "cand_chunk"))
 def _plaid_centroid_prune(
     q_tok: jax.Array,  # [Q, Lq, D]
@@ -224,6 +249,7 @@ def _plaid_centroid_prune(
     cand: jax.Array,  # int32 [Q, ncand] (pad = n_docs sentinel)
     ncand2: int,
     cand_chunk: int = 1024,
+    cs: jax.Array | None = None,  # precomputed _centroid_score_table
 ) -> jax.Array:
     """Tier-A approximate rescore: MaxSim against each candidate token's
     CENTROID only — no residual decompression, no codes gather.  This is
@@ -246,17 +272,8 @@ def _plaid_centroid_prune(
     q, lq, d = q_tok.shape
     n, ld = centroid_ids.shape
     c = centroids.shape[0]
-    cents_b = centroids.astype(jnp.bfloat16)
-    q_b = q_tok.astype(jnp.bfloat16)
-    # per-query [C, D]·[Lq, D]ᵀ keeps the [Q, C, Lq] table in its NATURAL
-    # matmul output layout — an einsum 'qid,cd->qci' transposes the ~0.5 GB
-    # table after a [Q, Lq, C] matmul
-    cs = jax.vmap(
-        lambda qt: jax.lax.dot_general(
-            cents_b, qt, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    )(q_b).astype(jnp.bfloat16).reshape(q * c, lq)  # [(Q·C), Lq]
+    if cs is None:
+        cs = _centroid_score_table(q_tok, centroids)  # [(Q·C), Lq]
     import math
 
     ncand = cand.shape[1]
@@ -333,6 +350,69 @@ def _plaid_rescore(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("nbits", "k", "cand_chunk"))
+def _plaid_rescore_factored(
+    q_tok, q_mask, cs, centroid_ids, codes, mask, bucket_weights,
+    cand, nbits: int, k: int, cand_chunk: int,
+):
+    """Exact rescore with the centroid term FACTORED OUT:
+
+        sim(q_i, d_j) = q_i·(c[cid_j] + r_j) = table[cid_j][i] + q_i·r_j
+
+    The gather-form rescore (:func:`_plaid_rescore`) reads a 256 B bf16
+    centroid row per candidate token — measured ~70 % of the rescore stage.
+    Here the centroid part is a 2·Lq-byte row read from the [Q·C, Lq] score
+    table the pruning tier already built (shared, so the three-stage path
+    pays it once), and only the residual needs reconstruction + an MXU dot.
+    Same zeroed-mask MaxSim semantics; numerics differ from the gather form
+    only in bf16 rounding order (q·c rounded separately from q·r).
+    Replaces the decompress side of colbert-ai's CUDA scorer
+    (colbert_ir.py:242,251) with table reuse instead of re-reading
+    centroids."""
+    from fusion_tpu.index.compression import _unpack_codes_jnp
+    from fusion_tpu.ops.topk import blockwise_topk
+
+    q, ncand = cand.shape
+    n = centroid_ids.shape[0]
+    d = q_tok.shape[-1]
+    c = cs.shape[0] // q
+    q_b = q_tok.astype(jnp.bfloat16)
+    bw = bucket_weights.astype(jnp.bfloat16)
+    levels = 1 << nbits
+    q_off = jnp.arange(q, dtype=jnp.int32)[:, None, None] * c  # [Q, 1, 1]
+    num_chunks = -(-ncand // cand_chunk)
+
+    def block_scores(bi):
+        sl = jax.lax.dynamic_slice_in_dim(cand, bi * cand_chunk, cand_chunk, axis=1)
+        safe = jnp.minimum(sl, n - 1)
+        cid = centroid_ids[safe]  # [Q, cc, Ld]
+        msk = mask[safe]  # [Q, cc, Ld]
+        # centroid term: flattened one-axis row gather of [Lq] columns
+        csg = cs[cid + q_off]  # [Q, cc, Ld, Lq] bf16
+        # residual term: unpack codes, tiny-table select (gathers serialize
+        # on TPU), one batched MXU dot against the query tokens
+        cod = _unpack_codes_jnp(codes[safe], nbits, d)  # [Q, cc, Ld, D] i32
+        if levels <= 16:
+            residual = jnp.zeros(cod.shape, jnp.bfloat16)
+            for level in range(levels):
+                residual = jnp.where(cod == level, bw[level], residual)
+        else:
+            residual = bw[cod]
+        r_sim = jnp.einsum(
+            "qid,qnjd->qnji", q_b, residual, preferred_element_type=jnp.float32
+        )  # [Q, cc, Ld, Lq]
+        sim = (csg.astype(jnp.float32) + r_sim) * msk[..., None]
+        best = sim.max(axis=2)  # [Q, cc, Lq]
+        scores = (best * q_mask[:, None, :]).sum(axis=-1)
+        return jnp.where(sl < n, scores, -jnp.inf), sl.astype(jnp.int32)
+
+    out = blockwise_topk(block_scores, num_chunks, q, k)
+    return RankedLists(
+        ids=jnp.where(jnp.isfinite(out.scores), out.ids, -1).astype(jnp.int32),
+        scores=out.scores,
+    )
+
+
 class ShardedPlaidIndex(NamedTuple):
     """Doc-range shards of (compressed index + IVF), stacked on a leading
     axis for ``shard_map`` placement over the mesh ``index`` axis."""
@@ -395,6 +475,7 @@ def sharded_plaid_search(
     ncand: int = 4096,
     cand_chunk: int = 512,
     ncand_rescore: int | None = 1024,
+    rescore_impl: str = "gather",
 ) -> RankedLists:
     """Index-parallel PLAID: each device probes + prunes + rescores its
     doc-range shard (queries and centroid table replicated), per-shard top-k
@@ -420,14 +501,23 @@ def sharded_plaid_search(
         cand, _ = plaid_candidates(
             qt, qm, cents, ivf[0], per, nprobe=nprobe, ncand=ncand_l
         )
+        cs = None
+        if nr or rescore_impl == "factored":
+            cs = _centroid_score_table(qt, cents)
         if nr:
             cand = _plaid_centroid_prune(
-                qt, qm, cents, cid[0], msk[0], cand, ncand2=nr
+                qt, qm, cents, cid[0], msk[0], cand, ncand2=nr, cs=cs
             )
-        local_ranked = _plaid_rescore(
-            qt, qm, cents, cid[0], codes[0], msk[0], bw, cand,
-            nbits=sharded.nbits, k=k, cand_chunk=chunk,
-        )
+        if rescore_impl == "factored":
+            local_ranked = _plaid_rescore_factored(
+                qt, qm, cs, cid[0], codes[0], msk[0], bw, cand,
+                nbits=sharded.nbits, k=k, cand_chunk=chunk,
+            )
+        else:
+            local_ranked = _plaid_rescore(
+                qt, qm, cents, cid[0], codes[0], msk[0], bw, cand,
+                nbits=sharded.nbits, k=k, cand_chunk=chunk,
+            )
         global_ids = jnp.where(
             local_ranked.ids >= 0, local_ranked.ids + shard_idx * per, -1
         ).astype(jnp.int32)
@@ -445,6 +535,7 @@ def sharded_plaid_search(
         (
             "sharded_plaid_search",
             mesh, k, per, nprobe, ncand_l, nr, chunk, sharded.nbits,
+            rescore_impl,
         ),
         lambda: shard_map(
             local,
@@ -476,13 +567,19 @@ def plaid_search(
     ncand: int = 4096,
     cand_chunk: int = 512,
     ncand_rescore: int | None = 1024,
+    rescore_impl: str = "gather",
 ) -> RankedLists:
     """Three-stage search: candidate generation → centroid-only pruning →
     exact decompressed rescore (colbert-ai PLAID's stage structure).
 
     ``ncand_rescore`` caps how many candidates reach the expensive exact
     tier (None or ≥ ncand disables the pruning tier and rescores all
-    ``ncand`` — the pre-round-3 two-stage behavior)."""
+    ``ncand`` — the pre-round-3 two-stage behavior).
+
+    ``rescore_impl``: 'gather' reads a centroid row per candidate token
+    (:func:`_plaid_rescore`); 'factored' reuses the pruning tier's
+    centroid-score table and only reconstructs residuals
+    (:func:`_plaid_rescore_factored`)."""
     # the rescore chunks candidates with clamped dynamic slices: keep ncand a
     # multiple of cand_chunk so no candidate is scored twice
     ncand = min(ncand, max(ivf.n_docs, 1))
@@ -493,13 +590,23 @@ def plaid_search(
         nprobe=nprobe, ncand=ncand,
     )
     qm = q_mask.astype(jnp.float32)
-    if ncand_rescore and ncand_rescore < ncand:
+    prune = bool(ncand_rescore and ncand_rescore < ncand)
+    cs = None
+    if prune or rescore_impl == "factored":
+        cs = _centroid_score_table_jit(q_tok, index.centroids)
+    if prune:
         nr = max(ncand_rescore - ncand_rescore % cand_chunk, cand_chunk)
         cand = _plaid_centroid_prune(
             q_tok, qm, index.centroids, index.centroid_ids, index.mask,
-            cand, ncand2=nr,
+            cand, ncand2=nr, cs=cs,
         )
         ncand = nr
+    if rescore_impl == "factored":
+        return _plaid_rescore_factored(
+            q_tok, qm, cs, index.centroid_ids, index.codes, index.mask,
+            index.bucket_weights, cand,
+            nbits=index.nbits, k=min(k, ncand), cand_chunk=cand_chunk,
+        )
     return _plaid_rescore(
         q_tok, qm, index.centroids, index.centroid_ids,
         index.codes, index.mask, index.bucket_weights, cand,

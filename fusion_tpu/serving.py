@@ -138,6 +138,9 @@ class HybridSearcher:
     # candidates reaching the exact decompressed tier after centroid-only
     # pruning (three-stage PLAID); 0/None = rescore all plaid_ncand
     plaid_ncand_rescore: int | None = 1024
+    # 'gather' re-reads centroid rows in the exact tier; 'factored' reuses
+    # the pruning tier's centroid-score table (index/plaid.py)
+    plaid_rescore_impl: str = "gather"
     cross_encoder: object | None = None
     ce_doc_tokens: jax.Array | None = None
     ce_doc_mask: jax.Array | None = None
@@ -199,6 +202,7 @@ class HybridSearcher:
         plaid_nprobe: int = 4,
         plaid_ncand: int = 4096,
         plaid_ncand_rescore: int | None = 1024,
+        plaid_rescore_impl: str = "gather",
         ivf_cap: int = 1024,
         rerank_buckets: tuple | None = None,
         rerank_cascade: tuple | None = None,
@@ -244,6 +248,7 @@ class HybridSearcher:
         out.splade_query_terms = splade_query_terms
         out.plaid_nprobe, out.plaid_ncand = plaid_nprobe, plaid_ncand
         out.plaid_ncand_rescore = plaid_ncand_rescore
+        out.plaid_rescore_impl = plaid_rescore_impl
         out.dense_impl = dense_impl
         if bm25_docs is not None:
             out.bm25 = BM25Index.build(bm25_docs, k1=k1, b=b)
@@ -464,7 +469,8 @@ class HybridSearcher:
         # freed id can never be recycled onto a stale entry.
         key = (batch, use_pallas, self.rerank_buckets is None, dense_fused,
                systems_out, self.rerank_cascade, self.cross_encoder,
-               self.dense_model, self.splade_model, self.colbert_model)
+               self.dense_model, self.splade_model, self.colbert_model,
+               self.plaid_rescore_impl)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -662,6 +668,7 @@ class HybridSearcher:
                         nprobe=self.plaid_nprobe,
                         ncand=min(self.plaid_ncand, ivf.n_docs),
                         ncand_rescore=self.plaid_ncand_rescore,
+                        rescore_impl=self.plaid_rescore_impl,
                     )
                 elif "cb_comp" in ops:
                     results["colbert"] = maxsim_search_compressed(

@@ -226,6 +226,7 @@ class ShardedHybridSearcher(HybridSearcher):
             plaid_nprobe=searcher.plaid_nprobe,
             plaid_ncand=searcher.plaid_ncand,
             plaid_ncand_rescore=searcher.plaid_ncand_rescore,
+            plaid_rescore_impl=searcher.plaid_rescore_impl,
             dense_local_topk=dense_local_topk,
         )
         if searcher.bm25 is not None:
@@ -387,7 +388,7 @@ class ShardedHybridSearcher(HybridSearcher):
         # objects themselves are keyed (identity hash + strong reference)
         key = (batch, use_pallas, self.rerank_depth, self.rerank_cascade,
                self.cross_encoder, self.dense_model, self.splade_model,
-               self.colbert_model)
+               self.colbert_model, self.plaid_rescore_impl)
         if key in self._programs:
             return self._programs[key]
 
@@ -556,19 +557,33 @@ class ShardedHybridSearcher(HybridSearcher):
                     nprobe=self.plaid_nprobe, ncand=ncand_l,
                 )
                 nr = self.plaid_ncand_rescore
+                factored = self.plaid_rescore_impl == "factored"
+                cs = None
+                if factored or (nr and nr < ncand_l):
+                    from fusion_tpu.index.plaid import _centroid_score_table
+
+                    cs = _centroid_score_table(qt, arrs[ic])
                 if nr and nr < ncand_l:
                     from fusion_tpu.index.plaid import _plaid_centroid_prune
 
                     nr = max(nr - nr % chunk, chunk)
                     cand = _plaid_centroid_prune(
                         qt, qm, arrs[ic], arrs[icid][0], arrs[imsk][0],
-                        cand, ncand2=nr,
+                        cand, ncand2=nr, cs=cs,
                     )
                     kl = min(kl, nr)
-                local = _plaid_rescore(
-                    qt, qm, arrs[ic], arrs[icid][0], arrs[icod][0], arrs[imsk][0],
-                    arrs[ibw], cand, nbits=ps.nbits, k=kl, cand_chunk=chunk,
-                )
+                if factored:
+                    from fusion_tpu.index.plaid import _plaid_rescore_factored
+
+                    local = _plaid_rescore_factored(
+                        qt, qm, cs, arrs[icid][0], arrs[icod][0], arrs[imsk][0],
+                        arrs[ibw], cand, nbits=ps.nbits, k=kl, cand_chunk=chunk,
+                    )
+                else:
+                    local = _plaid_rescore(
+                        qt, qm, arrs[ic], arrs[icid][0], arrs[icod][0], arrs[imsk][0],
+                        arrs[ibw], cand, nbits=ps.nbits, k=kl, cand_chunk=chunk,
+                    )
                 results["colbert"] = globalize_merge(local, per)
 
             # ---- fusion on the replicated merged lists ----------------

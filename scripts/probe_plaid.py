@@ -156,6 +156,27 @@ def main():
     report["rescore1024_ms"] = round(
         timeit(resc_fn, q_tok, q_mask, cents, cid, codes, mask, bw, cand2) * 1000, 1
     )
+
+    # round-4 factored rescore: centroid term from the shared [Q·C, Lq]
+    # score table (no per-token centroid row gather), residual-only MXU dot
+    from fusion_tpu.index.plaid import (
+        _centroid_score_table_jit,
+        _plaid_rescore_factored,
+    )
+
+    report["table_build_ms"] = round(
+        timeit(_centroid_score_table_jit, q_tok, cents) * 1000, 1
+    )
+    cs = jax.block_until_ready(_centroid_score_table_jit(q_tok, cents))
+    fact_fn = functools.partial(
+        _plaid_rescore_factored, nbits=NBITS, k=1000, cand_chunk=512
+    )
+    report["rescore_factored_ms"] = round(
+        timeit(fact_fn, q_tok, q_mask, cs, cid, codes, mask, bw, cand) * 1000, 1
+    )
+    report["rescore1024_factored_ms"] = round(
+        timeit(fact_fn, q_tok, q_mask, cs, cid, codes, mask, bw, cand2) * 1000, 1
+    )
     sys.stderr.write(f"# {report}\n")
     print(json.dumps({"metric": "plaid_stage_breakdown", "detail": report}))
 

@@ -205,3 +205,82 @@ def test_dedup_ivf_rows_restores_candidate_invariant(small_index):
     c1, c2 = np.asarray(cand_clean), np.asarray(cand_fixed)
     for qi in range(c1.shape[0]):
         assert set(c1[qi].tolist()) == set(c2[qi].tolist())
+
+
+def test_plaid_factored_rescore_matches_gather(small_index):
+    """rescore_impl='factored' (sim = centroid-table term + q·residual) must
+    rank like the gather form; scores agree up to bf16 rounding order (q·c
+    and q·r rounded separately vs q·(c+r))."""
+    index, ivf, q_tok, q_mask = small_index
+    kw = dict(k=20, nprobe=32, ncand=96, cand_chunk=32, ncand_rescore=None)
+    gather = plaid_search(q_tok, q_mask, index, ivf, rescore_impl="gather", **kw)
+    factored = plaid_search(q_tok, q_mask, index, ivf, rescore_impl="factored", **kw)
+    g_i, f_i = np.asarray(gather.ids), np.asarray(factored.ids)
+    for qi in range(g_i.shape[0]):
+        assert len(set(g_i[qi].tolist()) & set(f_i[qi].tolist())) >= g_i.shape[1] - 1
+    np.testing.assert_allclose(
+        np.sort(np.asarray(factored.scores), 1),
+        np.sort(np.asarray(gather.scores), 1), rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_plaid_factored_three_stage(small_index):
+    """Factored rescore composes with the pruning tier (shared table) and
+    keeps the exhaustive top-10."""
+    index, ivf, q_tok, q_mask = small_index
+    pruned = plaid_search(q_tok, q_mask, index, ivf, k=10,
+                          nprobe=32, ncand=96, cand_chunk=16,
+                          ncand_rescore=48, rescore_impl="factored")
+    want = maxsim_search_compressed(q_tok, q_mask, index, k=10, use_pallas=False)
+    overlaps = [
+        len(set(np.asarray(pruned.ids)[qi].tolist())
+            & set(np.asarray(want.ids)[qi].tolist()))
+        for qi in range(4)
+    ]
+    assert np.mean(overlaps) >= 8, overlaps
+
+
+def test_plaid_factored_sentinel_padding(small_index):
+    """Sentinel candidates come back as PAD_ID (-1) with -inf scores in the
+    factored form, same as the gather form."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.index.plaid import _centroid_score_table_jit, _plaid_rescore_factored
+
+    index, ivf, q_tok, q_mask = small_index
+    n = ivf.n_docs
+    cand = jnp.concatenate([
+        jnp.arange(8, dtype=jnp.int32)[None, :].repeat(4, 0),
+        jnp.full((4, 8), n, jnp.int32),
+    ], axis=1)
+    cs = _centroid_score_table_jit(q_tok, index.centroids)
+    out = _plaid_rescore_factored(
+        q_tok, q_mask, cs, index.centroid_ids, index.codes, index.mask,
+        index.bucket_weights, cand, nbits=index.nbits, k=16, cand_chunk=8,
+    )
+    ids, scores = np.asarray(out.ids), np.asarray(out.scores)
+    assert ((ids == -1) == ~np.isfinite(scores)).all()
+    assert (ids[:, :8] >= 0).all() and (ids[:, 8:] == -1).all()
+
+
+def test_sharded_plaid_factored_matches_single(small_index):
+    from fusion_tpu.index.plaid import shard_plaid_index, sharded_plaid_search
+    from fusion_tpu.parallel.sharding import make_mesh
+
+    index, ivf, q_tok, q_mask = small_index
+    mesh = make_mesh(data=1, model=1, index=8)
+    sharded = shard_plaid_index(index, 8, ivf_cap=96)
+    single = plaid_search(q_tok, q_mask, index, ivf, k=12,
+                          nprobe=32, ncand=96, cand_chunk=12,
+                          rescore_impl="factored")
+    multi = sharded_plaid_search(q_tok, q_mask, sharded, mesh, k=12,
+                                 nprobe=32, ncand=96, cand_chunk=12,
+                                 rescore_impl="factored")
+    s1, s2 = np.asarray(single.scores), np.asarray(multi.scores)
+    i1, i2 = np.asarray(single.ids), np.asarray(multi.ids)
+    for qi in range(i1.shape[0]):
+        real = np.isfinite(s1[qi, :12]) & np.isfinite(s2[qi, :12])
+        assert set(i1[qi][real].tolist()) == set(i2[qi][real].tolist()), qi
+        np.testing.assert_allclose(
+            np.sort(s1[qi][real]), np.sort(s2[qi][real]), rtol=1e-2, atol=1e-2
+        )

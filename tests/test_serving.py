@@ -712,3 +712,23 @@ def test_encoders_int8_serving(models):
     for qi in range(len(QUERIES)):
         assert i1[qi, 0] == i2[qi, 0]  # top-1 stable under int8 noise
         assert len(set(i1[qi, :4]) & set(i2[qi, :4])) >= 3
+
+
+def test_searcher_plaid_factored_rescore_matches_gather(models):
+    """plaid_rescore_impl='factored' must serve the same ColBERT ranking as
+    the gather form (same candidates, bf16-rounding-order score diffs)."""
+    dense, splade, colbert = models
+    kwargs = dict(
+        batch_size=4, topk=8, colbert_compressed=True, colbert_plaid=True,
+        plaid_nprobe=32, plaid_ncand=8, ivf_cap=8,
+    )
+    g = HybridSearcher.build(CORPUS, colbert_model=colbert, **kwargs)
+    f = HybridSearcher.build(
+        CORPUS, colbert_model=colbert, plaid_rescore_impl="factored", **kwargs
+    )
+    r_g, _ = g.search(QUERIES, batch_size=4, use_pallas=False)
+    r_f, _ = f.search(QUERIES, batch_size=4, use_pallas=False)
+    for qi in range(len(QUERIES)):
+        a, b = r_g.id_lists()[qi], r_f.id_lists()[qi]
+        assert a[0] == b[0], (qi, a, b)
+        assert len(set(a[:4]) & set(b[:4])) >= 3, (qi, a, b)
