@@ -91,6 +91,11 @@ class SegmentedHybridSearcher:
         **build_kwargs,
     ) -> None:
         self._kwargs = dict(build_kwargs)
+        # mesh → every segment (and the global BM25 index) serves as a
+        # ShardedHybridSearcher over the mesh 'index' axis: streaming
+        # updates compose with the corpus-scale tier (the one a production
+        # system actually streams into)
+        self.mesh = self._kwargs.pop("mesh", None)
         self.topk = int(build_kwargs.get("topk", 1000))
         self.fusion_method = build_kwargs.get("fusion_method", "rrf")
         self.normalization = build_kwargs.get("normalization")
@@ -140,15 +145,21 @@ class SegmentedHybridSearcher:
         out = ["bm25"] if self._has_bm25 else []
         if self.segments:
             seg = self.segments[0]
-            if seg.dense_corpus is not None:
+            if seg.dense_corpus is not None or getattr(seg, "dense_leg", None) is not None:
                 out.append("dpr")
             if (
                 seg.splade_corpus is not None
                 or seg.splade_impact_index is not None
                 or seg.splade_scatter_index is not None
+                or getattr(seg, "splade_leg", None) is not None
+                or getattr(seg, "splade_shards", None) is not None
+                or getattr(seg, "splade_scatter_shards", None) is not None
             ):
                 out.append("splade")
-            if seg.colbert_index is not None:
+            if (
+                seg.colbert_index is not None
+                or getattr(seg, "plaid_shards", None) is not None
+            ):
                 out.append("colbert")
         if self.cross_encoder is not None:
             out.append("monobert")
@@ -162,8 +173,17 @@ class SegmentedHybridSearcher:
             k: self._kwargs[k] for k in _BM25_KEYS if k in self._kwargs
         }
         corpus = dict(zip(self._bm25_ids, self._bm25_docs))
-        self.bm25_searcher = HybridSearcher.build(
+        self.bm25_searcher = self._maybe_shard(HybridSearcher.build(
             corpus, bm25_docs=self._bm25_docs, **kwargs
+        ))
+
+    def _maybe_shard(self, seg: HybridSearcher):
+        if self.mesh is None:
+            return seg
+        from fusion_tpu.serving_sharded import ShardedHybridSearcher
+
+        return ShardedHybridSearcher.from_searcher(
+            seg, self.mesh, impact_cap=self._kwargs.get("impact_cap")
         )
 
     def _neural_kwargs(self) -> dict:
@@ -181,7 +201,7 @@ class SegmentedHybridSearcher:
         seg = HybridSearcher.build(corpus, bm25_docs=None, **self._neural_kwargs())
         if seg.ce_doc_tokens is not None and self._ce_len is None:
             self._ce_len = int(np.asarray(seg.ce_doc_tokens).shape[1])
-        self.segments.append(seg)
+        self.segments.append(self._maybe_shard(seg))
         self._corpora.append(corpus)
         self._refresh_ce_tables()
 
@@ -393,8 +413,17 @@ class SegmentedHybridSearcher:
                     continue
                 r = jnp.asarray(np.where(pick, rows[sl], 0))
                 m = jnp.asarray(pick.astype(np.int32))[..., None]
-                ti = seg.ce_doc_tokens[r].astype(jnp.int32) * m
-                tm = seg.ce_doc_mask[r].astype(jnp.int32) * m
+                if seg.ce_doc_tokens is not None:
+                    tok_tbl, msk_tbl = seg.ce_doc_tokens, seg.ce_doc_mask
+                else:
+                    # sharded segment: the [S, per, Ld] stacked table IS the
+                    # global row order (tail-padded) — index the flat view;
+                    # GSPMD routes each row gather to its owner shard
+                    ld = seg.ce_tok_shards.shape[-1]
+                    tok_tbl = seg.ce_tok_shards.reshape(-1, ld)
+                    msk_tbl = seg.ce_msk_shards.reshape(-1, ld)
+                ti = tok_tbl[r].astype(jnp.int32) * m
+                tm = msk_tbl[r].astype(jnp.int32) * m
                 d_ids = ti if d_ids is None else d_ids + ti
                 d_mask = tm if d_mask is None else d_mask + tm
             if d_ids is None:  # every head slot is a pad

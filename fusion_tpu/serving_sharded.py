@@ -375,20 +375,13 @@ class ShardedHybridSearcher(HybridSearcher):
 
     # ------------------------------------------------------------------
     def _device_program(self, batch: int, use_pallas: bool, systems_out: bool = False):
-        if systems_out:
-            raise ValueError(
-                "ShardedHybridSearcher merges per-system lists inside the "
-                "mesh program; for per-system output use the single-device "
-                "HybridSearcher.search_systems or the standalone sharded "
-                "ops (sharded_dense_search & co.)"
-            )
         # rerank knobs and every model object are baked into the compiled
         # program — swapping any (bench_sharded swaps in
         # cross_encoder.quantized()) must not reuse a stale program; the
         # objects themselves are keyed (identity hash + strong reference)
         key = (batch, use_pallas, self.rerank_depth, self.rerank_cascade,
                self.cross_encoder, self.dense_model, self.splade_model,
-               self.colbert_model, self.plaid_rescore_impl)
+               self.colbert_model, self.plaid_rescore_impl, systems_out)
         if key in self._programs:
             return self._programs[key]
 
@@ -586,6 +579,11 @@ class ShardedHybridSearcher(HybridSearcher):
                     )
                 results["colbert"] = globalize_merge(local, per)
 
+            if systems_out:
+                # per-system lists (already merged to replicated global
+                # ids) — the segmented searcher fuses across segments
+                return {n_: (r.ids, r.scores) for n_, r in results.items()}
+
             # ---- fusion on the replicated merged lists ----------------
             if len(results) == 1:
                 fused = next(iter(results.values()))
@@ -703,12 +701,25 @@ class ShardedHybridSearcher(HybridSearcher):
                 queries["ce_ids"] = inputs["ce_ids"].astype(jnp.int32)
                 queries["ce_mask"] = inputs["ce_mask"].astype(jnp.int32)
 
+            if systems_out:
+                out_names = []
+                if "bm25" in slots:
+                    out_names.append("bm25")
+                if "dense" in slots:
+                    out_names.append("dpr")
+                if {"splade_sc", "splade_imp", "splade_dense"} & slots.keys():
+                    out_names.append("splade")
+                if "plaid" in slots:
+                    out_names.append("colbert")
+                out_specs = {n_: (P(), P()) for n_ in out_names}
+            else:
+                out_specs = (P(), P())
             fn = shard_map(
                 local_body,
                 mesh=mesh,
                 in_specs=(jax.tree_util.tree_map(lambda _: P(), queries),)
                 + tuple(shard_specs),
-                out_specs=(P(), P()),
+                out_specs=out_specs,
                 check_vma=False,
             )
             return fn(queries, *arrs)

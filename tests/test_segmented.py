@@ -213,3 +213,96 @@ def test_readd_after_delete_requires_compact(models, prep):
     ids = np.asarray(r.ids)[0]
     scores = np.asarray(r.scores)[0]
     assert victim in set(ids[np.isfinite(scores)].tolist())
+
+
+# ----------------------------------------------------------------------
+# streaming + sharded tier composition (mesh= kwarg): segments and the
+# global BM25 index serve as ShardedHybridSearcher over the 'index' axis
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def mesh8():
+    from fusion_tpu.parallel.sharding import make_mesh
+
+    return make_mesh(data=1, model=1, index=8)
+
+
+def test_sharded_segmented_add_delete_compact_matches_full_rebuild(
+    models, prep, mesh8
+):
+    """add/delete/compact on the 8-device mesh ≡ a full sharded rebuild.
+
+    Uses the exact legs (bm25 impact / int8 dense / SPLADE / monoBERT) —
+    per-segment scores are comparable across segments and the sharded forms
+    quantize identically, so results must match the rebuild."""
+    from fusion_tpu.serving_sharded import ShardedHybridSearcher
+
+    a = _corpus(14, seed=3, base_id=100)
+    b = _corpus(10, seed=4, base_id=500)
+    kwargs = dict(
+        dense_model=models["dense_model"],
+        splade_model=models["splade_model"],
+        cross_encoder=models["cross_encoder"],
+        rerank_depth=4, batch_size=4, topk=8,
+        bm25_preprocess=lambda t: prep.preprocess(list(t)),
+        int8_corpus=True, ce_max_doc_tokens=24,
+    )
+    seg = SegmentedHybridSearcher(
+        a, bm25_docs=prep.preprocess(list(a.values())), mesh=mesh8, **kwargs
+    )
+    seg.add_documents(b, bm25_docs=prep.preprocess(list(b.values())))
+    assert len(seg.segments) == 2
+    assert seg.active_systems == ["bm25", "dpr", "splade", "monobert"]
+    victims = sorted(b)[:3]
+    seg.delete_documents(victims)
+    seg.compact()
+    assert len(seg.segments) == 1 and not seg._tombstones
+
+    union = {k: v for k, v in {**a, **b}.items() if k not in set(victims)}
+    full = ShardedHybridSearcher.from_searcher(
+        HybridSearcher.build(
+            union, bm25_docs=prep.preprocess(list(union.values())), **kwargs
+        ),
+        mesh8,
+    )
+    want, _ = full.search(QUERIES, batch_size=4, use_pallas=False)
+    got, _ = seg.search(QUERIES, batch_size=4, use_pallas=False)
+    w_ids, g_ids = np.asarray(want.ids), np.asarray(got.ids)
+    w_sc, g_sc = np.asarray(want.scores), np.asarray(got.scores)
+    for qi in range(len(QUERIES)):
+        assert g_ids[qi, 0] == w_ids[qi, 0], (qi, g_ids[qi], w_ids[qi])
+        overlap = set(g_ids[qi].tolist()) & set(w_ids[qi].tolist())
+        assert len(overlap) >= g_ids.shape[1] - 1, (qi, g_ids[qi], w_ids[qi])
+        agree = (g_ids[qi] == w_ids[qi]) & np.isfinite(w_sc[qi])
+        np.testing.assert_allclose(
+            g_sc[qi][agree], w_sc[qi][agree], rtol=2e-3, atol=2e-4
+        )
+
+
+def test_sharded_segmented_colbert_leg_matches_unsharded(models, prep, mesh8):
+    """With the compressed ColBERT (PLAID) leg at exhaustive knobs, the
+    sharded segmented searcher must agree with the unsharded segmented
+    searcher over the SAME segments (sharding is not allowed to change
+    results; per-segment centroids are shared by construction)."""
+    a = _corpus(12, seed=11, base_id=0)
+    b = _corpus(8, seed=12, base_id=300)
+    kwargs = dict(
+        colbert_model=models["colbert_model"],
+        colbert_compressed=True, colbert_plaid=True,
+        plaid_nprobe=32, plaid_ncand=16, ivf_cap=16,
+        batch_size=4, topk=8,
+    )
+    plain = SegmentedHybridSearcher(a, **kwargs)
+    plain.add_documents(b)
+    sharded = SegmentedHybridSearcher(a, mesh=mesh8, **kwargs)
+    sharded.add_documents(b)
+    assert sharded.active_systems == ["colbert"]
+    want, _ = plain.search(QUERIES, batch_size=4, use_pallas=False)
+    got, _ = sharded.search(QUERIES, batch_size=4, use_pallas=False)
+    w_ids, g_ids = np.asarray(want.ids), np.asarray(got.ids)
+    w_sc, g_sc = np.asarray(want.scores), np.asarray(got.scores)
+    for qi in range(len(QUERIES)):
+        f = np.isfinite(w_sc[qi]) & np.isfinite(g_sc[qi])
+        assert set(g_ids[qi][f].tolist()) == set(w_ids[qi][f].tolist()), qi
+        np.testing.assert_allclose(
+            np.sort(g_sc[qi][f]), np.sort(w_sc[qi][f]), rtol=1e-3, atol=1e-3
+        )

@@ -216,15 +216,30 @@ def test_scatter_splade_serving_matches_impact(models):
         )
 
 
-def test_search_systems_unsupported_on_sharded(models):
-    """Per-system output is a single-device hook; the sharded program fuses
-    in-program — asking for it must fail with guidance, not a TypeError."""
-    dense, _, _, _ = models
+def test_search_systems_on_sharded_matches_single(models):
+    """Per-system lists from the mesh program (pre-fusion, merged to global
+    ids) must match the single-device per-system lists — this is what the
+    segmented (streaming) searcher composes across segments."""
+    dense, splade, _, _ = models
     mesh = make_mesh(data=1, model=1, index=len(jax.devices()))
-    single = HybridSearcher.build(CORPUS, dense_model=dense, batch_size=4, topk=8)
+    single = HybridSearcher.build(
+        CORPUS, dense_model=dense, splade_model=splade,
+        batch_size=4, topk=8, int8_corpus=True,
+    )
     sharded = ShardedHybridSearcher.from_searcher(single, mesh)
-    with pytest.raises(ValueError, match="search_systems"):
-        sharded.search_systems(QUERIES, batch_size=4, use_pallas=False)
+    want = single.search_systems(QUERIES, batch_size=4, use_pallas=False)
+    got = sharded.search_systems(QUERIES, batch_size=4, use_pallas=False)
+    assert set(got) == set(want) == {"dpr", "splade"}
+    for name in want:
+        w_i, g_i = np.asarray(want[name].ids), np.asarray(got[name].ids)
+        w_s, g_s = np.asarray(want[name].scores), np.asarray(got[name].scores)
+        for qi in range(len(QUERIES)):
+            f = np.isfinite(w_s[qi]) & np.isfinite(g_s[qi])
+            assert set(g_i[qi][f].tolist()) == set(w_i[qi][f].tolist()), (name, qi)
+            np.testing.assert_allclose(
+                np.sort(g_s[qi][f]), np.sort(w_s[qi][f]), rtol=1e-4, atol=1e-5,
+                err_msg=f"{name} q{qi}",
+            )
 
 
 def test_sharded_rerank_cascade_matches_single(models):
