@@ -39,6 +39,48 @@ import numpy as np
 from fusion_tpu.core.ranked import RankedLists
 
 
+# Query terms whose document frequency exceeds CAP_SAFE_DF_RATIO × cap are
+# quality-unsafe under impact-ordered capping: the round-3 planted-relevance
+# study (RECALL_STUDY_r03.json, lexical_1M_docs_zipf) measured overlap@100 =
+# 0.94 when queries only use terms with df ≤ 8·cap (the stopword-filtered
+# regime, df ≤ N/64 at cap 2048, N=1M) but 0.39/0.20 when raw zipf queries
+# hit ultra-common truncated terms.  The contract: preprocessing strips
+# high-df terms from queries (the reference always preprocesses,
+# src/data/preprocessor.py + src/retrievers/bm25.py:209-213); this guard
+# makes the contract visible instead of silently serving bad recall.
+CAP_SAFE_DF_RATIO = 8
+
+
+class ImpactCapTruncationWarning(UserWarning):
+    """Impact-ordered capping is about to (or did) truncate ultra-common
+    terms hard enough to endanger recall for queries that use them."""
+
+
+def _warn_unsafe_terms(df: np.ndarray, cap: int, nnz_total: int,
+                       mass_frac_threshold: float = 0.2) -> None:
+    """Build-time guard: warn when terms with df > ratio·cap carry a large
+    share of the postings mass (the raw-zipf / unpreprocessed-text shape)."""
+    import warnings
+
+    unsafe = df > CAP_SAFE_DF_RATIO * cap
+    n_unsafe = int(unsafe.sum())
+    if not n_unsafe or not nnz_total:
+        return
+    mass = float(df[unsafe].sum()) / float(nnz_total)
+    if mass < mass_frac_threshold:
+        return
+    warnings.warn(
+        f"impact cap {cap}: {n_unsafe} term(s) have df > "
+        f"{CAP_SAFE_DF_RATIO}*cap (max df {int(df.max())}) carrying "
+        f"{mass:.0%} of all postings — queries containing them will see "
+        f"badly truncated recall (measured overlap@100 0.39 vs 0.94, "
+        f"RECALL_STUDY_r03). Preprocess the corpus/queries (strip "
+        f"stopwords), raise the cap, or use the flat/scatter exact forms.",
+        ImpactCapTruncationWarning,
+        stacklevel=3,
+    )
+
+
 class ImpactIndex(NamedTuple):
     post_doc: jax.Array  # int32 [V+1, P], pad = n_docs (sentinel)
     post_impact: jax.Array  # f16 [V+1, P], pad = 0
@@ -46,20 +88,39 @@ class ImpactIndex(NamedTuple):
     vocab_size: int
     cap: int
     nnz_kept: int
+    # host-side document frequencies [V] (int32 numpy) — powers the
+    # query-time cap guard; None on legacy archives
+    term_df: object = None
 
     def nbytes(self) -> int:
         # metadata only — np.asarray would fetch the index through the tunnel
         return self.post_doc.nbytes + self.post_impact.nbytes
 
+    def unsafe_query_term_frac(self, q_terms: np.ndarray) -> float:
+        """Fraction of real (non-pad) query terms whose posting list was
+        truncated past the study's safe ratio — the query-time cap guard."""
+        if self.term_df is None:
+            return 0.0
+        t = np.asarray(q_terms).ravel()
+        real = t[(t >= 0) & (t < self.vocab_size)]
+        if real.size == 0:
+            return 0.0
+        df = np.asarray(self.term_df)
+        return float((df[real] > CAP_SAFE_DF_RATIO * self.cap).mean())
+
     def save(self, path: str) -> None:
         import os
 
         os.makedirs(path, exist_ok=True)
+        extra = {}
+        if self.term_df is not None:
+            extra["term_df"] = np.asarray(self.term_df, np.int32)
         np.savez_compressed(
             os.path.join(path, "impact_index.npz"),
             post_doc=np.asarray(self.post_doc),
             post_impact=np.asarray(self.post_impact),
             meta=np.array([self.n_docs, self.vocab_size, self.cap, self.nnz_kept], np.int64),
+            **extra,
         )
 
     @classmethod
@@ -72,6 +133,7 @@ class ImpactIndex(NamedTuple):
             post_doc=jnp.asarray(z["post_doc"]),
             post_impact=jnp.asarray(z["post_impact"]),
             n_docs=n, vocab_size=v, cap=cap, nnz_kept=nnz,
+            term_df=z["term_df"] if "term_df" in z.files else None,
         )
 
 
@@ -91,6 +153,12 @@ def build_impact_index(
     (native/impact_packer.cpp) — see ``build_chunked_impact_index``."""
     if use_native is None:
         use_native = np.asarray(entry_term).size > 2_000_000
+    # df distribution (cheap bincount) → build-time cap guard + the
+    # query-time guard's lookup table (unsafe_query_term_frac)
+    df = np.bincount(
+        np.asarray(entry_term, dtype=np.int64), minlength=vocab_size
+    )[:vocab_size].astype(np.int32)
+    _warn_unsafe_terms(df, cap, int(np.asarray(entry_term).size))
     if use_native:
         from fusion_tpu.native import pack_flat_impact
 
@@ -106,6 +174,7 @@ def build_impact_index(
                 vocab_size=vocab_size,
                 cap=cap,
                 nnz_kept=kept,
+                term_df=df,
             )
     t = np.asarray(entry_term, dtype=np.int64)
     d = np.asarray(entry_doc, dtype=np.int64)
@@ -128,6 +197,7 @@ def build_impact_index(
         vocab_size=vocab_size,
         cap=cap,
         nnz_kept=int(keep.sum()),
+        term_df=df,
     )
 
 
@@ -229,6 +299,7 @@ def shard_impact_index(index: ImpactIndex, n_shards: int) -> "ShardedImpactIndex
         docs_per_shard=per,
         vocab_size=index.vocab_size,
         cap=cap,
+        term_df=index.term_df,
     )
 
 
@@ -239,6 +310,10 @@ class ShardedImpactIndex(NamedTuple):
     docs_per_shard: int
     vocab_size: int
     cap: int
+    term_df: object = None  # host df [V] — query-time cap guard
+
+    def unsafe_query_term_frac(self, q_terms) -> float:
+        return ImpactIndex.unsafe_query_term_frac(self, q_terms)
 
 
 def sharded_impact_search(
@@ -376,6 +451,16 @@ def build_chunked_impact_index(
     assert docs_per_chunk < CHUNK_SENTINEL
     if use_native is None:
         use_native = np.asarray(entry_term).size > 2_000_000
+    # cap guard: the chunked form's effective per-term capacity is
+    # cap_per_chunk × num_chunks (the study showed quality tracks the kept
+    # fraction identically to the flat form at equal capacity)
+    _warn_unsafe_terms(
+        np.bincount(
+            np.asarray(entry_term, dtype=np.int64), minlength=vocab_size
+        )[:vocab_size],
+        cap_per_chunk * (-(-n_docs // docs_per_chunk)),
+        int(np.asarray(entry_term).size),
+    )
     if use_native:
         from fusion_tpu.native import pack_chunked_impact
 

@@ -876,6 +876,37 @@ class HybridSearcher:
     def _wants_colbert_queries(self) -> bool:
         return self.colbert_index is not None
 
+    def _check_impact_cap_guard(self, q_terms, frac_threshold: float = 0.1) -> None:
+        """Query-time impact-cap guard (RECALL_STUDY_r03 raw-zipf case:
+        overlap@100 drops 0.94 → 0.39 when queries hit ultra-common capped
+        terms).  Warns ONCE per searcher when more than ``frac_threshold``
+        of real query terms have df > CAP_SAFE_DF_RATIO·cap — the signature
+        of unpreprocessed queries against a capped index."""
+        if getattr(self, "_cap_guard_warned", False):
+            return
+        idx = self.bm25_impact_index or getattr(self, "bm25_shards", None)
+        if idx is None or getattr(idx, "term_df", None) is None:
+            return
+        frac = idx.unsafe_query_term_frac(np.asarray(q_terms))
+        if frac > frac_threshold:
+            import warnings
+
+            from fusion_tpu.index.inverted import (
+                CAP_SAFE_DF_RATIO,
+                ImpactCapTruncationWarning,
+            )
+
+            warnings.warn(
+                f"{frac:.0%} of query terms hit posting lists truncated past "
+                f"df > {CAP_SAFE_DF_RATIO}*cap (cap {idx.cap}) — recall will "
+                f"be badly degraded (measured overlap@100 0.39 vs 0.94, "
+                f"RECALL_STUDY_r03). Preprocess queries (strip stopwords), "
+                f"raise impact_cap, or serve the flat/scatter exact forms.",
+                ImpactCapTruncationWarning,
+                stacklevel=4,
+            )
+            self._cap_guard_warned = True
+
     def _prepare_inputs(self, chunk: Sequence[str]) -> dict:
         """Host side of a batch: tokenize queries for every active system."""
         inputs = {}
@@ -885,6 +916,7 @@ class HybridSearcher:
             )
             terms, weights = self.bm25.encode_queries(bm25_chunk)
             inputs["bm25_terms"], inputs["bm25_weights"] = terms, weights
+            self._check_impact_cap_guard(terms)
         if self._wants_encoder_queries:
             # each bi-encoder tokenizes with ITS OWN text encoder: dense and
             # SPLADE checkpoints may differ in tokenizer/prefix/max length

@@ -187,12 +187,24 @@ def main():
         flat_t, flat_w = terms.ravel(), weights.ravel()
         flat_d = np.repeat(np.arange(N, dtype=np.int64), KD)
         keep = flat_t < V
+        import warnings as _warnings
+
         for cap in (512, 2048):
-            inv = build_impact_index(flat_t[keep], flat_d[keep], flat_w[keep], V, N, cap=cap)
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore")  # the guard under study
+                inv = build_impact_index(
+                    flat_t[keep], flat_d[keep], flat_w[keep], V, N, cap=cap
+                )
             for tag, q_terms in qsets.items():
                 got = impact_search(jnp.asarray(q_terms), jnp.asarray(q_weights), inv, k=K)
                 report[f"lexical_cap{cap}_{tag}_overlap@{K}"] = round(
                     overlap_at_k(np.asarray(got.ids), exact_by_set[tag], K), 4
+                )
+                # round-4 cap guard: fraction of query terms past the safe
+                # df ratio — must FLAG the raw-zipf case (overlap ~0.39) and
+                # pass the filtered case (~0.94)
+                report[f"lexical_cap{cap}_{tag}_guard_unsafe_frac"] = round(
+                    inv.unsafe_query_term_frac(q_terms), 4
                 )
             report[f"lexical_cap{cap}_nnz_kept_frac"] = round(inv.nnz_kept / int(keep.sum()), 4)
             del inv

@@ -263,3 +263,71 @@ def test_chunked_impact_index_persistence(tmp_path):
     a = chunked_impact_search(q_terms, q_w, idx, k=8)
     b = chunked_impact_search(q_terms, q_w, loaded, k=8)
     np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+
+
+def test_impact_cap_build_warning_on_zipf_head():
+    """Build-time cap guard: a corpus whose postings mass concentrates in
+    terms with df >> cap (raw/unpreprocessed text) must raise
+    ImpactCapTruncationWarning; a well-spread corpus must not."""
+    import warnings
+
+    from fusion_tpu.index.inverted import (
+        CAP_SAFE_DF_RATIO,
+        ImpactCapTruncationWarning,
+        build_impact_index,
+    )
+
+    rng = np.random.default_rng(0)
+    v, n, cap = 64, 4096, 8
+    # stopword-shaped: 2 terms appear in (almost) every doc
+    head_t = np.repeat(np.arange(2), n)
+    head_d = np.tile(np.arange(n), 2)
+    tail_t = rng.integers(2, v, size=2000)
+    tail_d = rng.integers(0, n, size=2000)
+    t = np.concatenate([head_t, tail_t])
+    d = np.concatenate([head_d, tail_d])
+    imp = rng.uniform(0.1, 1.0, t.size).astype(np.float32)
+    with pytest.warns(ImpactCapTruncationWarning):
+        idx = build_impact_index(t, d, imp, v, n, cap=cap)
+    assert idx.term_df is not None
+    assert (np.asarray(idx.term_df)[:2] > CAP_SAFE_DF_RATIO * cap).all()
+
+    # spread corpus: every term df ≈ 32 < 8·cap → silent
+    t2 = rng.integers(0, v, size=2000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ImpactCapTruncationWarning)
+        idx2 = build_impact_index(t2, tail_d, imp[:2000], v, n, cap=cap)
+    assert idx2.term_df is not None
+
+
+def test_impact_cap_query_guard_fraction():
+    """unsafe_query_term_frac flags raw-zipf-style queries (head terms) and
+    passes filtered queries — the RECALL_STUDY raw-zipf detector."""
+    from fusion_tpu.index.inverted import build_impact_index
+
+    rng = np.random.default_rng(1)
+    v, n, cap = 64, 4096, 8
+    t = np.concatenate([np.repeat(np.arange(2), n), rng.integers(2, v, 2000)])
+    d = np.concatenate([np.tile(np.arange(n), 2), rng.integers(0, n, 2000)])
+    imp = rng.uniform(0.1, 1.0, t.size).astype(np.float32)
+    with pytest.warns(UserWarning):
+        idx = build_impact_index(t, d, imp, v, n, cap=cap)
+    raw = np.array([[0, 1, 40, v], [1, 50, 60, v]], np.int32)  # head-heavy
+    filtered = np.array([[40, 50, 60, v]], np.int32)  # rare terms only
+    assert idx.unsafe_query_term_frac(raw) > 0.4
+    assert idx.unsafe_query_term_frac(filtered) == 0.0
+    # round-trip keeps the guard table
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        idx.save(td)
+        from fusion_tpu.index.inverted import ImpactIndex
+
+        loaded = ImpactIndex.load(td)
+        assert loaded.unsafe_query_term_frac(raw) > 0.4
+
+    # sharded form carries the table too
+    from fusion_tpu.index.inverted import shard_impact_index
+
+    sh = shard_impact_index(idx, 4)
+    assert sh.unsafe_query_term_frac(raw) > 0.4

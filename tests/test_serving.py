@@ -732,3 +732,30 @@ def test_searcher_plaid_factored_rescore_matches_gather(models):
         a, b = r_g.id_lists()[qi], r_f.id_lists()[qi]
         assert a[0] == b[0], (qi, a, b)
         assert len(set(a[:4]) & set(b[:4])) >= 3, (qi, a, b)
+
+
+def test_serving_impact_cap_query_guard(recwarn):
+    """Serving a scale-mode BM25 index with raw (stopword-heavy) queries
+    must emit ImpactCapTruncationWarning once; preprocessed-style queries
+    stay silent."""
+    import warnings
+
+    from fusion_tpu.index.inverted import ImpactCapTruncationWarning
+
+    # stopword-shaped corpus: 'le' and 'la' in every doc
+    corpus = {
+        i: f"le la mot{i} chose{i % 7} truc{i % 5}" for i in range(64)
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # build-time guard fires here
+        s = HybridSearcher.build(
+            corpus, bm25_docs=list(corpus.values()), scale_mode=True,
+            impact_cap=4, topk=8, batch_size=4,
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ImpactCapTruncationWarning)
+        s._cap_guard_warned = False
+        s.search(["mot3 chose1", "mot5 truc2"], batch_size=4, use_pallas=False)
+    s._cap_guard_warned = False
+    with pytest.warns(ImpactCapTruncationWarning):
+        s.search(["le la mot3", "la le mot5"], batch_size=4, use_pallas=False)
