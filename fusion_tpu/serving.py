@@ -89,6 +89,37 @@ def _save_corpus_matrix(corpus, path: str, name: str) -> None:
         )
 
 
+class CascadeTruncationWarning(UserWarning):
+    """Cascade stage 1 truncates below most documents' evidence reach."""
+
+
+def _check_cascade_stage1_depth(
+    stage1_tokens: int, doc_lens, p: float = 90.0
+) -> None:
+    """Cascade quality guard: CASCADE_STUDY_r03 measured exact ranking
+    parity when relevant evidence sits within ``stage1_tokens`` but an MRR
+    cliff (0.50–0.89 vs 0.91 flat) on grid points where evidence depth
+    exceeds stage 1.  Since evidence position is unknowable at build time,
+    the safe rule is stage1_tokens ≥ the corpus's p90 token length — warn
+    when configured below it."""
+    if doc_lens is None or len(doc_lens) == 0:
+        return
+    p90 = float(np.percentile(np.asarray(doc_lens), p))
+    if stage1_tokens < p90:
+        import warnings
+
+        warnings.warn(
+            f"rerank_cascade stage1_tokens={stage1_tokens} is below the "
+            f"corpus p{p:.0f} doc length ({p90:.0f} tokens): documents "
+            f"whose evidence sits past the truncation can miss the stage-1 "
+            f"cut (measured MRR 0.50-0.89 vs 0.91 flat in that regime, "
+            f"CASCADE_STUDY_r03). Raise stage1_tokens to >= {int(p90)}, "
+            f"raise keep, or use rerank_buckets / --ce_int8 (exact).",
+            CascadeTruncationWarning,
+            stacklevel=3,
+        )
+
+
 def _load_corpus_matrix(path: str, name: str):
     import os
 
@@ -370,6 +401,10 @@ class HybridSearcher:
             )
             out.rerank_buckets = rerank_buckets
             out.rerank_cascade = rerank_cascade
+            if rerank_cascade is not None:
+                _check_cascade_stage1_depth(
+                    int(rerank_cascade[1]), out.ce_doc_lens
+                )
         if encoders_int8:
             # query-side int8 trunks (corpus was encoded f32 above; the
             # int8 CORPUS matrices are the separate int8_corpus knob)
@@ -850,6 +885,10 @@ class HybridSearcher:
                 self.ce_doc_tokens = jnp.asarray(z["ids"])
                 self.ce_doc_mask = jnp.asarray(z["mask"])
                 self.ce_doc_lens = z["mask"].sum(axis=1).astype(np.int32)
+            if self.rerank_cascade is not None:
+                _check_cascade_stage1_depth(
+                    int(self.rerank_cascade[1]), self.ce_doc_lens
+                )
         pctl_path = os.path.join(path, "percentile_distributions.npz")
         if os.path.exists(pctl_path):
             with np.load(pctl_path) as z:

@@ -759,3 +759,30 @@ def test_serving_impact_cap_query_guard(recwarn):
     s._cap_guard_warned = False
     with pytest.warns(ImpactCapTruncationWarning):
         s.search(["le la mot3", "la le mot5"], batch_size=4, use_pallas=False)
+
+
+def test_cascade_stage1_depth_guard(models):
+    """Configuring the cascade with stage1_tokens below the corpus p90 doc
+    length must warn (the CASCADE_STUDY cliff regime); a stage-1 width
+    covering the corpus stays silent."""
+    import warnings
+
+    from fusion_tpu.models.crossencoder import CrossEncoder
+    from fusion_tpu.models.encoder import EncoderConfig
+    from fusion_tpu.serving import CascadeTruncationWarning
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    long_corpus = {
+        i: " ".join(f"mot{j}" for j in range(30)) for i in range(12)
+    }
+    with pytest.warns(CascadeTruncationWarning):
+        HybridSearcher.build(
+            long_corpus, cross_encoder=ce, rerank_depth=4, topk=8,
+            batch_size=4, rerank_cascade=(2, 4), ce_max_doc_tokens=40,
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", CascadeTruncationWarning)
+        HybridSearcher.build(
+            long_corpus, cross_encoder=ce, rerank_depth=4, topk=8,
+            batch_size=4, rerank_cascade=(2, 40), ce_max_doc_tokens=40,
+        )
