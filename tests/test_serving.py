@@ -786,3 +786,36 @@ def test_cascade_stage1_depth_guard(models):
             long_corpus, cross_encoder=ce, rerank_depth=4, topk=8,
             batch_size=4, rerank_cascade=(2, 40), ce_max_doc_tokens=40,
         )
+
+
+def test_int8_ce_composes_with_bucketed_rerank(models):
+    """int8 CE trunk + length-bucketed rerank (the exact-quality fast
+    composition): the bucketed searcher serving a .quantized() CE must
+    return the same head ordering as the same searcher with the f32 CE up
+    to int8 score rounding (top-1 must agree on a separable corpus)."""
+    from fusion_tpu.models.crossencoder import CrossEncoder
+    from fusion_tpu.models.encoder import EncoderConfig
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=32)
+    corpus = {
+        i: " ".join(["chat"] * (2 + i % 5) + [f"mot{i}"]) for i in range(16)
+    }
+    common = dict(
+        rerank_depth=6, topk=8, batch_size=4,
+        rerank_buckets=(8, 16, 24), ce_max_doc_tokens=24,
+    )
+    # rerank needs a first-stage list: bm25 over the same corpus
+    f32b = HybridSearcher.build(
+        corpus, bm25_docs=list(corpus.values()), cross_encoder=ce, **common
+    )
+    i8b = HybridSearcher.build(
+        corpus, bm25_docs=list(corpus.values()),
+        cross_encoder=ce.quantized(), **common
+    )
+    q = ["chat mot3", "chat mot7"]
+    want, _ = f32b.search(q, batch_size=4, use_pallas=False)
+    got, _ = i8b.search(q, batch_size=4, use_pallas=False)
+    w_ids, g_ids = np.asarray(want.ids), np.asarray(got.ids)
+    for qi in range(len(q)):
+        assert g_ids[qi, 0] == w_ids[qi, 0], (qi, g_ids[qi], w_ids[qi])
+        assert len(set(g_ids[qi].tolist()) & set(w_ids[qi].tolist())) >= 7
