@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--impls", default="einsum,einsum_bf16")
     ap.add_argument("--sweep_flash", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU smoke (use with tiny --batch/--seq)")
     ap.add_argument("--sweep_splash", action="store_true",
                     help="time splash-attention MHA vs the einsum reference "
                          "at the train shape (full mask, L=256)")
@@ -38,6 +40,8 @@ def main():
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/fusion_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -76,9 +80,13 @@ def main():
     tokens = B * L
     fwd_tflop = 2 * p_matmul * tokens / 1e12
 
-    for impl in args.impls.split(","):
+    for spec in args.impls.split(","):
+        # 'einsum_bf16+int8' = int8 trunk matmuls (VERDICT r3 #8: measure or
+        # rule out int8 for the ColBERT TRAINING forward — the serving-side
+        # int8 injection, models/encoder.py quantize='int8', under grad)
+        impl, _, quant = spec.partition("+")
         cfg = EncoderConfig(dropout=0.0, dtype=jnp.bfloat16, remat=True,
-                            attention_impl=impl)
+                            attention_impl=impl, quantize=quant or None)
         model, params = init_encoder_params(cfg, with_mlm=False)
 
         fwd = jax.jit(lambda p, i, m: model.apply(p, i, m))
@@ -88,16 +96,19 @@ def main():
             h = model.apply(p, ids, mask)
             return jnp.sum(h.astype(jnp.float32) ** 2) * 1e-9
 
-        grad = jax.jit(jax.grad(loss_fn))
-        dt_g = timeit(grad, params)
-
-        print(json.dumps({
-            "impl": impl, "batch": B, "seq": L,
+        out = {
+            "impl": spec, "batch": B, "seq": L,
             "fwd_ms": round(dt_f * 1000, 1),
             "fwd_tflops": round(fwd_tflop / dt_f, 1),
-            "train_fwd_bwd_ms": round(dt_g * 1000, 1),
-            "fwd_bwd_tflops": round(4 * fwd_tflop / dt_g, 1),
-        }))
+        }
+        try:
+            grad = jax.jit(jax.grad(loss_fn))
+            dt_g = timeit(grad, params)
+            out["train_fwd_bwd_ms"] = round(dt_g * 1000, 1)
+            out["fwd_bwd_tflops"] = round(4 * fwd_tflop / dt_g, 1)
+        except Exception as e:  # noqa: BLE001 — int8 grad may be unsupported
+            out["train_fwd_bwd_error"] = str(e)[:160]
+        print(json.dumps(out))
         sys.stdout.flush()
 
     if args.sweep_flash:

@@ -36,6 +36,15 @@ runpy.run_path('scripts/probe_dense.py', run_name='__main__')
 " > /tmp/chip_r04/probe_dense.log 2>&1
 tail -1 /tmp/chip_r04/probe_dense.log
 
+echo "== 2c/5 colbert train-step int8 probe (measure or rule out int8 fwd)"
+python -c "
+import sys; sys.path.insert(0, '/root/repo')
+import runpy; sys.argv = ['probe_colbert_step.py', '--impls',
+                          'einsum_bf16,einsum_bf16+int8']
+runpy.run_path('scripts/probe_colbert_step.py', run_name='__main__')
+" > /tmp/chip_r04/probe_colbert_int8.log 2>&1
+tail -2 /tmp/chip_r04/probe_colbert_int8.log
+
 echo "== 3/5 bench_mmarco full (all best forms incl. 3-stage plaid)"
 python bench_mmarco.py \
   --legs bm25_inv,splade_scatter,dense_fused,plaid \
