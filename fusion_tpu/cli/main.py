@@ -175,18 +175,17 @@ def _training_mesh(args, batch_size: int):
 
     Returns ``(mesh, batch_size)`` — ``mesh=None`` when disabled or only one
     device is visible.  The batch must split evenly over the ``data`` axis,
-    so the axis size is ``gcd(batch_size, n_devices)`` (a tiny fixture batch
-    on an 8-device mesh still trains, just on fewer devices)."""
+    so the axis size is the LARGEST divisor of ``batch_size`` that is
+    ≤ ``n_devices`` (a tiny fixture batch on an 8-device mesh still trains,
+    just on fewer devices; batch 24 on 16 chips uses 12, not gcd's 8)."""
     if not getattr(args, "data_parallel", True):
         return None, batch_size
-    import math
-
     import jax
 
     n = jax.device_count()
     if n <= 1:
         return None, batch_size
-    d = math.gcd(batch_size, n)
+    d = max((k for k in range(1, min(batch_size, n) + 1) if batch_size % k == 0), default=1)
     if d <= 1:
         return None, batch_size
     from fusion_tpu.parallel.sharding import make_mesh

@@ -151,14 +151,15 @@ def build_impact_index(
 
     ``use_native=None`` routes >2M-posting builds through the C++ packer
     (native/impact_packer.cpp) — see ``build_chunked_impact_index``."""
+    t = np.asarray(entry_term, dtype=np.int64)
     if use_native is None:
-        use_native = np.asarray(entry_term).size > 2_000_000
-    # df distribution (cheap bincount) → build-time cap guard + the
-    # query-time guard's lookup table (unsafe_query_term_frac)
-    df = np.bincount(
-        np.asarray(entry_term, dtype=np.int64), minlength=vocab_size
-    )[:vocab_size].astype(np.int32)
-    _warn_unsafe_terms(df, cap, int(np.asarray(entry_term).size))
+        use_native = t.size > 2_000_000
+    # df distribution (one bincount, reused by the non-native packer below)
+    # → build-time cap guard + the query-time guard's lookup table
+    # (unsafe_query_term_frac)
+    counts = np.bincount(t, minlength=vocab_size)
+    df = counts[:vocab_size].astype(np.int32)
+    _warn_unsafe_terms(df, cap, int(t.size))
     if use_native:
         from fusion_tpu.native import pack_flat_impact
 
@@ -176,12 +177,11 @@ def build_impact_index(
                 nnz_kept=kept,
                 term_df=df,
             )
-    t = np.asarray(entry_term, dtype=np.int64)
     d = np.asarray(entry_doc, dtype=np.int64)
     v = np.asarray(impacts, dtype=np.float32)
     order = np.lexsort((-v, t))  # term-major, impact descending within term
     t, d, v = t[order], d[order], v[order]
-    counts = np.bincount(t, minlength=vocab_size)
+    # counts computed above (bincount is permutation-invariant)
     starts = np.zeros(vocab_size + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     rank = np.arange(t.size, dtype=np.int64) - starts[t]

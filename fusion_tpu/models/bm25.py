@@ -189,16 +189,12 @@ class BM25Index:
     # ------------------------------------------------------------------
     # queries
     # ------------------------------------------------------------------
-    def encode_queries(
+    def encode_queries_np(
         self, queries: Sequence[str], max_terms: int = 64
-    ) -> tuple[jax.Array, jax.Array]:
-        """Tokenized query strings → (term ids [Q, L], term counts [Q, L]).
-
-        OOV terms map to the V pad row (idf 0 — same as the reference's
-        ``idf.get(t, 0)``, bm25.py:154).  Duplicate query terms accumulate in
-        the count so each occurrence contributes, matching the reference's
-        per-token sum (bm25.py:152-155).
-        """
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host-side form of :meth:`encode_queries` — returns numpy arrays so
+        callers that need host inspection (e.g. the serving impact-cap guard)
+        can avoid a device→host round-trip on the tunneled TPU."""
         v = self.vocab_size
         q_terms = np.full((len(queries), max_terms), v, dtype=np.int64)
         q_weights = np.zeros((len(queries), max_terms), dtype=np.float32)
@@ -211,10 +207,20 @@ class BM25Index:
             for j, (tid, c) in enumerate(list(counts.items())[:max_terms]):
                 q_terms[qi, j] = tid
                 q_weights[qi, j] = c
-        return (
-            jnp.asarray(q_terms.astype(np.int32)),
-            jnp.asarray(q_weights),
-        )
+        return q_terms.astype(np.int32), q_weights
+
+    def encode_queries(
+        self, queries: Sequence[str], max_terms: int = 64
+    ) -> tuple[jax.Array, jax.Array]:
+        """Tokenized query strings → (term ids [Q, L], term counts [Q, L]).
+
+        OOV terms map to the V pad row (idf 0 — same as the reference's
+        ``idf.get(t, 0)``, bm25.py:154).  Duplicate query terms accumulate in
+        the count so each occurrence contributes, matching the reference's
+        per-token sum (bm25.py:152-155).
+        """
+        q_terms, q_weights = self.encode_queries_np(queries, max_terms=max_terms)
+        return jnp.asarray(q_terms), jnp.asarray(q_weights)
 
     # ------------------------------------------------------------------
     # device scoring

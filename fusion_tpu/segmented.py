@@ -142,25 +142,14 @@ class SegmentedHybridSearcher:
 
     @property
     def active_systems(self) -> list[str]:
+        # bm25 and the rerank stage are managed globally by the segmented
+        # searcher; the neural legs are whatever the per-segment searcher
+        # class reports (HybridSearcher / ShardedHybridSearcher each own
+        # their field→system mapping — keep one source of truth)
         out = ["bm25"] if self._has_bm25 else []
         if self.segments:
-            seg = self.segments[0]
-            if seg.dense_corpus is not None or getattr(seg, "dense_leg", None) is not None:
-                out.append("dpr")
-            if (
-                seg.splade_corpus is not None
-                or seg.splade_impact_index is not None
-                or seg.splade_scatter_index is not None
-                or getattr(seg, "splade_leg", None) is not None
-                or getattr(seg, "splade_shards", None) is not None
-                or getattr(seg, "splade_scatter_shards", None) is not None
-            ):
-                out.append("splade")
-            if (
-                seg.colbert_index is not None
-                or getattr(seg, "plaid_shards", None) is not None
-            ):
-                out.append("colbert")
+            seg_systems = self.segments[0].active_systems
+            out += [s for s in ("dpr", "splade", "colbert") if s in seg_systems]
         if self.cross_encoder is not None:
             out.append("monobert")
         return out

@@ -953,9 +953,12 @@ class HybridSearcher:
             bm25_chunk = (
                 self.bm25_preprocess(chunk) if self.bm25_preprocess is not None else chunk
             )
-            terms, weights = self.bm25.encode_queries(bm25_chunk)
-            inputs["bm25_terms"], inputs["bm25_weights"] = terms, weights
-            self._check_impact_cap_guard(terms)
+            # guard on the HOST arrays before upload: np.asarray on a device
+            # array is a blocking fetch (~27-30 ms tunnel RTT per batch)
+            terms_np, weights_np = self.bm25.encode_queries_np(bm25_chunk)
+            self._check_impact_cap_guard(terms_np)
+            inputs["bm25_terms"] = jnp.asarray(terms_np)
+            inputs["bm25_weights"] = jnp.asarray(weights_np)
         if self._wants_encoder_queries:
             # each bi-encoder tokenizes with ITS OWN text encoder: dense and
             # SPLADE checkpoints may differ in tokenizer/prefix/max length

@@ -138,7 +138,7 @@ def main():
         timeit(cand_fn, q_tok, q_mask, cents, ivf_doc, N) * 1000, 1
     )
     cand, _ = cand_fn(q_tok, q_mask, cents, ivf_doc, N)
-    cand = jax.block_until_ready(cand)
+    fetch_one(cand)  # host-fetch fence (tunnel returns early from block_until_ready)
 
     resc_fn = functools.partial(_plaid_rescore, nbits=NBITS, k=1000, cand_chunk=512)
     report["rescore_ms"] = round(
@@ -152,7 +152,8 @@ def main():
     report["centroid_prune_ms"] = round(
         timeit(prune_fn, q_tok, q_mask, cents, cid, mask, cand) * 1000, 1
     )
-    cand2 = jax.block_until_ready(prune_fn(q_tok, q_mask, cents, cid, mask, cand))
+    cand2 = prune_fn(q_tok, q_mask, cents, cid, mask, cand)
+    fetch_one(cand2)  # host-fetch fence
     report["rescore1024_ms"] = round(
         timeit(resc_fn, q_tok, q_mask, cents, cid, codes, mask, bw, cand2) * 1000, 1
     )
@@ -167,7 +168,8 @@ def main():
     report["table_build_ms"] = round(
         timeit(_centroid_score_table_jit, q_tok, cents) * 1000, 1
     )
-    cs = jax.block_until_ready(_centroid_score_table_jit(q_tok, cents))
+    cs = _centroid_score_table_jit(q_tok, cents)
+    fetch_one(cs)  # host-fetch fence
     fact_fn = functools.partial(
         _plaid_rescore_factored, nbits=NBITS, k=1000, cand_chunk=512
     )

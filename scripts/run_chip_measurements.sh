@@ -75,4 +75,5 @@ tail -1 /tmp/chip_r04/bench.log
 tail -1 /tmp/chip_r04/bench.log | grep -q '"metric"' \
   && tail -1 /tmp/chip_r04/bench.log > BENCH_r04_preview.json
 
-echo "== done; artifacts in /tmp/chip_r04/ (+ repo *_refresh.json)"
+echo "== done; logs in /tmp/chip_r04/; repo artifacts: BENCH_MMARCO_r04.json,"
+echo "   BENCH_SHARDED_r04.json, BENCH_r04_preview.json (when steps succeeded)"

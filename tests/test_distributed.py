@@ -81,15 +81,37 @@ def test_dryrun_is_relay_proof_in_fresh_process():
     # reuse the persistent compile cache so the subprocess dryrun stays fast
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/fusion_tpu_jax_cache"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Guard INSIDE the child: any backend init before the cpu pin raises
+    # immediately, so a pin regression fails fast instead of hanging on a
+    # dead relay (and the test never kills a chip-claiming process — killed
+    # TPU processes wedge the claim for ~10-20 min).  The guard fires BEFORE
+    # the real backends() call, so the axon plugin is never initialized.
+    child = (
+        "import jax\n"
+        "from jax._src import xla_bridge\n"
+        "_real = xla_bridge.backends\n"
+        "def _guarded(*a, **k):\n"
+        "    plats = jax.config.jax_platforms\n"
+        "    assert plats and 'cpu' in str(plats), (\n"
+        "        f'backend init before cpu pin (jax_platforms={plats!r})')\n"
+        "    return _real(*a, **k)\n"
+        "xla_bridge.backends = _guarded\n"
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(8)\n"
+        "print('BACKEND', jax.default_backend())\n"
+        "print('DRYRUN_DONE')\n"
+    )
     proc = subprocess.run(
-        [sys.executable, "-c",
-         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8); print('DRYRUN_DONE')"],
+        [sys.executable, "-c", child],
         cwd=repo, env=env, capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "DRYRUN_DONE" in proc.stdout
-    # the accelerator plugin must never have been initialized
-    assert "TPU" not in proc.stdout
+    assert "BACKEND cpu" in proc.stdout
+    # the accelerator plugin must never have been initialized (its init
+    # banner goes to stderr; check both streams)
+    for stream in (proc.stdout, proc.stderr):
+        assert "axon" not in stream.lower(), stream
 
 
 def test_sharded_impact_search_matches_single(rng):
