@@ -239,7 +239,28 @@ def _centroid_score_table(q_tok: jax.Array, centroids: jax.Array) -> jax.Array:
 _centroid_score_table_jit = jax.jit(_centroid_score_table)
 
 
-@functools.partial(jax.jit, static_argnames=("ncand2", "cand_chunk"))
+def _gather_cand_rows(srcs, safe, gather_impl: str):
+    """Candidate-row gather used by the prune/rescore tiers: ``'xla'`` is
+    the plain ``src[idx]`` gather; ``'pallas'`` streams pipelined DMAs
+    (ops/gather_rows.py — built for exactly these scattered ~1.1 KB row
+    reads); ``'pallas_interpret'`` is the CPU-testable interpret mode."""
+    if gather_impl == "xla":
+        return tuple(s[safe] for s in srcs)
+    import math
+
+    from fusion_tpu.ops.gather_rows import gather_rows
+
+    return gather_rows(
+        srcs, safe,
+        use_pallas=True,
+        rows_per_block=math.gcd(256, safe.shape[1]),
+        interpret=(gather_impl == "pallas_interpret"),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ncand2", "cand_chunk", "gather_impl")
+)
 def _plaid_centroid_prune(
     q_tok: jax.Array,  # [Q, Lq, D]
     q_mask: jax.Array,  # [Q, Lq]
@@ -250,6 +271,7 @@ def _plaid_centroid_prune(
     ncand2: int,
     cand_chunk: int = 1024,
     cs: jax.Array | None = None,  # precomputed _centroid_score_table
+    gather_impl: str = "xla",
 ) -> jax.Array:
     """Tier-A approximate rescore: MaxSim against each candidate token's
     CENTROID only — no residual decompression, no codes gather.  This is
@@ -286,8 +308,8 @@ def _plaid_centroid_prune(
     def block_scores(bi):
         sl = jax.lax.dynamic_slice_in_dim(cand, bi * cc, cc, axis=1)  # [Q, cc]
         safe = jnp.minimum(sl, n - 1)
-        cid = centroid_ids[safe]  # [Q, cc, Ld]
-        msk = mask[safe].astype(jnp.bfloat16)
+        cid, msk = _gather_cand_rows((centroid_ids, mask), safe, gather_impl)
+        msk = msk.astype(jnp.bfloat16)
         # flattened ONE-AXIS row gather (a batched take_along_axis lowers to
         # serializing element gathers — measured 2x the whole two-stage leg)
         csg = cs[cid + q_off]  # [Q, cc, Ld, Lq]
@@ -300,10 +322,12 @@ def _plaid_centroid_prune(
     return jnp.where(out.ids >= 0, out.ids, n).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "k", "cand_chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "k", "cand_chunk", "gather_impl")
+)
 def _plaid_rescore(
     q_tok, q_mask, centroids, centroid_ids, codes, mask, bucket_weights,
-    cand, nbits: int, k: int, cand_chunk: int,
+    cand, nbits: int, k: int, cand_chunk: int, gather_impl: str = "xla",
 ):
     from fusion_tpu.index.compression import CompressedTokenIndex
     from fusion_tpu.ops.topk import blockwise_topk
@@ -322,9 +346,9 @@ def _plaid_rescore(
         start = bi * cand_chunk
         sl = jax.lax.dynamic_slice_in_dim(cand, start, cand_chunk, axis=1)  # [Q, cc]
         safe = jnp.minimum(sl, n - 1)
-        cid = centroid_ids[safe]  # [Q, cc, Ld]
-        cod = codes[safe]  # [Q, cc, Ld, D/p]
-        msk = mask[safe]  # [Q, cc, Ld]
+        cid, cod, msk = _gather_cand_rows(
+            (centroid_ids, codes, mask), safe, gather_impl
+        )  # [Q, cc, Ld], [Q, cc, Ld, D/p], [Q, cc, Ld]
         d_tok = helper.decompress(
             cid.reshape(-1, cid.shape[-1]), cod.reshape(-1, *cod.shape[-2:])
         ).reshape(*cid.shape, -1)  # [Q, cc, Ld, D]
@@ -350,10 +374,12 @@ def _plaid_rescore(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "k", "cand_chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "k", "cand_chunk", "gather_impl")
+)
 def _plaid_rescore_factored(
     q_tok, q_mask, cs, centroid_ids, codes, mask, bucket_weights,
-    cand, nbits: int, k: int, cand_chunk: int,
+    cand, nbits: int, k: int, cand_chunk: int, gather_impl: str = "xla",
 ):
     """Exact rescore with the centroid term FACTORED OUT:
 
@@ -385,13 +411,14 @@ def _plaid_rescore_factored(
     def block_scores(bi):
         sl = jax.lax.dynamic_slice_in_dim(cand, bi * cand_chunk, cand_chunk, axis=1)
         safe = jnp.minimum(sl, n - 1)
-        cid = centroid_ids[safe]  # [Q, cc, Ld]
-        msk = mask[safe]  # [Q, cc, Ld]
+        cid, packed, msk = _gather_cand_rows(
+            (centroid_ids, codes, mask), safe, gather_impl
+        )  # [Q, cc, Ld], [Q, cc, Ld, D/p], [Q, cc, Ld]
         # centroid term: flattened one-axis row gather of [Lq] columns
         csg = cs[cid + q_off]  # [Q, cc, Ld, Lq] bf16
         # residual term: unpack codes, tiny-table select (gathers serialize
         # on TPU), one batched MXU dot against the query tokens
-        cod = _unpack_codes_jnp(codes[safe], nbits, d)  # [Q, cc, Ld, D] i32
+        cod = _unpack_codes_jnp(packed, nbits, d)  # [Q, cc, Ld, D] i32
         if levels <= 16:
             residual = jnp.zeros(cod.shape, jnp.bfloat16)
             for level in range(levels):
@@ -476,6 +503,7 @@ def sharded_plaid_search(
     cand_chunk: int = 512,
     ncand_rescore: int | None = 1024,
     rescore_impl: str = "gather",
+    gather_impl: str = "xla",
 ) -> RankedLists:
     """Index-parallel PLAID: each device probes + prunes + rescores its
     doc-range shard (queries and centroid table replicated), per-shard top-k
@@ -506,17 +534,20 @@ def sharded_plaid_search(
             cs = _centroid_score_table(qt, cents)
         if nr:
             cand = _plaid_centroid_prune(
-                qt, qm, cents, cid[0], msk[0], cand, ncand2=nr, cs=cs
+                qt, qm, cents, cid[0], msk[0], cand, ncand2=nr, cs=cs,
+                gather_impl=gather_impl,
             )
         if rescore_impl == "factored":
             local_ranked = _plaid_rescore_factored(
                 qt, qm, cs, cid[0], codes[0], msk[0], bw, cand,
                 nbits=sharded.nbits, k=k, cand_chunk=chunk,
+                gather_impl=gather_impl,
             )
         else:
             local_ranked = _plaid_rescore(
                 qt, qm, cents, cid[0], codes[0], msk[0], bw, cand,
                 nbits=sharded.nbits, k=k, cand_chunk=chunk,
+                gather_impl=gather_impl,
             )
         global_ids = jnp.where(
             local_ranked.ids >= 0, local_ranked.ids + shard_idx * per, -1
@@ -535,7 +566,7 @@ def sharded_plaid_search(
         (
             "sharded_plaid_search",
             mesh, k, per, nprobe, ncand_l, nr, chunk, sharded.nbits,
-            rescore_impl,
+            rescore_impl, gather_impl,
         ),
         lambda: shard_map(
             local,
@@ -568,6 +599,7 @@ def plaid_search(
     cand_chunk: int = 512,
     ncand_rescore: int | None = 1024,
     rescore_impl: str = "gather",
+    gather_impl: str = "xla",
 ) -> RankedLists:
     """Three-stage search: candidate generation → centroid-only pruning →
     exact decompressed rescore (colbert-ai PLAID's stage structure).
@@ -579,7 +611,11 @@ def plaid_search(
     ``rescore_impl``: 'gather' reads a centroid row per candidate token
     (:func:`_plaid_rescore`); 'factored' reuses the pruning tier's
     centroid-score table and only reconstructs residuals
-    (:func:`_plaid_rescore_factored`)."""
+    (:func:`_plaid_rescore_factored`).
+
+    ``gather_impl``: 'xla' uses plain ``src[idx]`` candidate-row gathers;
+    'pallas' streams them as pipelined DMAs (ops/gather_rows.py);
+    'pallas_interpret' is the CPU-testable interpret mode."""
     # the rescore chunks candidates with clamped dynamic slices: keep ncand a
     # multiple of cand_chunk so no candidate is scored twice
     ncand = min(ncand, max(ivf.n_docs, 1))
@@ -598,7 +634,7 @@ def plaid_search(
         nr = max(ncand_rescore - ncand_rescore % cand_chunk, cand_chunk)
         cand = _plaid_centroid_prune(
             q_tok, qm, index.centroids, index.centroid_ids, index.mask,
-            cand, ncand2=nr, cs=cs,
+            cand, ncand2=nr, cs=cs, gather_impl=gather_impl,
         )
         ncand = nr
     if rescore_impl == "factored":
@@ -606,9 +642,11 @@ def plaid_search(
             q_tok, qm, cs, index.centroid_ids, index.codes, index.mask,
             index.bucket_weights, cand,
             nbits=index.nbits, k=min(k, ncand), cand_chunk=cand_chunk,
+            gather_impl=gather_impl,
         )
     return _plaid_rescore(
         q_tok, qm, index.centroids, index.centroid_ids,
         index.codes, index.mask, index.bucket_weights, cand,
         nbits=index.nbits, k=min(k, ncand), cand_chunk=cand_chunk,
+        gather_impl=gather_impl,
     )

@@ -172,6 +172,9 @@ class HybridSearcher:
     # 'gather' re-reads centroid rows in the exact tier; 'factored' reuses
     # the pruning tier's centroid-score table (index/plaid.py)
     plaid_rescore_impl: str = "gather"
+    # candidate-row gathers in the prune/exact tiers: 'xla' plain gather,
+    # 'pallas' pipelined-DMA kernel (ops/gather_rows.py)
+    plaid_gather_impl: str = "xla"
     cross_encoder: object | None = None
     ce_doc_tokens: jax.Array | None = None
     ce_doc_mask: jax.Array | None = None
@@ -234,6 +237,7 @@ class HybridSearcher:
         plaid_ncand: int = 4096,
         plaid_ncand_rescore: int | None = 1024,
         plaid_rescore_impl: str = "gather",
+        plaid_gather_impl: str = "xla",
         ivf_cap: int = 1024,
         rerank_buckets: tuple | None = None,
         rerank_cascade: tuple | None = None,
@@ -280,6 +284,7 @@ class HybridSearcher:
         out.plaid_nprobe, out.plaid_ncand = plaid_nprobe, plaid_ncand
         out.plaid_ncand_rescore = plaid_ncand_rescore
         out.plaid_rescore_impl = plaid_rescore_impl
+        out.plaid_gather_impl = plaid_gather_impl
         out.dense_impl = dense_impl
         if bm25_docs is not None:
             out.bm25 = BM25Index.build(bm25_docs, k1=k1, b=b)
@@ -505,7 +510,7 @@ class HybridSearcher:
         key = (batch, use_pallas, self.rerank_buckets is None, dense_fused,
                systems_out, self.rerank_cascade, self.cross_encoder,
                self.dense_model, self.splade_model, self.colbert_model,
-               self.plaid_rescore_impl)
+               self.plaid_rescore_impl, self.plaid_gather_impl)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -704,6 +709,7 @@ class HybridSearcher:
                         ncand=min(self.plaid_ncand, ivf.n_docs),
                         ncand_rescore=self.plaid_ncand_rescore,
                         rescore_impl=self.plaid_rescore_impl,
+                        gather_impl=self.plaid_gather_impl,
                     )
                 elif "cb_comp" in ops:
                     results["colbert"] = maxsim_search_compressed(

@@ -227,6 +227,7 @@ class ShardedHybridSearcher(HybridSearcher):
             plaid_ncand=searcher.plaid_ncand,
             plaid_ncand_rescore=searcher.plaid_ncand_rescore,
             plaid_rescore_impl=searcher.plaid_rescore_impl,
+            plaid_gather_impl=searcher.plaid_gather_impl,
             dense_local_topk=dense_local_topk,
         )
         if searcher.bm25 is not None:
@@ -381,7 +382,8 @@ class ShardedHybridSearcher(HybridSearcher):
         # objects themselves are keyed (identity hash + strong reference)
         key = (batch, use_pallas, self.rerank_depth, self.rerank_cascade,
                self.cross_encoder, self.dense_model, self.splade_model,
-               self.colbert_model, self.plaid_rescore_impl, systems_out)
+               self.colbert_model, self.plaid_rescore_impl,
+               self.plaid_gather_impl, systems_out)
         if key in self._programs:
             return self._programs[key]
 
@@ -563,6 +565,7 @@ class ShardedHybridSearcher(HybridSearcher):
                     cand = _plaid_centroid_prune(
                         qt, qm, arrs[ic], arrs[icid][0], arrs[imsk][0],
                         cand, ncand2=nr, cs=cs,
+                        gather_impl=self.plaid_gather_impl,
                     )
                     kl = min(kl, nr)
                 if factored:
@@ -571,11 +574,13 @@ class ShardedHybridSearcher(HybridSearcher):
                     local = _plaid_rescore_factored(
                         qt, qm, cs, arrs[icid][0], arrs[icod][0], arrs[imsk][0],
                         arrs[ibw], cand, nbits=ps.nbits, k=kl, cand_chunk=chunk,
+                        gather_impl=self.plaid_gather_impl,
                     )
                 else:
                     local = _plaid_rescore(
                         qt, qm, arrs[ic], arrs[icid][0], arrs[icod][0], arrs[imsk][0],
                         arrs[ibw], cand, nbits=ps.nbits, k=kl, cand_chunk=chunk,
+                        gather_impl=self.plaid_gather_impl,
                     )
                 results["colbert"] = globalize_merge(local, per)
 

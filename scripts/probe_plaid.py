@@ -140,7 +140,9 @@ def main():
     cand, _ = cand_fn(q_tok, q_mask, cents, ivf_doc, N)
     fetch_one(cand)  # host-fetch fence (tunnel returns early from block_until_ready)
 
-    resc_fn = functools.partial(_plaid_rescore, nbits=NBITS, k=1000, cand_chunk=512)
+    kk = min(1000, args.ncand)
+    cc = min(512, args.ncand)
+    resc_fn = functools.partial(_plaid_rescore, nbits=NBITS, k=kk, cand_chunk=cc)
     report["rescore_ms"] = round(
         timeit(resc_fn, q_tok, q_mask, cents, cid, codes, mask, bw, cand) * 1000, 1
     )
@@ -148,7 +150,10 @@ def main():
     # round-3 three-stage tier: centroid-only prune + shallow exact rescore
     from fusion_tpu.index.plaid import _plaid_centroid_prune
 
-    prune_fn = functools.partial(_plaid_centroid_prune, ncand2=1024, cand_chunk=1024)
+    prune_fn = functools.partial(
+        _plaid_centroid_prune,
+        ncand2=min(1024, args.ncand), cand_chunk=min(1024, args.ncand),
+    )
     report["centroid_prune_ms"] = round(
         timeit(prune_fn, q_tok, q_mask, cents, cid, mask, cand) * 1000, 1
     )
@@ -171,7 +176,7 @@ def main():
     cs = _centroid_score_table_jit(q_tok, cents)
     fetch_one(cs)  # host-fetch fence
     fact_fn = functools.partial(
-        _plaid_rescore_factored, nbits=NBITS, k=1000, cand_chunk=512
+        _plaid_rescore_factored, nbits=NBITS, k=kk, cand_chunk=cc
     )
     report["rescore_factored_ms"] = round(
         timeit(fact_fn, q_tok, q_mask, cs, cid, codes, mask, bw, cand) * 1000, 1
@@ -179,6 +184,29 @@ def main():
     report["rescore1024_factored_ms"] = round(
         timeit(fact_fn, q_tok, q_mask, cs, cid, codes, mask, bw, cand2) * 1000, 1
     )
+
+    # round-4 pipelined-DMA candidate gathers (ops/gather_rows.py): A/B the
+    # same three rescore forms with gather_impl='pallas' — the XLA row
+    # gathers are the measured dominant rescore cost.  Guarded: a lowering
+    # failure must not kill the rest of the probe.
+    for name_, fn_, args_ in (
+        ("rescore_pallas_ms",
+         functools.partial(resc_fn, gather_impl="pallas"),
+         (q_tok, q_mask, cents, cid, codes, mask, bw, cand)),
+        ("rescore1024_pallas_ms",
+         functools.partial(resc_fn, gather_impl="pallas"),
+         (q_tok, q_mask, cents, cid, codes, mask, bw, cand2)),
+        ("rescore1024_factored_pallas_ms",
+         functools.partial(fact_fn, gather_impl="pallas"),
+         (q_tok, q_mask, cs, cid, codes, mask, bw, cand2)),
+        ("centroid_prune_pallas_ms",
+         functools.partial(prune_fn, gather_impl="pallas"),
+         (q_tok, q_mask, cents, cid, mask, cand)),
+    ):
+        try:
+            report[name_] = round(timeit(fn_, *args_) * 1000, 1)
+        except Exception as e:  # pragma: no cover - chip-only path
+            report[name_] = f"FAILED: {type(e).__name__}: {e}"[:200]
     sys.stderr.write(f"# {report}\n")
     print(json.dumps({"metric": "plaid_stage_breakdown", "detail": report}))
 

@@ -331,3 +331,60 @@ def test_fused_dense_topk_dead_rows_on_tpu():
         assert set(g_ids[qi][finite].tolist()) == set(real_rows.tolist())
         assert (g_sc[qi][finite] < 0).all()
         assert (g_ids[qi][~finite] == -1).all()
+
+
+def test_gather_rows_pallas_matches_xla_on_tpu():
+    """Compiled pipelined-DMA row gather (ops/gather_rows.py) vs src[idx]
+    at rescore-like shapes: [N, Ld] int32 cid + [N, Ld, P] uint8 codes +
+    [N, Ld] f32 mask rows gathered by a [Q, K] candidate matrix, duplicates
+    and boundary rows included."""
+    from fusion_tpu.ops.gather_rows import gather_rows
+
+    rng = np.random.default_rng(5)
+    n, ld, p, q, k = 8192, 32, 32, 8, 512
+    cid = jnp.asarray(rng.integers(0, 131072, size=(n, ld)), jnp.int32)
+    codes = jnp.asarray(rng.integers(0, 255, size=(n, ld, p)), jnp.uint8)
+    mask = jnp.asarray((rng.random((n, ld)) < 0.9).astype(np.float32))
+    idx = np.asarray(rng.integers(0, n, size=(q, k)), np.int32)
+    idx[0, :4] = [0, 0, n - 1, n - 1]  # boundaries + duplicates
+    idx = jnp.asarray(idx)
+
+    got = gather_rows((cid, codes, mask), idx, rows_per_block=256)
+    want = tuple(s[idx] for s in (cid, codes, mask))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(fetch(g), fetch(w))
+
+
+def test_plaid_rescore_pallas_gather_matches_xla_on_tpu():
+    """The compiled rescore with gather_impl='pallas' must return the exact
+    ranking of the 'xla' gather form (same math, different data movement)."""
+    from fusion_tpu.index.compression import compress_token_index
+    from fusion_tpu.index.plaid import build_ivf, plaid_search
+
+    rng = np.random.default_rng(6)
+    n, ld, d = 2048, 16, 64
+    toks = rng.standard_normal((n, ld, d), dtype=np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    mask = (rng.random((n, ld)) > 0.2).astype(np.float32)
+    mask[:, 0] = 1.0
+    index = compress_token_index(
+        jnp.asarray(toks), jnp.asarray(mask), num_centroids=128, nbits=2, seed=0
+    )
+    ivf = build_ivf(
+        np.asarray(index.centroid_ids), np.asarray(index.mask), 128, cap=256
+    )
+    q_tok = rng.standard_normal((4, 8, d), dtype=np.float32)
+    q_tok /= np.linalg.norm(q_tok, axis=-1, keepdims=True)
+    q_tok = jnp.asarray(q_tok)
+    q_mask = jnp.ones((4, 8), jnp.float32)
+    for rescore_impl in ("gather", "factored"):
+        kw = dict(
+            k=64, nprobe=4, ncand=512, cand_chunk=256, ncand_rescore=256,
+            rescore_impl=rescore_impl,
+        )
+        ref = plaid_search(q_tok, q_mask, index, ivf, gather_impl="xla", **kw)
+        out = plaid_search(q_tok, q_mask, index, ivf, gather_impl="pallas", **kw)
+        np.testing.assert_array_equal(fetch(out.ids), fetch(ref.ids))
+        np.testing.assert_allclose(
+            fetch(out.scores), fetch(ref.scores), rtol=1e-5, atol=1e-6
+        )
