@@ -895,7 +895,9 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar=("KEEP", "STAGE1_TOKENS"),
                     help="two-stage in-program rerank: score all candidates "
                          "with docs truncated to STAGE1_TOKENS, rescore the "
-                         "top KEEP at full width (measure quality first)")
+                         "top KEEP at full width; STAGE1_TOKENS=0 resolves "
+                         "to the corpus p90 token length (the measured "
+                         "exact-parity regime)")
     sp.add_argument("--ce_int8", action="store_true",
                     help="serve the rerank stage with dynamic int8 trunk "
                          "matmuls (2x MXU throughput; measure quality "

@@ -120,6 +120,24 @@ def _check_cascade_stage1_depth(
         )
 
 
+def _resolve_cascade(
+    rerank_cascade: tuple, doc_lens, doc_width: int
+) -> tuple[int, int]:
+    """Resolve ``stage1_tokens='auto'`` (or 0/None) to the measured-safe
+    default: the corpus p90 token length — the regime where CASCADE_STUDY
+    measured exact ranking parity — rounded up to a multiple of 16 for
+    tiling and clamped to the stored doc width (a stage-1 at full width
+    collapses to one flat pass in ``rerank_tokens_cascade``)."""
+    keep, stage1 = rerank_cascade
+    if stage1 in (None, 0, "auto"):
+        if doc_lens is None or len(doc_lens) == 0:
+            stage1 = doc_width
+        else:
+            p90 = float(np.percentile(np.asarray(doc_lens), 90.0))
+            stage1 = min(int(-(-p90 // 16) * 16), doc_width)
+    return int(keep), int(stage1)
+
+
 def _load_corpus_matrix(path: str, name: str):
     import os
 
@@ -187,7 +205,9 @@ class HybridSearcher:
     rerank_buckets: tuple | None = None
     # (keep, stage1_tokens): two-stage in-program rerank — truncated-doc
     # prefilter over all candidates, full-width rescore of the top ``keep``
-    # (CrossEncoder.rerank_tokens_cascade; measure quality before enabling)
+    # (CrossEncoder.rerank_tokens_cascade).  stage1_tokens of 0/None/'auto'
+    # in build() resolves to the corpus p90 token length (the measured
+    # exact-parity regime, CASCADE_STUDY)
     rerank_cascade: tuple | None = None
     fusion_method: str = "rrf"
     normalization: str | None = None
@@ -405,11 +425,14 @@ class HybridSearcher:
                 )
             )
             out.rerank_buckets = rerank_buckets
-            out.rerank_cascade = rerank_cascade
             if rerank_cascade is not None:
+                rerank_cascade = _resolve_cascade(
+                    rerank_cascade, out.ce_doc_lens, out.ce_doc_tokens.shape[1]
+                )
                 _check_cascade_stage1_depth(
                     int(rerank_cascade[1]), out.ce_doc_lens
                 )
+            out.rerank_cascade = rerank_cascade
         if encoders_int8:
             # query-side int8 trunks (corpus was encoded f32 above; the
             # int8 CORPUS matrices are the separate int8_corpus knob)

@@ -819,3 +819,38 @@ def test_int8_ce_composes_with_bucketed_rerank(models):
     for qi in range(len(q)):
         assert g_ids[qi, 0] == w_ids[qi, 0], (qi, g_ids[qi], w_ids[qi])
         assert len(set(g_ids[qi].tolist()) & set(w_ids[qi].tolist())) >= 7
+
+
+def test_rerank_cascade_auto_stage1_resolves_to_p90(models):
+    """stage1_tokens=0 ('auto') must resolve at build time to the corpus
+    p90 token length rounded up to a multiple of 16 and clamped to the
+    stored doc width — the CASCADE_STUDY exact-parity regime — and never
+    warn (it IS the safe default)."""
+    import warnings
+
+    dense, _, _ = models
+    from fusion_tpu.models.crossencoder import CrossEncoder
+    from fusion_tpu.serving import _resolve_cascade
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # auto must not trip the p90 guard
+        s = HybridSearcher.build(
+            CORPUS, dense_model=dense, cross_encoder=ce,
+            rerank_depth=4, rerank_cascade=(4, 0), batch_size=4, topk=8,
+        )
+    keep, stage1 = s.rerank_cascade
+    assert keep == 4
+    p90 = float(np.percentile(np.asarray(s.ce_doc_lens), 90.0))
+    assert stage1 == min(int(-(-p90 // 16) * 16), s.ce_doc_tokens.shape[1])
+    assert stage1 >= p90 or stage1 == s.ce_doc_tokens.shape[1]
+    # the search still runs with the resolved tuple
+    fused, _ = s.search(QUERIES, batch_size=4, use_pallas=False)
+    assert np.asarray(fused.ids).shape == (len(QUERIES), 8)
+
+    # helper contract: 'auto'/None behave like 0; explicit ints pass through
+    lens = np.asarray([10, 20, 30, 40, 50])
+    for sentinel in (0, None, "auto"):
+        assert _resolve_cascade((3, sentinel), lens, 64) == (3, 48)
+    assert _resolve_cascade((3, sentinel), lens, 32) == (3, 32)  # clamped
+    assert _resolve_cascade((3, 24), lens, 64) == (3, 24)
