@@ -109,11 +109,19 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--write", action="store_true",
-                    help="write CASCADE_STUDY_r03.json at the repo root")
+                    help="write the study json at the repo root (see --out)")
+    ap.add_argument("--out", type=str, default="CASCADE_STUDY_r03.json",
+                    help="artifact filename for --write")
     ap.add_argument("--int8", action="store_true",
                     help="also measure the int8-trunk serving path "
                          "(CrossEncoder.quantized) against the f32 flat "
                          "rerank on the trained model")
+    ap.add_argument("--shape", choices=("tiny", "base"), default="tiny",
+                    help="'base' trains the CE at CamemBERT-base depth/width "
+                         "(12 layers x 768, 12 heads, FFN 3072; vocab stays "
+                         "4096 — the hash tokenizer's world) so the cascade "
+                         "and int8 bounds are checked at production shape; "
+                         "slower on CPU, pair with fewer --steps")
     args = ap.parse_args()
 
     import jax
@@ -135,10 +143,16 @@ def main():
 
     # enough capacity to learn token matching (tiny's hidden 32 plateaus
     # at chance on this task); still CPU-fast
-    cfg = EncoderConfig.tiny(
-        vocab_size=4096, hidden_size=64, num_layers=2, num_heads=4,
-        intermediate_size=128, max_position=128,
-    )
+    if args.shape == "base":
+        cfg = EncoderConfig.tiny(
+            vocab_size=4096, hidden_size=768, num_layers=12, num_heads=12,
+            intermediate_size=3072, max_position=128,
+        )
+    else:
+        cfg = EncoderConfig.tiny(
+            vocab_size=4096, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, max_position=128,
+        )
     ce = CrossEncoder(cfg, max_length=96)
     final_loss = train_ce(ce, corpus, doc_topic, queries,
                           args.steps, args.batch, rng)
@@ -231,8 +245,11 @@ def main():
             "doc_tokens": LD, "candidates_per_query": K,
             "evidence_positions_tokens": POSITIONS,
             "train_steps": args.steps, "final_bce": round(final_loss, 4),
-            "model": "tiny CE (EncoderConfig.tiny, vocab 4096), "
-                     "planted-topic synthetic corpus",
+            "model": (
+                "CamemBERT-base-shaped CE (12L x 768, vocab 4096), "
+                if args.shape == "base" else
+                "tiny CE (EncoderConfig.tiny, vocab 4096), "
+            ) + "planted-topic synthetic corpus",
         },
         "flat": flat_m,
         "int8_flat": int8_m,
@@ -247,7 +264,7 @@ def main():
     }
     print(json.dumps(result))
     if args.write:
-        with open("CASCADE_STUDY_r03.json", "w") as f:
+        with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
 
 

@@ -32,6 +32,14 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--write", action="store_true")
+    ap.add_argument("--out", type=str, default="INT8_ENCODER_STUDY_r03.json",
+                    help="artifact filename for --write")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--shape", choices=("tiny", "base"), default="tiny",
+                    help="'base' = CamemBERT-base depth/width (12L x 768, "
+                         "12 heads, FFN 3072) so the int8 overlap bound is "
+                         "checked at production shape; pair with fewer "
+                         "--steps on CPU")
     args = ap.parse_args()
 
     import jax
@@ -62,19 +70,26 @@ def main():
         t: np.flatnonzero(doc_topic == t).tolist() for t in range(args.n_topics)
     }
 
-    cfg = EncoderConfig.tiny(
-        vocab_size=4096, hidden_size=64, num_heads=4, intermediate_size=128,
-        max_position=128,
-    )
+    if args.shape == "base":
+        cfg = EncoderConfig.tiny(
+            vocab_size=4096, hidden_size=768, num_layers=12, num_heads=12,
+            intermediate_size=3072, max_position=128,
+        )
+    else:
+        cfg = EncoderConfig.tiny(
+            vocab_size=4096, hidden_size=64, num_heads=4,
+            intermediate_size=128, max_position=128,
+        )
     dense = BiEncoder(cfg, head="dense", max_query_length=8, max_doc_length=32)
-    fit_cfg = FitConfig(steps=args.steps, batch_size=16, learning_rate=1e-3,
-                        scheduler="constant")
+    fit_cfg = FitConfig(steps=args.steps, batch_size=args.batch,
+                        learning_rate=1e-3, scheduler="constant")
     state, tx, schedule = init_train_state(dense, fit_cfg)
     step = make_biencoder_train_step(dense, tx, {"name": "MNRLoss"}, None, fit_cfg.steps)
     sampler = TripletSampler(corpus, train_queries, train_qrels,
                              negs_per_query=1, seed=0)
     batches = batch_iterator(
-        sampler.epochs(), lambda s: collate_biencoder(dense.text_encoder, s, 1), 16
+        sampler.epochs(), lambda s: collate_biencoder(dense.text_encoder, s, 1),
+        args.batch,
     )
     fit(dense, step, batches, fit_cfg, schedule=schedule, state=state)
     print("# dense bi-encoder trained", file=sys.stderr)
@@ -119,7 +134,9 @@ def main():
         "unit": f"mean_top{args.k}_overlap",
         "setup": {
             "n_topics": args.n_topics, "docs": len(corpus_list),
-            "train_steps": args.steps,
+            "train_steps": args.steps, "shape": args.shape,
+            "model": ("CamemBERT-base depth/width (12L x 768)"
+                      if args.shape == "base" else "tiny (2L x 64)"),
             "pairing": "f32-encoded corpus, int8 query trunk "
                        "(serve --encoders_int8)",
         },
@@ -132,7 +149,7 @@ def main():
     }
     print(json.dumps(result))
     if args.write:
-        with open("INT8_ENCODER_STUDY_r03.json", "w") as f:
+        with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
 
 
