@@ -660,6 +660,7 @@ def cmd_serve(args):
             plaid_ncand=args.plaid_ncand,
             plaid_ncand_rescore=args.plaid_ncand_rescore or None,
             plaid_rescore_impl=args.plaid_rescore_impl,
+            plaid_gather_impl=args.plaid_gather_impl,
             ivf_cap=args.ivf_cap,
             rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
             rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
@@ -681,6 +682,7 @@ def cmd_serve(args):
         plaid_nprobe=args.plaid_nprobe, plaid_ncand=args.plaid_ncand,
         plaid_ncand_rescore=args.plaid_ncand_rescore or None,
         plaid_rescore_impl=args.plaid_rescore_impl,
+        plaid_gather_impl=args.plaid_gather_impl,
         splade_query_terms=args.splade_query_terms, dense_impl=args.dense_impl,
         rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
         rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
@@ -887,6 +889,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "per candidate token; 'factored' reuses the "
                          "pruning tier's centroid-score table and only "
                          "reconstructs residuals")
+    sp.add_argument("--plaid_gather_impl", choices=["xla", "pallas"],
+                    default="xla",
+                    help="candidate-row gathers in the prune/exact tiers: "
+                         "'pallas' streams them as pipelined DMAs "
+                         "(ops/gather_rows.py) instead of XLA's serial "
+                         "gather loop")
     sp.add_argument("--rerank_buckets", type=int, nargs="*", default=None,
                     help="doc-width ladder for length-bucketed monoBERT "
                          "rerank (e.g. 64 128 192 256); omit for the flat "
