@@ -90,12 +90,20 @@ def main():
     ap.add_argument("--legs", default="bm25_inv,splade_inv,dense,colbert")
     ap.add_argument("--local_topk", default="approx", choices=["approx", "exact", "none"])
     ap.add_argument("--gen_chunk", type=int, default=131072)
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin jax_platforms=cpu (tiny-shape sanity runs; "
+                         "skips the tunnel guard, never claims the chip)")
     args = ap.parse_args()
     legs_set = set(args.legs.split(","))
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from fusion_tpu.utils.common import tpu_tunnel_up
 
-    if not tpu_tunnel_up():
+    if not args.cpu and not tpu_tunnel_up():
         # dead relay: jax backend init would hang ~40 min before failing
         print(json.dumps({
             "metric": "mmarco_scale_hybrid_q_per_s_per_chip", "value": 0.0, "unit": "queries/s",
@@ -527,6 +535,33 @@ def main():
             "nprobe": NPROBE, "ncand": NCAND, "ncand_rescore": NCAND_RESCORE,
             "form": "three-stage with table-factored exact rescore",
         }
+        # round-4 pipelined-DMA candidate gathers: the best rescore form
+        # with gather_impl='pallas' (guarded — a Mosaic lowering failure
+        # must not kill the other legs)
+        for gname, gkw in (
+            ("colbert_plaid_pallas_gather",
+             dict(ncand_rescore=NCAND_RESCORE, gather_impl="pallas")),
+            ("colbert_plaid_factored_pallas_gather",
+             dict(ncand_rescore=NCAND_RESCORE, rescore_impl="factored",
+                  gather_impl="pallas")),
+        ):
+            try:
+                fng = functools.partial(
+                    plaid_search, k=TOPK, nprobe=NPROBE, ncand=NCAND,
+                    cand_chunk=512, **gkw,
+                )
+                dtg = time_batch(fng, (q_tok, q_mask, index, ivf), iters=4,
+                                 label=gname)
+                legs[gname] = {
+                    "ms_per_batch": round(dtg * 1000, 2),
+                    "q_per_s": round(B / dtg, 1),
+                    "form": f"three-stage, DMA-pipelined row gathers ({gkw})",
+                }
+            except Exception as e:  # pragma: no cover - chip-only path
+                legs[gname] = {
+                    "ms_per_batch": 0.0, "q_per_s": 0.0,
+                    "form": f"FAILED: {type(e).__name__}: {e}"[:200],
+                }
         del cid, codes, cents, mask, ivf_doc, index, ivf, q_tok, q_mask
         gc.collect()
 
@@ -538,7 +573,8 @@ def main():
     for sys_name in ("bm25", "splade", "dense", "colbert"):
         forms = {k: v["ms_per_batch"] for k, v in legs.items()
                  if k.startswith(sys_name)
-                 and not k.endswith(("_fixedk", "_compressed"))}
+                 and not k.endswith(("_fixedk", "_compressed"))
+                 and v["ms_per_batch"] > 0}  # guarded legs report 0 on failure
         if forms:
             best[sys_name] = min(forms, key=forms.get)
     best_ms = sum(legs[k]["ms_per_batch"] for k in best.values())
