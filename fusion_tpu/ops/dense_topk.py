@@ -40,8 +40,11 @@ BIN = 16  # docs per bin; bin lane l of a block covers docs {s·lanes + l}
 
 # score assigned to dead rows (scale ≤ 0: build pads and all-zero docs);
 # below any real score, finite so the mantissa packing stays well-defined,
-# and recognizable in _select_topk so dead rows come back as (-1, -inf)
-_DEAD = jnp.float32(-3.0e38)
+# and recognizable in _select_topk so dead rows come back as (-1, -inf).
+# A PYTHON float, not jnp.float32: a jnp scalar is a concrete f32[] array
+# the Pallas kernel would close over, and pallas_call rejects captured
+# constants ("pass them as inputs") — a weak-typed literal inlines instead
+_DEAD = -3.0e38
 
 
 def _apply_scales(raw: jax.Array, s: jax.Array) -> jax.Array:
