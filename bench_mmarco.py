@@ -522,6 +522,23 @@ def main():
             "index_gb": round(idx_gb, 2), "nprobe": NPROBE, "ncand": NCAND,
             "form": "rescore all ncand (pre-round-3 two-stage comparison)",
         }
+        # shallow two-stage: probe-score ranking already orders candidates,
+        # so rescoring only the top 1024 needs NO extra pruning pass — the
+        # exact-tier cost scales ~linearly with ncand while the recall study
+        # holds >=0.9988 overlap@100 at nc1024 in every structured regime
+        # (RECALL_STUDY r03/r04 plaid sweep, ncand_rescore=None rows)
+        fn2s = functools.partial(
+            plaid_search, k=TOPK, nprobe=NPROBE, ncand=1024, cand_chunk=512,
+            ncand_rescore=None,
+        )
+        dt2s = time_batch(fn2s, (q_tok, q_mask, index, ivf), iters=4,
+                          label="colbert plaid (nc1024)")
+        legs["colbert_plaid_nc1024"] = {
+            "ms_per_batch": round(dt2s * 1000, 2), "q_per_s": round(B / dt2s, 1),
+            "index_gb": round(idx_gb, 2), "nprobe": NPROBE, "ncand": 1024,
+            "form": ("shallow two-stage: top-1024 candidates by probe score, "
+                     "exact rescore of all of them"),
+        }
         # round-4 factored rescore: exact tier reuses the pruning tier's
         # centroid-score table (no per-token centroid row gather)
         fn3 = functools.partial(

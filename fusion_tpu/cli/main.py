@@ -879,10 +879,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "or the factorized-scatter MXU kernel (auto = "
                          "scatter at >=1M docs; 10x the sort form measured "
                          "at 8.9M docs)")
-    sp.add_argument("--plaid_ncand_rescore", type=int, default=1024,
+    sp.add_argument("--plaid_ncand_rescore", type=int, default=0,
                     help="candidates reaching PLAID's exact decompressed "
                          "tier after centroid-only pruning (0 = rescore "
-                         "all --plaid_ncand)")
+                         "all --plaid_ncand, the measured-fastest default: "
+                         "the prune pass costs more than the rescore depth "
+                         "it saves — lower --plaid_ncand to go faster)")
     sp.add_argument("--plaid_rescore_impl", choices=["gather", "factored"],
                     default="gather",
                     help="exact-tier form: 'gather' reads a centroid row "

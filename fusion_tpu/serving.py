@@ -185,8 +185,14 @@ class HybridSearcher:
     plaid_nprobe: int = 4
     plaid_ncand: int = 4096
     # candidates reaching the exact decompressed tier after centroid-only
-    # pruning (three-stage PLAID); 0/None = rescore all plaid_ncand
-    plaid_ncand_rescore: int | None = 1024
+    # pruning (three-stage PLAID); 0/None = rescore all plaid_ncand.
+    # Default None: the prune tier is a measured LOSS on chip — its
+    # per-candidate-token table gather costs 262.6 ms to avoid ~103 ms of
+    # exact rescore (probe_plaid r04: prune 262.6 + rescore1024 36.8 vs
+    # rescore4096 139.5).  To go faster, lower plaid_ncand instead (the
+    # probe ranking already orders candidates; nc1024 two-stage holds
+    # >=0.9988 overlap@100 in structured regimes, RECALL_STUDY)
+    plaid_ncand_rescore: int | None = None
     # 'gather' re-reads centroid rows in the exact tier; 'factored' reuses
     # the pruning tier's centroid-score table (index/plaid.py)
     plaid_rescore_impl: str = "gather"
@@ -255,7 +261,7 @@ class HybridSearcher:
         colbert_plaid: bool = False,
         plaid_nprobe: int = 4,
         plaid_ncand: int = 4096,
-        plaid_ncand_rescore: int | None = 1024,
+        plaid_ncand_rescore: int | None = None,
         plaid_rescore_impl: str = "gather",
         plaid_gather_impl: str = "xla",
         ivf_cap: int = 1024,

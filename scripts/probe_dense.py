@@ -88,6 +88,55 @@ def main():
             fused_dense_topk, k=k, doc_block=4096, use_pallas=True
         )
         report[f"fused_db4096_k{k}_ms"] = round(timeit(fn, q_embs, index) * 1000, 2)
+
+    # A/B the round-4 dead-row masking: BENCH_MMARCO_r03's 25.9 ms was
+    # measured before `_apply_scales` gained the scale<=0 compare+add; this
+    # re-times the kernel with the pre-masking body (scores = raw * s) to
+    # separate that change's cost from relay-toolchain drift.
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fusion_tpu.ops.dense_topk import BIN, _bin_reduce_pack, _select_topk
+
+    def _binmax_nomask(q_ref, v_ref, s_ref, out_ref, *, doc_block, n_docs):
+        blk = pl.program_id(0)
+        raw = jax.lax.dot_general(
+            q_ref[...], v_ref[...].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[...] = _bin_reduce_pack(
+            raw * s_ref[...][None, :], blk * doc_block, n_docs
+        )
+
+    @functools.partial(jax.jit, static_argnames=("doc_block",))
+    def fused_nomask(qf, values, scales, doc_block=4096):
+        from fusion_tpu.models.heads import l2_normalize
+
+        qn = l2_normalize(qf)
+        q = qn.shape[0]
+        n_pad, h = values.shape
+        nblocks = n_pad // doc_block
+        lanes = doc_block // BIN
+        packed = pl.pallas_call(
+            functools.partial(_binmax_nomask, doc_block=doc_block, n_docs=N),
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((q, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((doc_block, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((doc_block,), lambda i: (i,), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((q, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((q, nblocks * lanes), jnp.float32),
+        )(qn.astype(jnp.bfloat16), values, scales)
+        return _select_topk(packed, N, 1000, doc_block, 0.99)
+
+    try:
+        report["fused_db4096_nomask_ms"] = round(
+            timeit(fused_nomask, q_embs, vals, scales) * 1000, 2
+        )
+    except Exception as e:  # pragma: no cover - chip-only A/B
+        report["fused_db4096_nomask_ms"] = f"FAILED: {type(e).__name__}"
     sys.stderr.write(f"# {report}\n")
     print(json.dumps({"metric": "dense_fused_block_sweep", "detail": report}))
 
