@@ -625,6 +625,9 @@ def cmd_serve(args):
                else ColBERT(cfg, dim=16 if args.tiny else 128, **lengths)) if args.run_colbert else None
     ce = (_load_crossencoder(args.monobert_path) if args.monobert_path
           else CrossEncoder(cfg, max_length=32 if args.tiny else 256)) if args.run_monobert else None
+    if ce is not None and getattr(args, "ce_attention", None):
+        if hasattr(ce, "with_attention"):
+            ce = ce.with_attention(args.ce_attention)
     if ce is not None and getattr(args, "ce_int8", False):
         if not hasattr(ce, "quantized"):
             raise SystemExit("--ce_int8 requires a BERT-style cross-encoder checkpoint")
@@ -908,10 +911,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "top KEEP at full width; STAGE1_TOKENS=0 resolves "
                          "to the corpus p90 token length (the measured "
                          "exact-parity regime)")
+    sp.add_argument("--ce_attention", default="einsum_bf16",
+                    choices=["einsum", "einsum_bf16", "flash"],
+                    help="rerank-stage attention impl; einsum_bf16 (2-byte "
+                         "attention buffers, ~0.4%% softmax error, "
+                         "MRR-identical on the study model) is the "
+                         "measured-fastest exact-quality default "
+                         "(stage 3061 -> 2852 ms/batch at depth 100)")
     sp.add_argument("--ce_int8", action="store_true",
                     help="serve the rerank stage with dynamic int8 trunk "
-                         "matmuls (2x MXU throughput; measure quality "
-                         "first: scripts/cascade_study.py --int8)")
+                         "matmuls (chip-measured SLOWER than bf16 on the "
+                         "current backend: stage 3042 vs 2852 ms — "
+                         "measure before enabling)")
     sp.add_argument("--encoders_int8", action="store_true",
                     help="serve the QUERY encoders (dense/SPLADE/ColBERT) "
                          "with int8 trunk matmuls; the corpus index stays "

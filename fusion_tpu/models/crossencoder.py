@@ -468,6 +468,21 @@ class CrossEncoder(PairRerankMixin):
             max_length=self.max_length,
         )
 
+    def with_attention(self, impl: str) -> "CrossEncoder":
+        """Serving-speed view with a different attention implementation,
+        same params/tokenizer.  ``einsum_bf16`` (2-byte attention buffers,
+        ~0.4 % softmax error, MRR-identical on the study model) is the
+        measured-fastest exact-quality serving impl: rerank stage
+        3061 → 2852 ms/batch at depth 100, CamemBERT-base shape
+        (BENCH_r04 rerank detail; chip-measured 2026-08-19)."""
+        if impl == self.cfg.attention_impl:
+            return self
+        cfg = dataclasses.replace(self.cfg, attention_impl=impl)
+        return CrossEncoder(
+            cfg, params=self.params, tokenizer=self.tokenizer,
+            max_length=self.max_length,
+        )
+
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
         from flax import serialization

@@ -671,6 +671,32 @@ def test_rerank_cascade_pads_never_steal_keep_slots():
         assert out[qi, rest].max() < out[qi, kept].min()
 
 
+def test_ce_with_attention_serving_view():
+    """`CrossEncoder.with_attention` (the serve --ce_attention default
+    einsum_bf16) must share params and keep scores close enough that the
+    candidate ranking is unchanged on the tiny model; same-impl is a
+    no-op returning self."""
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    assert ce.with_attention("einsum") is ce
+    ce_b = ce.with_attention("einsum_bf16")
+    assert ce_b.params is ce.params
+    assert ce_b.cfg.attention_impl == "einsum_bf16"
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    q_ids = jnp.asarray(rng.integers(5, 500, size=(2, 6)), dtype=jnp.int32)
+    q_mask = jnp.ones((2, 6), jnp.int32)
+    d_ids = jnp.asarray(rng.integers(5, 500, size=(2, 8, 12)), dtype=jnp.int32)
+    d_mask = jnp.ones((2, 8, 12), jnp.int32)
+    flat = np.asarray(ce.rerank_tokens(ce.params, q_ids, q_mask, d_ids, d_mask, pair_chunk=4))
+    bf16 = np.asarray(ce_b.rerank_tokens(ce_b.params, q_ids, q_mask, d_ids, d_mask, pair_chunk=4))
+    # bf16 attention buffers: small elementwise error, rank-stable here
+    np.testing.assert_allclose(bf16, flat, rtol=0.05, atol=0.05)
+    assert (np.argsort(-flat, axis=1) == np.argsort(-bf16, axis=1)).mean() > 0.9
+
+
 def test_rerank_cascade_toggle_recompiles(models):
     """Toggling rerank_cascade (or swapping the cross-encoder, e.g.
     .quantized()) after a first search must not reuse the stale program."""
