@@ -244,6 +244,33 @@ def main():
     except Exception as e:  # pragma: no cover - backend-specific
         print(f"# hybrid[int8 encoders] FAILED: {e}", file=sys.stderr)
 
+    # einsum_bf16 query encoders (serve --encoders_attention einsum_bf16):
+    # the attention impl that won the rerank-stage measurement, applied to
+    # the three query-encoder forwards that dominate this batch
+    dt_bf = None
+    try:
+        hybrid_bf_jit = jax.jit(make_hybrid(
+            dense.with_attention("einsum_bf16"),
+            splade.with_attention("einsum_bf16"),
+            colbert.with_attention("einsum_bf16"),
+        ))
+        t0 = time.perf_counter()
+        fetch(hybrid_bf_jit(*args))
+        print(f"# hybrid[bf16attn encoders] compile+first run: "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        fetch(hybrid_bf_jit(*args))
+        t_single_bf = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = hybrid_bf_jit(*args)
+        fetch(out)
+        dt_bf = max((time.perf_counter() - t0 - t_single_bf) / (iters - 1), 1e-9)
+        print(f"# hybrid[bf16attn encoders]: {dt_bf*1000:.1f} ms/batch", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"# hybrid[bf16attn encoders] FAILED: {e}", file=sys.stderr)
+
     # tunnel round-trip cost (refunded from host-hop stages below: on local
     # hardware a small fetch is ~0.1 ms, not the tunnel RTT)
     tiny = jnp.zeros((32, 1000), jnp.float32)
@@ -460,6 +487,10 @@ def main():
                 round(dt_i8 * 1000, 2) if dt_i8 else None
             ),
             "q_per_s_int8_encoders": round(B / dt_i8, 2) if dt_i8 else None,
+            "ms_per_batch_fused_bf16attn_encoders": (
+                round(dt_bf * 1000, 2) if dt_bf else None
+            ),
+            "q_per_s_bf16attn_encoders": round(B / dt_bf, 2) if dt_bf else None,
             "ms_per_batch_reference_structure": round(dt_base_adj * 1000, 2),
             "ms_per_batch_reference_structure_raw": round(dt_base * 1000, 2),
             "host_roundtrip_ms": round(t_rt * 1000, 2),

@@ -692,6 +692,8 @@ def cmd_serve(args):
     ).load_indexes(args.index_dir, int8_corpus=args.int8_corpus)
     if getattr(args, "encoders_int8", False):
         searcher.quantize_encoders()
+    if getattr(args, "encoders_attention", None):
+        searcher.set_encoder_attention(args.encoders_attention)
     if args.run_bm25:
         from fusion_tpu.data.preprocessor import TextPreprocessor
 
@@ -927,6 +929,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve the QUERY encoders (dense/SPLADE/ColBERT) "
                          "with int8 trunk matmuls; the corpus index stays "
                          "f32-encoded (measure retrieval overlap first)")
+    sp.add_argument("--encoders_attention", default=None,
+                    choices=["einsum", "einsum_bf16", "flash"],
+                    help="serve the QUERY encoders with this attention "
+                         "impl (einsum_bf16 = 2-byte attention buffers, "
+                         "~0.4%% softmax error; measure retrieval overlap "
+                         "first); default keeps each checkpoint's own impl")
     sp.set_defaults(fn=cmd_serve)
     return p
 

@@ -171,16 +171,13 @@ class BiEncoder:
         self._encode_jit = None  # lang is baked into the cached executable
         return self
 
-    def quantized(self, mode: str = "int8") -> "BiEncoder":
-        """Serving-speed view: same params/tokenizer, trunk dense matmuls on
-        the dynamic int8 MXU path (encoder.int8_dot_general).  Use for the
-        QUERY side at serving (the corpus index is built with the f32
-        forward; the int8 corpus index is a separate, orthogonal knob) and
-        measure retrieval overlap first.  Inference-only."""
+    def _with_cfg(self, **changes) -> "BiEncoder":
+        """Copy of this model with a replaced config and a rebuilt module
+        (same params/tokenizer; the cached executable is dropped)."""
         import copy
 
         out = copy.copy(self)
-        out.cfg = dataclasses.replace(self.cfg, quantize=mode)
+        out.cfg = dataclasses.replace(self.cfg, **changes)
         if self._is_xmod:
             from fusion_tpu.models.xmod import XmodEncoder, XmodEncoderWithMLM
 
@@ -194,6 +191,25 @@ class BiEncoder:
             )
         out._encode_jit = None
         return out
+
+    def quantized(self, mode: str = "int8") -> "BiEncoder":
+        """Serving-speed view: same params/tokenizer, trunk dense matmuls on
+        the dynamic int8 MXU path (encoder.int8_dot_general).  Use for the
+        QUERY side at serving (the corpus index is built with the f32
+        forward; the int8 corpus index is a separate, orthogonal knob) and
+        measure retrieval overlap first.  Inference-only."""
+        return self._with_cfg(quantize=mode)
+
+    def with_attention(self, impl: str) -> "BiEncoder":
+        """Serving-speed view with a different attention implementation
+        (same params).  ``einsum_bf16`` keeps 2-byte attention buffers
+        (~0.4 % softmax error) — the impl that won the rerank-stage
+        measurement (BENCH_r04) — applied here to the QUERY encoders;
+        measure retrieval overlap before deploying (the corpus index
+        keeps the full-precision forward it was built with)."""
+        if impl == getattr(self.cfg, "attention_impl", "einsum"):
+            return self
+        return self._with_cfg(attention_impl=impl)
 
     def embed_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):
         """Token batch → embeddings [B, H] (dense) or [B, V] (splade)."""

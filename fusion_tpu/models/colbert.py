@@ -173,19 +173,30 @@ class ColBERT:
                 ids.update(tokenizer.token_ids(ch))
         return ids
 
+    def _with_cfg(self, **changes) -> "ColBERT":
+        """Copy with a replaced config and rebuilt module (same params)."""
+        import copy
+        import dataclasses as _dc
+
+        out = copy.copy(self)
+        out.cfg = _dc.replace(self.cfg, **changes)
+        out.module = ColBERTModule(out.cfg, dim=self.dim)
+        out._encode_jit = None
+        return out
+
     def quantized(self, mode: str = "int8") -> "ColBERT":
         """Serving-speed view: trunk dense matmuls on the dynamic int8 MXU
         path (X-MOD trunks included; their bottleneck adapters stay f32);
         same params/tokenizer.  Query-side serving only — index with the
         f32 forward and measure overlap first.  Inference-only."""
-        import copy
-        import dataclasses as _dc
+        return self._with_cfg(quantize=mode)
 
-        out = copy.copy(self)
-        out.cfg = _dc.replace(self.cfg, quantize=mode)
-        out.module = ColBERTModule(out.cfg, dim=self.dim)
-        out._encode_jit = None
-        return out
+    def with_attention(self, impl: str) -> "ColBERT":
+        """Serving-speed view with a different attention impl (same
+        params); see BiEncoder.with_attention for the measured trade."""
+        if impl == getattr(self.cfg, "attention_impl", "einsum"):
+            return self
+        return self._with_cfg(attention_impl=impl)
 
     # ------------------------------------------------------------------
     def embed_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):

@@ -456,6 +456,19 @@ class HybridSearcher:
                 setattr(self, attr, model.quantized(mode))
         return self
 
+    def set_encoder_attention(self, impl: str) -> "HybridSearcher":
+        """Swap the query-side encoders for ``with_attention(impl)`` views
+        (``serve --encoders_attention``): same params, different attention
+        implementation.  ``einsum_bf16`` (2-byte attention buffers, ~0.4 %
+        softmax error) is the impl that won the rerank-stage measurement;
+        measure retrieval overlap before deploying, as with int8.  Safe
+        after searches — the program cache keys on the model objects."""
+        for attr in ("dense_model", "splade_model", "colbert_model"):
+            model = getattr(self, attr)
+            if model is not None and hasattr(model, "with_attention"):
+                setattr(self, attr, model.with_attention(impl))
+        return self
+
     @property
     def active_systems(self) -> list[str]:
         systems = []

@@ -740,6 +740,29 @@ def test_encoders_int8_serving(models):
         assert len(set(i1[qi, :4]) & set(i2[qi, :4])) >= 3
 
 
+def test_encoders_attention_serving_view(models):
+    """set_encoder_attention('einsum_bf16') (serve --encoders_attention)
+    swaps the query encoders for bf16-attention views sharing params;
+    ranking stays stable on the tiny separated corpus, and a same-impl
+    swap is a no-op returning the same model objects."""
+    dense, splade, colbert = models
+    kwargs = dict(dense_model=dense, splade_model=splade,
+                  colbert_model=colbert, batch_size=4, topk=8)
+    f32 = HybridSearcher.build(CORPUS, **kwargs)
+    r1, _ = f32.search(QUERIES, batch_size=4, use_pallas=False)
+    bf = HybridSearcher.build(CORPUS, **kwargs).set_encoder_attention("einsum_bf16")
+    assert bf.dense_model is not dense and bf.dense_model.params is dense.params
+    assert bf.dense_model.cfg.attention_impl == "einsum_bf16"
+    assert bf.colbert_model.cfg.attention_impl == "einsum_bf16"
+    r2, _ = bf.search(QUERIES, batch_size=4, use_pallas=False)
+    i1, i2 = np.asarray(r1.ids), np.asarray(r2.ids)
+    for qi in range(len(QUERIES)):
+        assert i1[qi, 0] == i2[qi, 0]  # top-1 stable under bf16 noise
+        assert len(set(i1[qi, :4]) & set(i2[qi, :4])) >= 3
+    # no-op: same impl returns self
+    assert dense.with_attention("einsum") is dense
+
+
 def test_searcher_plaid_factored_rescore_matches_gather(models):
     """plaid_rescore_impl='factored' must serve the same ColBERT ranking as
     the gather form (same candidates, bf16-rounding-order score diffs)."""
