@@ -81,6 +81,12 @@ def _gather_kernel(n_srcs: int, rows_per_block: int, in_flight: int):
     return kernel
 
 
+LANES = 128  # the only row copy shape the current Mosaic accepts is
+# f32 [G, 128]: a 1-D [R] copy compiles ONLY at R == 128 exactly, and
+# every non-f32 dtype crashes the compile helper outright (bisected on
+# chip 2026-08-19; see scripts/probe_gather_repro.py and NOTES_ROUND4)
+
+
 @functools.partial(
     jax.jit, static_argnames=("rows_per_block", "in_flight", "interpret")
 )
@@ -91,32 +97,41 @@ def gather_rows_pallas(
     in_flight: int = 16,
     interpret: bool = False,
 ) -> tuple[jax.Array, ...]:
-    """Gather the same rows from several [N, R_s] arrays at once.
+    """Gather the same rows from several f32 ``[N, R_s]`` arrays at once,
+    ``R_s % 128 == 0`` (each row streams as one ``[R_s/128, 128]`` DMA —
+    the shape constraint the current Mosaic imposes, see ``LANES``).
 
-    Returns one ``[Q, K, R_s]`` array per source.  See module docstring
-    for the contract; prefer calling through :func:`gather_rows` which
-    handles reshapes and the non-Pallas fallback.
+    Returns one ``[Q, K, R_s]`` array per source.  Prefer calling through
+    :func:`gather_rows`, which bitcasts other dtypes to f32 lanes and
+    routes narrow-row sources to the XLA fallback.
     """
     if not isinstance(srcs, (tuple, list)):
         srcs = (srcs,)
     q, k = idx.shape
     assert all(s.ndim == 2 for s in srcs), "reshape sources to [N, R] first"
+    assert all(s.dtype == jnp.float32 for s in srcs), "bitcast to f32 first"
+    assert all(s.shape[1] % LANES == 0 for s in srcs), (
+        "row lanes must divide by 128 — route through gather_rows()"
+    )
     rb = min(rows_per_block, k)
     assert k % rb == 0, f"K={k} must divide by rows_per_block={rb}"
     n_srcs = len(srcs)
     grid = (q, k // rb)
+    srcs_g = tuple(
+        s.reshape(s.shape[0], s.shape[1] // LANES, LANES) for s in srcs
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in srcs],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in srcs_g],
         out_specs=[
             pl.BlockSpec(
-                (1, rb, s.shape[1]),
-                lambda qi, ci, idx_ref: (qi, ci, 0),
+                (1, rb, s.shape[1], LANES),
+                lambda qi, ci, idx_ref: (qi, ci, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-            for s in srcs
+            for s in srcs_g
         ],
         scratch_shapes=[pltpu.SemaphoreType.DMA((min(in_flight, rb), n_srcs))],
     )
@@ -124,12 +139,44 @@ def gather_rows_pallas(
         _gather_kernel(n_srcs, rb, in_flight),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((q, k, s.shape[1]), s.dtype) for s in srcs
+            jax.ShapeDtypeStruct((q, k, s.shape[1], LANES), jnp.float32)
+            for s in srcs_g
         ],
         interpret=interpret,
         name=f"gather_rows_x{n_srcs}",
-    )(idx.astype(jnp.int32), *srcs)
-    return tuple(out)
+    )(idx.astype(jnp.int32), *srcs_g)
+    return tuple(o.reshape(q, k, -1) for o in out)
+
+
+def _to_f32_rows(s: jax.Array) -> jax.Array:
+    """Reinterpret a flat [N, R] source as f32 lanes [N, R·itemsize/4].
+
+    The current relay toolchain's Mosaic CRASHES compiling HBM→VMEM row
+    DMAs of int32/uint8 refs but accepts f32 (bisected by construction:
+    `scripts/probe_gather_repro.py`, every non-f32 case HTTP-500s the
+    compile helper while one_f32_512B passes).  Row bytes must divide by
+    4; the PLAID sources all do (cid 128 B, codes 1024 B, mask 32 B).
+    i32→f32 is a same-width bitcast (free); u8→f32 groups 4 minor bytes."""
+    if s.dtype == jnp.float32:
+        return s
+    n, r = s.shape
+    itemsize = jnp.dtype(s.dtype).itemsize
+    if itemsize == 4:
+        return jax.lax.bitcast_convert_type(s, jnp.float32)
+    group = 4 // itemsize
+    assert r % group == 0, f"row of {r}x{itemsize}B does not pack to f32 lanes"
+    return jax.lax.bitcast_convert_type(
+        s.reshape(n, r // group, group), jnp.float32
+    )
+
+
+def _from_f32_rows(o: jax.Array, dtype, r: int) -> jax.Array:
+    """Inverse of :func:`_to_f32_rows` on the gathered [Q, K, R4] block."""
+    if dtype == jnp.float32:
+        return o
+    q, k, _ = o.shape
+    out = jax.lax.bitcast_convert_type(o, dtype)
+    return out.reshape(q, k, r)
 
 
 def gather_rows(
@@ -144,6 +191,14 @@ def gather_rows(
 
     ``srcs`` may have rank > 2 (e.g. codes ``[N, Ld, P]``): trailing
     dims are flattened into the row for the DMA and restored after.
+    Non-f32 sources are bitcast to f32 lanes for the DMA (the current
+    Mosaic rejects i32/u8 row copies — see :func:`_to_f32_rows`) and
+    bitcast back after; values round-trip exactly.  Sources whose rows
+    do not pack to a multiple of 128 f32 lanes (512 B — the only DMA
+    shape the current Mosaic accepts) fall back to the XLA gather
+    per-source rather than padding: the wide-row array is the one worth
+    streaming (PLAID codes, 1 KB/row), and padding a narrow multi-GB
+    source would copy it.
     ``use_pallas=False`` is the plain ``src[idx]`` XLA gather (what the
     rescore did before this kernel) — kept for A/B probes and CPU runs.
     """
@@ -153,11 +208,21 @@ def gather_rows(
         return tuple(s[idx] for s in srcs)
     shapes = [s.shape for s in srcs]
     flat = tuple(s.reshape(s.shape[0], -1) for s in srcs)
-    out = gather_rows_pallas(
-        flat, idx,
-        rows_per_block=rows_per_block, in_flight=in_flight, interpret=interpret,
-    )
+    flat_f32 = tuple(_to_f32_rows(s) for s in flat)
+    dma = [i for i, f in enumerate(flat_f32) if f.shape[1] % LANES == 0]
     q, k = idx.shape
-    return tuple(
-        o.reshape(q, k, *sh[1:]) for o, sh in zip(out, shapes)
-    )
+    results: list = [None] * len(srcs)
+    if dma:
+        out = gather_rows_pallas(
+            tuple(flat_f32[i] for i in dma), idx,
+            rows_per_block=rows_per_block, in_flight=in_flight,
+            interpret=interpret,
+        )
+        for i, o in zip(dma, out):
+            results[i] = _from_f32_rows(
+                o.reshape(q, k, -1), flat[i].dtype, flat[i].shape[1]
+            ).reshape(q, k, *shapes[i][1:])
+    for i in range(len(srcs)):
+        if results[i] is None:
+            results[i] = srcs[i][idx]
+    return tuple(results)
