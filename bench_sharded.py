@@ -20,7 +20,7 @@ What transfers to a real S-chip pod and what doesn't:
     never folded into the measured number.
 
 All index data is synthesized ON DEVICE at the real shapes/dtypes (the
-tunnel moves ~30 MB/s).  Prints one JSON line; writes BENCH_SHARDED_r03.json.
+tunnel moves ~30 MB/s).  Prints one JSON line; writes BENCH_SHARDED_r04.json.
 
 Reference pipeline being scaled: src/retrievers/hybrid.py:310-468 at
 src/data/mmarco.py:2-4 corpus size.
@@ -360,7 +360,7 @@ def main():
     }
     print(json.dumps(out))
     if not args.tiny:
-        with open("BENCH_SHARDED_r03.json", "w") as f:
+        with open("BENCH_SHARDED_r04.json", "w") as f:
             json.dump(out, f, indent=2)
             f.write("\n")
 
