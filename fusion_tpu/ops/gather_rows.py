@@ -86,6 +86,13 @@ LANES = 128  # the only row copy shape the current Mosaic accepts is
 # every non-f32 dtype crashes the compile helper outright (bisected on
 # chip 2026-08-19; see scripts/probe_gather_repro.py and NOTES_ROUND4)
 
+# scalar-prefetch SMEM ceiling: an int32 idx of 1 MB (64x4096) crashes
+# the compile helper while every case <= 512 KB compiles and runs
+# (bisected on chip 2026-08-19, probe_gather_repro g1_q* cases).  Calls
+# whose idx exceeds this are split along the query axis into multiple
+# pallas_calls (the rows are independent).
+MAX_IDX_BYTES = 512 * 1024
+
 
 @functools.partial(
     jax.jit, static_argnames=("rows_per_block", "in_flight", "interpret")
@@ -213,11 +220,33 @@ def gather_rows(
     q, k = idx.shape
     results: list = [None] * len(srcs)
     if dma:
-        out = gather_rows_pallas(
-            tuple(flat_f32[i] for i in dma), idx,
-            rows_per_block=rows_per_block, in_flight=in_flight,
-            interpret=interpret,
-        )
+        # split oversized idx along Q: > MAX_IDX_BYTES of scalar-prefetch
+        # SMEM crashes the remote compile helper (see MAX_IDX_BYTES)
+        rows_per_call = max(1, MAX_IDX_BYTES // max(4 * k, 1))
+        dma_srcs = tuple(flat_f32[i] for i in dma)
+        if q > rows_per_call and 4 * k <= MAX_IDX_BYTES:
+            parts = []
+            for q0 in range(0, q, rows_per_call):
+                parts.append(gather_rows_pallas(
+                    dma_srcs, jax.lax.slice_in_dim(idx, q0,
+                                                   min(q0 + rows_per_call, q)),
+                    rows_per_block=rows_per_block, in_flight=in_flight,
+                    interpret=interpret,
+                ))
+            out = tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                        for i in range(len(dma_srcs)))
+        elif 4 * k > MAX_IDX_BYTES:
+            # a single idx row over the SMEM ceiling: XLA fallback
+            out = tuple(
+                _to_f32_rows(flat[i][idx.reshape(-1)]
+                             ).reshape(q, k, -1) for i in dma
+            )
+        else:
+            out = gather_rows_pallas(
+                dma_srcs, idx,
+                rows_per_block=rows_per_block, in_flight=in_flight,
+                interpret=interpret,
+            )
         for i, o in zip(dma, out):
             results[i] = _from_f32_rows(
                 o.reshape(q, k, -1), flat[i].dtype, flat[i].shape[1]

@@ -44,6 +44,25 @@ def test_duplicate_and_boundary_rows(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(src[idx]))
 
 
+def test_oversized_idx_splits_along_q(rng, monkeypatch):
+    """An idx over the scalar-prefetch SMEM ceiling must split along the
+    query axis into multiple pallas_calls (on chip a 1 MB idx crashes the
+    remote compile helper; <= 512 KB compiles — probe_gather_repro).
+    Equivalence with the XLA gather across the split boundary."""
+    import fusion_tpu.ops.gather_rows as gr
+
+    # ceiling of 2 idx rows' bytes -> a (5, 8) idx splits into 3 calls
+    monkeypatch.setattr(gr, "MAX_IDX_BYTES", 2 * 8 * 4)
+    src = jnp.asarray(rng.normal(size=(40, 128)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 40, size=(5, 8)), jnp.int32)
+    (out,) = gr.gather_rows((src,), idx, rows_per_block=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(src[idx]))
+    # a single row over the ceiling falls back to the XLA gather
+    monkeypatch.setattr(gr, "MAX_IDX_BYTES", 4)
+    (out,) = gr.gather_rows((src,), idx, rows_per_block=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(src[idx]))
+
+
 def test_rows_per_block_must_divide():
     src = jnp.zeros((4, 4), jnp.float32)
     idx = jnp.zeros((1, 6), jnp.int32)
