@@ -204,18 +204,29 @@ def main():
     fetch(hybrid_jit(*args))
     print(f"# hybrid compile+first run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    # timing: N chained dispatches + one fetch, minus the single-call fetch
-    # baseline, to exclude the transfer round-trip from the per-call time
+    # timing: chained dispatches + one fetch per GROUP, minus the
+    # single-call fetch baseline, to exclude the transfer round-trip from
+    # the per-call time.  The bench chip is shared/tunneled and co-tenant
+    # load inflates single measurements up to ~4x (NOTES_ROUND4: the same
+    # binary measured 24.2 vs 94.3 ms an hour apart), so the headline is
+    # the MIN over several groups — the unloaded-capability estimate —
+    # and the per-group spread is reported alongside for transparency.
+    def time_groups(fn, fn_args, t_single, groups=4, per=6):
+        dts = []
+        for _ in range(groups):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(per):
+                out = fn(*fn_args)
+            fetch(out)
+            dts.append(
+                max((time.perf_counter() - t0 - t_single) / (per - 1), 1e-9))
+        return min(dts), [round(d * 1000, 2) for d in dts]
+
     t0 = time.perf_counter()
     fetch(hybrid_jit(*args))
     t_single = time.perf_counter() - t0
-    iters = 20
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = hybrid_jit(*args)
-    fetch(out)
-    dt = max((time.perf_counter() - t0 - t_single) / (iters - 1), 1e-9)
+    dt, dt_spread = time_groups(hybrid_jit, args, t_single)
     qps = B / dt
 
     # int8 query encoders (serve --encoders_int8; overlap study
@@ -234,12 +245,7 @@ def main():
         t0 = time.perf_counter()
         fetch(hybrid_i8_jit(*args))
         t_single_i8 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = hybrid_i8_jit(*args)
-        fetch(out)
-        dt_i8 = max((time.perf_counter() - t0 - t_single_i8) / (iters - 1), 1e-9)
+        dt_i8, _ = time_groups(hybrid_i8_jit, args, t_single_i8)
         print(f"# hybrid[int8 encoders]: {dt_i8*1000:.1f} ms/batch", file=sys.stderr)
     except Exception as e:  # pragma: no cover - backend-specific
         print(f"# hybrid[int8 encoders] FAILED: {e}", file=sys.stderr)
@@ -261,12 +267,7 @@ def main():
         t0 = time.perf_counter()
         fetch(hybrid_bf_jit(*args))
         t_single_bf = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = hybrid_bf_jit(*args)
-        fetch(out)
-        dt_bf = max((time.perf_counter() - t0 - t_single_bf) / (iters - 1), 1e-9)
+        dt_bf, _ = time_groups(hybrid_bf_jit, args, t_single_bf)
         print(f"# hybrid[bf16attn encoders]: {dt_bf*1000:.1f} ms/batch", file=sys.stderr)
     except Exception as e:  # pragma: no cover - backend-specific
         print(f"# hybrid[bf16attn encoders] FAILED: {e}", file=sys.stderr)
@@ -334,13 +335,8 @@ def main():
         t0 = time.perf_counter()
         fetch(rerank_jit(*r_args))
         t_single_rr = time.perf_counter() - t0
-        rr_iters = 4
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(rr_iters):
-            out = rerank_jit(*r_args)
-        fetch(out)
-        dt_rr = max((time.perf_counter() - t0 - t_single_rr) / (rr_iters - 1), 1e-9)
+        dt_rr, _ = time_groups(rerank_jit, r_args, t_single_rr,
+                               groups=3, per=2)
         print(f"# hybrid+rerank[{label}]: {dt_rr*1000:.1f} ms/batch "
               f"(rerank stage alone ~{(dt_rr-dt)*1000:.1f} ms)", file=sys.stderr)
         return dt_rr
@@ -394,11 +390,12 @@ def main():
         fetch(once())
         print(f"# hybrid+rerank[{label}] compile+first run: "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        rr_iters = 4
-        t0 = time.perf_counter()
-        for _ in range(rr_iters):
+        raws = []
+        for _ in range(4):
+            t0 = time.perf_counter()
             fetch(once())
-        raw = (time.perf_counter() - t0) / rr_iters
+            raws.append(time.perf_counter() - t0)
+        raw = min(raws)  # min over iters: same load robustness as time_groups
         adj = max(raw - 2 * t_rt, dt)
         print(f"# hybrid+rerank[{label}]: {adj*1000:.1f} ms/batch rtt-refunded "
               f"(raw {raw*1000:.1f}; stage alone ~{(adj-dt)*1000:.1f} ms)",
@@ -482,7 +479,11 @@ def main():
         "vs_baseline": round(qps / qps_base, 3),
         "detail": {
             "corpus_docs": N, "batch": B, "topk": TOPK,
+            "timing": "min over 4 groups of 6 chained dispatches (shared "
+                      "chip: co-tenant load inflates single runs up to "
+                      "~4x; the spread shows the noise)",
             "ms_per_batch_fused": round(dt * 1000, 2),
+            "ms_per_batch_fused_group_spread": dt_spread,
             "ms_per_batch_fused_int8_encoders": (
                 round(dt_i8 * 1000, 2) if dt_i8 else None
             ),

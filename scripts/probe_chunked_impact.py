@@ -28,6 +28,11 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 
 def main():
     ap = argparse.ArgumentParser()

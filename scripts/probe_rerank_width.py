@@ -18,6 +18,11 @@ CPU smoke:   add --cpu --pairs 64 --batch 4
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import argparse
 import json
 import sys
