@@ -186,6 +186,18 @@ class CompressedTokenIndex:
     mask: jax.Array  # [N, Ld] f32
     bucket_weights: jax.Array  # [2^nbits] f32 (reconstruction values)
     nbits: int
+    # Serving form of ``codes`` for the pipelined-DMA candidate gather:
+    # f32 [S, seg, G, 128] — the same bytes as ``codes`` viewed as f32
+    # lanes and split into S row segments.  It must be BORN this shape
+    # (host numpy view, or generated segmented): on the chip, any in-jit
+    # reshape/bitcast of a >4 GiB buffer materializes a copy (OOM at
+    # corpus scale) and byte offsets past 2**32 crash the Mosaic remote
+    # compile — two-level [S, seg] indexing stays in range (bisected
+    # 2026-08-19, scripts/probe_gather_repro.py).  When set, the PLAID
+    # rescore gathers candidate code rows from it (both gather impls)
+    # and bitcasts the gathered rows back to u8; ``codes`` may then be
+    # None at serving scale to stay within HBM.
+    codes_seg: jax.Array | None = None
     _prepared: tuple | None = dataclasses.field(default=None, repr=False, compare=False)
 
     @property
@@ -295,27 +307,83 @@ class CompressedTokenIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        ld = self.centroid_ids.shape[1]
+        if self.codes is not None:
+            codes_np = np.asarray(self.codes)
+        else:
+            # serving-scale index: codes live only in the segmented f32
+            # form — persist the canonical u8 view (free host bitcast)
+            seg_np = np.asarray(self.codes_seg)
+            s, seg, g, lanes = seg_np.shape
+            codes_np = (
+                seg_np.view(np.uint8)
+                .reshape(s * seg, g * lanes * 4)[: self.centroid_ids.shape[0]]
+                .reshape(self.centroid_ids.shape[0], ld, -1)
+            )
         np.savez_compressed(
             os.path.join(path, "compressed_index.npz"),
             centroids=np.asarray(self.centroids, dtype=np.float16),
             centroid_ids=np.asarray(self.centroid_ids),
-            codes=np.asarray(self.codes),
+            codes=codes_np,
             mask=np.asarray(self.mask, dtype=np.int8),
             bucket_weights=np.asarray(self.bucket_weights),
             nbits=np.array([self.nbits]),
         )
 
     @classmethod
-    def load(cls, path: str) -> "CompressedTokenIndex":
+    def load(cls, path: str, dma_form: bool = False) -> "CompressedTokenIndex":
+        """``dma_form=True`` loads the codes as the segmented f32 serving
+        form ONLY (codes=None): required at corpus scale, where the flat
+        u8 array plus the serving form would not both fit in HBM."""
         z = np.load(os.path.join(path, "compressed_index.npz"))
+        codes_np = z["codes"]
+        codes_seg = segment_codes_host(codes_np) if dma_form else None
         return cls(
             centroids=jnp.asarray(z["centroids"], dtype=jnp.float32),
             centroid_ids=jnp.asarray(z["centroid_ids"]),
-            codes=jnp.asarray(z["codes"]),
+            codes=None if dma_form and codes_seg is not None
+            else jnp.asarray(codes_np),
+            codes_seg=codes_seg,
             mask=jnp.asarray(z["mask"], dtype=jnp.float32),
             bucket_weights=jnp.asarray(z["bucket_weights"]),
             nbits=int(z["nbits"][0]),
         )
+
+
+def segment_codes_host(codes_np: np.ndarray) -> jax.Array | None:
+    """Build ``CompressedTokenIndex.codes_seg`` from host codes u8
+    [N, Ld, P]: zero-copy numpy view to f32 lanes, split into the fewest
+    row segments that keep each segment's byte offsets inside the u32 DMA
+    range (rows pad with zeros to divide evenly; padded rows are never
+    indexed — candidate ids are < N).  Returns None when the row bytes do
+    not pack to whole 128-lane f32 rows (DMA form unavailable)."""
+    from fusion_tpu.ops.gather_rows import LANES, MAX_SRC_BYTES
+
+    n, ld, p = codes_np.shape
+    r = ld * p
+    if r % (4 * LANES):
+        return None
+    g = r // (4 * LANES)
+    s_count = max(1, -(-(n * r) // MAX_SRC_BYTES))
+    seg = -(-n // s_count)
+    n_pad = s_count * seg
+    flat = np.ascontiguousarray(codes_np.reshape(n, r))
+    if n_pad != n:
+        flat = np.concatenate(
+            [flat, np.zeros((n_pad - n, r), np.uint8)], axis=0
+        )
+    return jnp.asarray(flat.view(np.float32).reshape(s_count, seg, g, LANES))
+
+
+def unsegment_gathered_codes(
+    codf: jax.Array, ld: int, packed: int
+) -> jax.Array:
+    """Gathered codes_seg rows [Q, K, G·128] f32 → u8 codes [Q, K, Ld, P]
+    (exact bitcast inverse of the host view in :func:`segment_codes_host`;
+    both are little-endian byte order)."""
+    q, k, _ = codf.shape
+    u8 = jax.lax.bitcast_convert_type(codf, jnp.uint8)  # [Q, K, F, 4]
+    return u8.reshape(q, k, ld, packed)
 
 
 def compress_token_index(
@@ -326,11 +394,16 @@ def compress_token_index(
     kmeans_iters: int = 4,
     sample_size: int = 262_144,
     seed: int = 0,
+    dma_codes: bool = False,
 ) -> CompressedTokenIndex:
     """Build the residual-compressed index from a raw token matrix.
 
     ``num_centroids`` defaults to colbert-ai's heuristic
     16·sqrt(#tokens) rounded to a power of two.
+
+    ``dma_codes=True`` also attaches the segmented f32 serving form of the
+    codes (``codes_seg`` — a free host view) so ``plaid_search`` with
+    ``gather_impl='pallas'`` streams candidate code rows as pipelined DMAs.
     """
     n, ld, d = tokens.shape
     assert 8 % nbits == 0
@@ -385,6 +458,7 @@ def compress_token_index(
         centroids=centroids,
         centroid_ids=jnp.asarray(assign.reshape(n, ld).astype(np.int32)),
         codes=jnp.asarray(packed),
+        codes_seg=segment_codes_host(packed) if dma_codes else None,
         mask=jnp.asarray(mask, dtype=jnp.float32),
         bucket_weights=jnp.asarray(bucket_weights),
         nbits=nbits,

@@ -322,12 +322,47 @@ def _plaid_centroid_prune(
     return jnp.where(out.ids >= 0, out.ids, n).astype(jnp.int32)
 
 
+def _gather_rescore_rows(
+    centroid_ids, codes, mask, codes_seg, safe, gather_impl: str
+):
+    """(cid, codes, mask) candidate rows for the exact tiers.
+
+    The narrow cid/mask rows (128/32 B) gather sub-RTT in XLA; the wide
+    codes rows dominate (16.8 of the 36 ms nc1024 rescore, chip-measured
+    2026-08-19).  When the index carries the segmented serving form
+    ``codes_seg`` (f32 [S, seg, G, 128]), codes rows stream as pipelined
+    DMAs (``gather_impl='pallas'``) or a two-level XLA gather, and the
+    gathered rows bitcast back to u8 — byte-exact vs the plain gather."""
+    if codes_seg is None:
+        return _gather_cand_rows((centroid_ids, codes, mask), safe, gather_impl)
+    import math
+
+    from fusion_tpu.index.compression import unsegment_gathered_codes
+    from fusion_tpu.ops.gather_rows import gather_rows_pallas
+
+    ld = centroid_ids.shape[1]
+    packed = codes_seg.shape[2] * 512 // ld
+    cid, msk = centroid_ids[safe], mask[safe]
+    if gather_impl == "xla":
+        seg = codes_seg.shape[1]
+        codf = codes_seg[safe // seg, jnp.remainder(safe, seg)]
+        codf = codf.reshape(*safe.shape, -1)
+    else:
+        (codf,) = gather_rows_pallas(
+            (codes_seg,), safe,
+            rows_per_block=math.gcd(256, safe.shape[1]),
+            interpret=(gather_impl == "pallas_interpret"),
+        )
+    return cid, unsegment_gathered_codes(codf, ld, packed), msk
+
+
 @functools.partial(
     jax.jit, static_argnames=("nbits", "k", "cand_chunk", "gather_impl")
 )
 def _plaid_rescore(
     q_tok, q_mask, centroids, centroid_ids, codes, mask, bucket_weights,
     cand, nbits: int, k: int, cand_chunk: int, gather_impl: str = "xla",
+    codes_seg=None,
 ):
     from fusion_tpu.index.compression import CompressedTokenIndex
     from fusion_tpu.ops.topk import blockwise_topk
@@ -346,8 +381,8 @@ def _plaid_rescore(
         start = bi * cand_chunk
         sl = jax.lax.dynamic_slice_in_dim(cand, start, cand_chunk, axis=1)  # [Q, cc]
         safe = jnp.minimum(sl, n - 1)
-        cid, cod, msk = _gather_cand_rows(
-            (centroid_ids, codes, mask), safe, gather_impl
+        cid, cod, msk = _gather_rescore_rows(
+            centroid_ids, codes, mask, codes_seg, safe, gather_impl
         )  # [Q, cc, Ld], [Q, cc, Ld, D/p], [Q, cc, Ld]
         d_tok = helper.decompress(
             cid.reshape(-1, cid.shape[-1]), cod.reshape(-1, *cod.shape[-2:])
@@ -380,6 +415,7 @@ def _plaid_rescore(
 def _plaid_rescore_factored(
     q_tok, q_mask, cs, centroid_ids, codes, mask, bucket_weights,
     cand, nbits: int, k: int, cand_chunk: int, gather_impl: str = "xla",
+    codes_seg=None,
 ):
     """Exact rescore with the centroid term FACTORED OUT:
 
@@ -411,8 +447,8 @@ def _plaid_rescore_factored(
     def block_scores(bi):
         sl = jax.lax.dynamic_slice_in_dim(cand, bi * cand_chunk, cand_chunk, axis=1)
         safe = jnp.minimum(sl, n - 1)
-        cid, packed, msk = _gather_cand_rows(
-            (centroid_ids, codes, mask), safe, gather_impl
+        cid, packed, msk = _gather_rescore_rows(
+            centroid_ids, codes, mask, codes_seg, safe, gather_impl
         )  # [Q, cc, Ld], [Q, cc, Ld, D/p], [Q, cc, Ld]
         # centroid term: flattened one-axis row gather of [Lq] columns
         csg = cs[cid + q_off]  # [Q, cc, Ld, Lq] bf16
@@ -637,16 +673,17 @@ def plaid_search(
             cand, ncand2=nr, cs=cs, gather_impl=gather_impl,
         )
         ncand = nr
+    codes_seg = getattr(index, "codes_seg", None)
     if rescore_impl == "factored":
         return _plaid_rescore_factored(
             q_tok, qm, cs, index.centroid_ids, index.codes, index.mask,
             index.bucket_weights, cand,
             nbits=index.nbits, k=min(k, ncand), cand_chunk=cand_chunk,
-            gather_impl=gather_impl,
+            gather_impl=gather_impl, codes_seg=codes_seg,
         )
     return _plaid_rescore(
         q_tok, qm, index.centroids, index.centroid_ids,
         index.codes, index.mask, index.bucket_weights, cand,
         nbits=index.nbits, k=min(k, ncand), cand_chunk=cand_chunk,
-        gather_impl=gather_impl,
+        gather_impl=gather_impl, codes_seg=codes_seg,
     )

@@ -295,6 +295,7 @@ class ColBERT:
         nbits: int = 2,
         kmeans_iters: int = 4,
         num_centroids: int | None = None,
+        dma_codes: bool = False,
     ):
         """Residual-compressed index (reference nbits=2, kmeans_niters=4,
         run_colbert.sh:34-36) — ~7x smaller than the bf16 token matrix."""
@@ -307,6 +308,7 @@ class ColBERT:
             nbits=nbits,
             kmeans_iters=kmeans_iters,
             num_centroids=num_centroids,
+            dma_codes=dma_codes,
         )
 
     def search(

@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gather_kernel(n_srcs: int, rows_per_block: int, in_flight: int):
+def _gather_kernel(n_srcs: int, rows_per_block: int, in_flight: int,
+                   seg_rows: tuple):
     w = min(in_flight, rows_per_block)
 
     def kernel(idx_ref, *args):
@@ -49,11 +50,20 @@ def _gather_kernel(n_srcs: int, rows_per_block: int, in_flight: int):
         c = pl.program_id(1)
         base = c * rows_per_block
 
+        def src_at(s, row):
+            # sources over the u32 byte-offset range arrive segmented
+            # [S, seg, G, 128]; two-level indexing keeps every
+            # index*stride product under 2**32 (see MAX_SRC_BYTES)
+            if seg_rows[s] is None:
+                return srcs[s].at[row]
+            return srcs[s].at[row // seg_rows[s],
+                              jax.lax.rem(row, seg_rows[s])]
+
         def copies(j, slot):
             row = idx_ref[q, base + j]
             return [
                 pltpu.make_async_copy(
-                    srcs[s].at[row], outs[s].at[0, j], sem.at[slot, s]
+                    src_at(s, row), outs[s].at[0, j], sem.at[slot, s]
                 )
                 for s in range(n_srcs)
             ]
@@ -93,6 +103,15 @@ LANES = 128  # the only row copy shape the current Mosaic accepts is
 # pallas_calls (the rows are independent).
 MAX_IDX_BYTES = 512 * 1024
 
+# u32 byte-offset ceiling: a 2-D source over 2**32 bytes crashes the
+# compile helper (bisected on chip 2026-08-19: 4.1 GB OK, 9.1 GB HTTP
+# 500), because the row*row_bytes offset product overflows.  Sources
+# over this are viewed [S, N/S, G, 128] (a free reshape when a small
+# divisor of N exists) and the kernel indexes .at[row // seg, row % seg]
+# — measured OK at 9.1 GB in the segmented form.
+MAX_SRC_BYTES = (1 << 32) - (1 << 20)
+_SEG_DIVISORS = range(2, 17)
+
 
 @functools.partial(
     jax.jit, static_argnames=("rows_per_block", "in_flight", "interpret")
@@ -115,18 +134,48 @@ def gather_rows_pallas(
     if not isinstance(srcs, (tuple, list)):
         srcs = (srcs,)
     q, k = idx.shape
-    assert all(s.ndim == 2 for s in srcs), "reshape sources to [N, R] first"
-    assert all(s.dtype == jnp.float32 for s in srcs), "bitcast to f32 first"
-    assert all(s.shape[1] % LANES == 0 for s in srcs), (
-        "row lanes must divide by 128 — route through gather_rows()"
+    assert all(s.ndim in (2, 4) for s in srcs), (
+        "sources must be [N, R] rows or PRE-SEGMENTED [S, seg, G, 128] "
+        "(born that shape: an in-jit reshape of a >4 GiB buffer both "
+        "materializes a copy and crashes the remote compile)"
     )
+    assert all(s.dtype == jnp.float32 for s in srcs), "bitcast to f32 first"
     rb = min(rows_per_block, k)
     assert k % rb == 0, f"K={k} must divide by rows_per_block={rb}"
     n_srcs = len(srcs)
     grid = (q, k // rb)
-    srcs_g = tuple(
-        s.reshape(s.shape[0], s.shape[1] // LANES, LANES) for s in srcs
-    )
+    srcs_g = []
+    seg_rows = []
+    glanes = []
+    for s in srcs:
+        if s.ndim == 4:  # pre-segmented [S, seg, G, 128]
+            assert s.shape[3] == LANES, "segmented source minor dim != 128"
+            srcs_g.append(s)
+            seg_rows.append(s.shape[1])
+            glanes.append(s.shape[2])
+            continue
+        assert s.shape[1] % LANES == 0, (
+            "row lanes must divide by 128 — route through gather_rows()"
+        )
+        g = s.shape[1] // LANES
+        glanes.append(g)
+        if s.nbytes > MAX_SRC_BYTES:
+            div = next((d for d in _SEG_DIVISORS
+                        if s.shape[0] % d == 0
+                        and s.nbytes // d <= MAX_SRC_BYTES), None)
+            assert div is not None, (
+                f"source of {s.nbytes} B exceeds the u32 DMA offset range "
+                f"and N={s.shape[0]} has no divisor in "
+                f"{list(_SEG_DIVISORS)} — pad the row count upstream "
+                "(gather_rows() routes such sources to the XLA fallback)"
+            )
+            seg = s.shape[0] // div
+            srcs_g.append(s.reshape(div, seg, g, LANES))
+            seg_rows.append(seg)
+        else:
+            srcs_g.append(s.reshape(s.shape[0], g, LANES))
+            seg_rows.append(None)
+    srcs_g = tuple(srcs_g)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -134,20 +183,20 @@ def gather_rows_pallas(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in srcs_g],
         out_specs=[
             pl.BlockSpec(
-                (1, rb, s.shape[1], LANES),
+                (1, rb, g, LANES),
                 lambda qi, ci, idx_ref: (qi, ci, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-            for s in srcs_g
+            for g in glanes
         ],
         scratch_shapes=[pltpu.SemaphoreType.DMA((min(in_flight, rb), n_srcs))],
     )
     out = pl.pallas_call(
-        _gather_kernel(n_srcs, rb, in_flight),
+        _gather_kernel(n_srcs, rb, in_flight, tuple(seg_rows)),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((q, k, s.shape[1], LANES), jnp.float32)
-            for s in srcs_g
+            jax.ShapeDtypeStruct((q, k, g, LANES), jnp.float32)
+            for g in glanes
         ],
         interpret=interpret,
         name=f"gather_rows_x{n_srcs}",
@@ -216,7 +265,16 @@ def gather_rows(
     shapes = [s.shape for s in srcs]
     flat = tuple(s.reshape(s.shape[0], -1) for s in srcs)
     flat_f32 = tuple(_to_f32_rows(s) for s in flat)
-    dma = [i for i, f in enumerate(flat_f32) if f.shape[1] % LANES == 0]
+    def _dma_ok(f):
+        if f.shape[1] % LANES:
+            return False
+        if f.nbytes > MAX_SRC_BYTES:  # u32 offset range: needs segmenting
+            return any(f.shape[0] % d == 0
+                       and f.nbytes // d <= MAX_SRC_BYTES
+                       for d in _SEG_DIVISORS)
+        return True
+
+    dma = [i for i, f in enumerate(flat_f32) if _dma_ok(f)]
     q, k = idx.shape
     results: list = [None] * len(srcs)
     if dma:

@@ -397,9 +397,15 @@ class HybridSearcher:
         if colbert_model is not None:
             if colbert_compressed:
                 # residual-compressed token index (reference nbits=2,
-                # scripts/run_colbert.sh:34-36): ~7x less HBM held
+                # scripts/run_colbert.sh:34-36): ~7x less HBM held.  PLAID
+                # serving always attaches the segmented f32 form of the
+                # codes (index/compression.py codes_seg): the two-level
+                # gather on it is 2.2x the flat u8 row gather
+                # (rescore1024 36.2 -> 16.3 ms, chip 2026-08-19), and the
+                # pallas DMA impl requires it
                 out.colbert_index = colbert_model.index_compressed(
-                    documents, batch_size=batch_size, nbits=colbert_nbits
+                    documents, batch_size=batch_size, nbits=colbert_nbits,
+                    dma_codes=colbert_plaid,
                 )
             else:
                 out.colbert_index = colbert_model.index(documents, batch_size=batch_size)

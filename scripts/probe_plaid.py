@@ -57,27 +57,45 @@ def main():
     CH = 131_072
     n_chunks = -(-N // CH)
 
+    # codes in the segmented serving form (index/compression.py codes_seg):
+    # a >4 GiB flat buffer can neither be reshaped in-jit nor DMA'd with
+    # u32 row offsets on this chip
+    from fusion_tpu.ops.gather_rows import MAX_SRC_BYTES
+
+    row_b = LD * D * NBITS // 8
+    G4 = row_b // 512
+    s_min = max(1, -(-(n_chunks * CH * row_b) // MAX_SRC_BYTES))
+    SEGS = next(s for s in range(s_min, n_chunks + 1) if n_chunks % s == 0)
+    chunks_per_seg = n_chunks // SEGS
+    seg_rows = n_chunks * CH // SEGS
+
     @functools.partial(jax.jit, static_argnames=("n_chunks",))
     def gen(key, n_chunks):
         keys = jax.random.split(key, n_chunks)
         cid0 = jnp.zeros((n_chunks * CH, LD), jnp.int32)
-        codes0 = jnp.zeros((n_chunks * CH, LD, D * NBITS // 8), jnp.uint8)
+        codes0 = jnp.zeros((SEGS, seg_rows, G4, 128), jnp.float32)
 
         def body(i, carry):
             cid, codes = carry
             k1, k2 = jax.random.split(keys[i])
             c = jax.random.randint(k1, (CH, LD), 0, C, dtype=jnp.int32)
-            cd = jax.random.bits(k2, (CH, LD, D * NBITS // 8), dtype=jnp.uint8)
+            cd = jax.lax.bitcast_convert_type(
+                jax.random.bits(k2, (CH, G4, 128), dtype=jnp.uint32),
+                jnp.float32,
+            )
             return (
                 jax.lax.dynamic_update_slice(cid, c, (i * CH, 0)),
-                jax.lax.dynamic_update_slice(codes, cd, (i * CH, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    codes, cd[None],
+                    (i // chunks_per_seg, (i % chunks_per_seg) * CH, 0, 0),
+                ),
             )
 
         return jax.lax.fori_loop(0, n_chunks, body, (cid0, codes0))
 
     k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(10), 4)
-    cid, codes = gen(k0, n_chunks)
-    cid, codes = cid[:N], codes[:N]
+    cid, codes_seg = gen(k0, n_chunks)
+    cid, codes = cid[:N], None  # codes live ONLY in the segmented form
     mask = jnp.ones((N, LD), jnp.uint8)
     cents = jax.random.normal(k1, (C, D), jnp.float32) * 0.08
     bw = jnp.asarray([-0.04, -0.01, 0.01, 0.04], jnp.float32)
@@ -147,7 +165,9 @@ def main():
 
     kk = min(1000, args.ncand)
     cc = min(512, args.ncand)
-    resc_fn = functools.partial(_plaid_rescore, nbits=NBITS, k=kk, cand_chunk=cc)
+    resc_fn = functools.partial(
+        _plaid_rescore, nbits=NBITS, k=kk, cand_chunk=cc, codes_seg=codes_seg
+    )
     report["rescore_ms"] = round(
         timeit(resc_fn, q_tok, q_mask, cents, cid, codes, mask, bw, cand) * 1000, 1
     )
@@ -181,7 +201,8 @@ def main():
     cs = _centroid_score_table_jit(q_tok, cents)
     fetch_one(cs)  # host-fetch fence
     fact_fn = functools.partial(
-        _plaid_rescore_factored, nbits=NBITS, k=kk, cand_chunk=cc
+        _plaid_rescore_factored, nbits=NBITS, k=kk, cand_chunk=cc,
+        codes_seg=codes_seg,
     )
     report["rescore_factored_ms"] = round(
         timeit(fact_fn, q_tok, q_mask, cs, cid, codes, mask, bw, cand) * 1000, 1

@@ -86,6 +86,32 @@ def test_compressed_index_save_load(rng, tmp_path):
     assert index2.nbits == 2
 
 
+def test_compressed_index_save_load_dma_form(rng, tmp_path):
+    """dma_form round trip: save from codes_seg-only (codes=None), load
+    back both ways, bytes identical to the plain form."""
+    import dataclasses
+
+    from fusion_tpu.index.compression import segment_codes_host
+
+    tokens, mask = make_tokens(rng, ld=16, d=128)
+    index = compress_token_index(tokens, mask, num_centroids=16, nbits=2)
+    codes_np = np.asarray(index.codes)
+    seg = segment_codes_host(codes_np)
+    if seg is None:
+        import pytest
+
+        pytest.skip("row bytes do not pack to 128-lane f32 rows")
+    only_seg = dataclasses.replace(index, codes=None, codes_seg=seg)
+    only_seg.save(str(tmp_path))
+    back = CompressedTokenIndex.load(str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(back.codes), codes_np)
+    back_dma = CompressedTokenIndex.load(str(tmp_path), dma_form=True)
+    assert back_dma.codes is None and back_dma.codes_seg is not None
+    np.testing.assert_array_equal(
+        np.asarray(back_dma.codes_seg), np.asarray(seg)
+    )
+
+
 def test_compressed_prepared_layout_roundtrip(rng):
     """Token-major prepared layout decompresses to the same tokens as the
     doc-major decompress, and repeated calls hit the cache."""

@@ -63,6 +63,28 @@ def test_oversized_idx_splits_along_q(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(src[idx]))
 
 
+def test_oversized_source_segments(rng, monkeypatch):
+    """A source over the u32 DMA byte-offset range is viewed
+    [S, N/S, G, 128] and indexed two-level (on chip a 9.1 GB 2-D source
+    crashes the compile helper; the segmented view runs — bisected
+    2026-08-19).  Equivalence across segment boundaries, and the XLA
+    fallback when N has no small divisor."""
+    import fusion_tpu.ops.gather_rows as gr
+
+    src = jnp.asarray(rng.normal(size=(40, 128)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 40, size=(3, 8)), jnp.int32)
+    monkeypatch.setattr(gr, "MAX_SRC_BYTES", 10 * 128 * 4)  # -> S=4
+    (out,) = gr.gather_rows((src,), idx, rows_per_block=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(src[idx]))
+    # prime N with no divisor <= 16 under the cap -> XLA fallback
+    src_p = jnp.asarray(rng.normal(size=(37, 128)).astype(np.float32))
+    idx_p = jnp.asarray(rng.integers(0, 37, size=(3, 8)), jnp.int32)
+    monkeypatch.setattr(gr, "MAX_SRC_BYTES", 128 * 4)
+    (out_p,) = gr.gather_rows((src_p,), idx_p, rows_per_block=4,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(src_p[idx_p]))
+
+
 def test_rows_per_block_must_divide():
     src = jnp.zeros((4, 4), jnp.float32)
     idx = jnp.zeros((1, 6), jnp.int32)
@@ -112,6 +134,64 @@ def test_plaid_search_pallas_gather_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(out.scores), np.asarray(ref.scores), rtol=1e-6
         )
+
+
+def test_plaid_search_segmented_codes_matches_plain(rng, monkeypatch):
+    """The segmented serving form of the codes array (codes_seg, f32
+    [S, seg, G, 128] — required on chip because >4 GiB sources overflow
+    the u32 DMA byte offset and cannot be reshaped in-jit) must produce
+    the EXACT plain-codes ranking through both gather impls and both
+    rescore forms, including across segment boundaries and row padding."""
+    import dataclasses
+
+    import fusion_tpu.ops.gather_rows as gr
+    from fusion_tpu.index.compression import (
+        compress_token_index,
+        segment_codes_host,
+    )
+    from fusion_tpu.index.plaid import build_ivf, plaid_search
+
+    n, ld, d = 44, 16, 128  # 512 B code rows; 44 pads to 3 segments of 15
+    toks = rng.normal(size=(n, ld, d)).astype(np.float32)
+    mask = (rng.uniform(size=(n, ld)) > 0.2).astype(np.float32)
+    mask[:, 0] = 1.0
+    index = compress_token_index(
+        jnp.asarray(toks), jnp.asarray(mask), num_centroids=16, nbits=2, seed=0
+    )
+    monkeypatch.setattr(gr, "MAX_SRC_BYTES", 8192)
+    codes_seg = segment_codes_host(np.asarray(index.codes))
+    assert codes_seg.shape == (3, 15, 1, 128)
+    index_seg = dataclasses.replace(index, codes_seg=codes_seg, _prepared=None)
+    ivf = build_ivf(
+        np.asarray(index.centroid_ids), np.asarray(index.mask), 16, cap=16
+    )
+    q_tok = jnp.asarray(rng.normal(size=(3, 4, d)).astype(np.float32))
+    q_mask = jnp.ones((3, 4), jnp.float32)
+    for rescore_impl in ("gather", "factored"):
+        kw = dict(
+            k=8, nprobe=4, ncand=16, cand_chunk=8, ncand_rescore=8,
+            rescore_impl=rescore_impl,
+        )
+        ref = plaid_search(q_tok, q_mask, index, ivf, gather_impl="xla", **kw)
+        for gi in ("xla", "pallas_interpret"):
+            out = plaid_search(
+                q_tok, q_mask, index_seg, ivf, gather_impl=gi, **kw
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out.ids), np.asarray(ref.ids)
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.scores), np.asarray(ref.scores), rtol=1e-6
+            )
+    # codes=None at serving scale: the seg form alone must suffice
+    index_only_seg = dataclasses.replace(
+        index, codes=None, codes_seg=codes_seg, _prepared=None
+    )
+    kw = dict(k=8, nprobe=4, ncand=16, cand_chunk=8, ncand_rescore=8)
+    ref = plaid_search(q_tok, q_mask, index, ivf, gather_impl="xla", **kw)
+    out = plaid_search(q_tok, q_mask, index_only_seg, ivf,
+                       gather_impl="xla", **kw)
+    np.testing.assert_array_equal(np.asarray(out.ids), np.asarray(ref.ids))
 
 
 def test_sharded_plaid_pallas_gather_matches_xla():
