@@ -211,7 +211,16 @@ def main():
     # binary measured 24.2 vs 94.3 ms an hour apart), so the headline is
     # the MIN over several groups — the unloaded-capability estimate —
     # and the per-group spread is reported alongside for transparency.
-    def time_groups(fn, fn_args, t_single, groups=4, per=6):
+    def time_groups(fn, fn_args, groups=4, per=6):
+        # t_single (one dispatch + fetch) is itself load-noisy: take the
+        # min of a few, else an inflated baseline makes the subtraction
+        # underestimate (or zero out) the per-call time
+        singles = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fetch(fn(*fn_args))
+            singles.append(time.perf_counter() - t0)
+        t_single = min(singles)
         dts = []
         for _ in range(groups):
             t0 = time.perf_counter()
@@ -223,10 +232,7 @@ def main():
                 max((time.perf_counter() - t0 - t_single) / (per - 1), 1e-9))
         return min(dts), [round(d * 1000, 2) for d in dts]
 
-    t0 = time.perf_counter()
-    fetch(hybrid_jit(*args))
-    t_single = time.perf_counter() - t0
-    dt, dt_spread = time_groups(hybrid_jit, args, t_single)
+    dt, dt_spread = time_groups(hybrid_jit, args)
     qps = B / dt
 
     # int8 query encoders (serve --encoders_int8; overlap study
@@ -242,10 +248,7 @@ def main():
         fetch(hybrid_i8_jit(*args))
         print(f"# hybrid[int8 encoders] compile+first run: "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        t0 = time.perf_counter()
-        fetch(hybrid_i8_jit(*args))
-        t_single_i8 = time.perf_counter() - t0
-        dt_i8, _ = time_groups(hybrid_i8_jit, args, t_single_i8)
+        dt_i8, _ = time_groups(hybrid_i8_jit, args)
         print(f"# hybrid[int8 encoders]: {dt_i8*1000:.1f} ms/batch", file=sys.stderr)
     except Exception as e:  # pragma: no cover - backend-specific
         print(f"# hybrid[int8 encoders] FAILED: {e}", file=sys.stderr)
@@ -264,10 +267,7 @@ def main():
         fetch(hybrid_bf_jit(*args))
         print(f"# hybrid[bf16attn encoders] compile+first run: "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        t0 = time.perf_counter()
-        fetch(hybrid_bf_jit(*args))
-        t_single_bf = time.perf_counter() - t0
-        dt_bf, _ = time_groups(hybrid_bf_jit, args, t_single_bf)
+        dt_bf, _ = time_groups(hybrid_bf_jit, args)
         print(f"# hybrid[bf16attn encoders]: {dt_bf*1000:.1f} ms/batch", file=sys.stderr)
     except Exception as e:  # pragma: no cover - backend-specific
         print(f"# hybrid[bf16attn encoders] FAILED: {e}", file=sys.stderr)
@@ -332,11 +332,15 @@ def main():
         fetch(rerank_jit(*r_args))
         print(f"# hybrid+rerank[{label}] compile+first run: "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        t0 = time.perf_counter()
-        fetch(rerank_jit(*r_args))
-        t_single_rr = time.perf_counter() - t0
-        dt_rr, _ = time_groups(rerank_jit, r_args, t_single_rr,
-                               groups=3, per=2)
+        # per-call fenced timing, min over iters: at ~3 s/call the
+        # chained-group subtraction is hostage to one noisy baseline
+        # call (observed: a load-inflated t_single zeroed the estimate)
+        raws = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            fetch(rerank_jit(*r_args))
+            raws.append(time.perf_counter() - t0)
+        dt_rr = max(min(raws) - t_rt, dt)
         print(f"# hybrid+rerank[{label}]: {dt_rr*1000:.1f} ms/batch "
               f"(rerank stage alone ~{(dt_rr-dt)*1000:.1f} ms)", file=sys.stderr)
         return dt_rr

@@ -355,6 +355,54 @@ def test_gather_rows_pallas_matches_xla_on_tpu():
         np.testing.assert_array_equal(fetch(g), fetch(w))
 
 
+def test_plaid_segmented_codes_matches_plain_on_tpu(monkeypatch):
+    """COMPILED equivalence of the segmented codes serving form
+    (codes_seg f32 [S, seg, G, 128], index/compression.py): the host
+    numpy view's byte order must match the device bitcast's, through
+    both the two-level XLA gather and the DMA kernel, with multiple
+    segments exercised (a tiny patched segment cap)."""
+    import dataclasses
+
+    import fusion_tpu.ops.gather_rows as gr
+    from fusion_tpu.index.compression import (
+        compress_token_index,
+        segment_codes_host,
+    )
+    from fusion_tpu.index.plaid import build_ivf, plaid_search
+
+    rng = np.random.default_rng(7)
+    n, ld, d = 2048, 16, 128  # 512 B code rows at nbits=2
+    toks = rng.standard_normal((n, ld, d), dtype=np.float32)
+    toks /= np.linalg.norm(toks, axis=-1, keepdims=True)
+    mask = (rng.random((n, ld)) > 0.2).astype(np.float32)
+    mask[:, 0] = 1.0
+    index = compress_token_index(
+        jnp.asarray(toks), jnp.asarray(mask), num_centroids=128, nbits=2,
+        seed=0,
+    )
+    monkeypatch.setattr(gr, "MAX_SRC_BYTES", n * 512 // 4)  # -> 4 segments
+    codes_seg = segment_codes_host(np.asarray(index.codes))
+    assert codes_seg.shape[0] == 4
+    index_seg = dataclasses.replace(
+        index, codes=None, codes_seg=codes_seg, _prepared=None
+    )
+    ivf = build_ivf(
+        np.asarray(index.centroid_ids), np.asarray(index.mask), 128, cap=256
+    )
+    q_tok = rng.standard_normal((4, 8, d), dtype=np.float32)
+    q_tok /= np.linalg.norm(q_tok, axis=-1, keepdims=True)
+    q_tok = jnp.asarray(q_tok)
+    q_mask = jnp.ones((4, 8), jnp.float32)
+    kw = dict(k=64, nprobe=4, ncand=512, cand_chunk=256, ncand_rescore=256)
+    ref = plaid_search(q_tok, q_mask, index, ivf, gather_impl="xla", **kw)
+    for gi in ("xla", "pallas"):
+        out = plaid_search(q_tok, q_mask, index_seg, ivf, gather_impl=gi, **kw)
+        np.testing.assert_array_equal(fetch(out.ids), fetch(ref.ids))
+        np.testing.assert_allclose(
+            fetch(out.scores), fetch(ref.scores), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_plaid_rescore_pallas_gather_matches_xla_on_tpu():
     """The compiled rescore with gather_impl='pallas' must return the exact
     ranking of the 'xla' gather form (same math, different data movement)."""
