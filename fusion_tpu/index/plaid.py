@@ -108,7 +108,8 @@ def dedup_ivf_rows(ivf_doc: jax.Array, n_docs: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "ncand", "n_docs", "probe_chunk")
+    jax.jit,
+    static_argnames=("nprobe", "ncand", "n_docs", "probe_chunk", "topk_impl"),
 )
 def plaid_candidates(
     q_tok: jax.Array,  # [Q, Lq, D]
@@ -119,8 +120,16 @@ def plaid_candidates(
     nprobe: int = 4,
     ncand: int = 4096,
     probe_chunk: int = 512,
+    topk_impl: str = "approx",
 ) -> tuple[jax.Array, jax.Array]:
     """Stage 0+1 → (candidate doc ids [Q, ncand] int32, probe scores).
+
+    ``topk_impl='approx'`` selects the final top-``ncand`` with
+    ``approx_max_k`` (recall 0.99): an exact ``lax.top_k`` at ncand ≥ 1024
+    over the ~131k flattened entries lowers to a second full sort — the
+    candidate stage is already approximate (the probe runs at recall
+    0.95), so the exact cut buys nothing.  ``'exact'`` keeps ``lax.top_k``
+    for oracle comparisons.
 
     ``ivf_doc`` rows must be duplicate-free (``build_ivf`` guarantees it;
     pass anything else through ``dedup_ivf_rows``): the per-(doc, token)
@@ -207,7 +216,12 @@ def plaid_candidates(
 
     seg, is_end = segmented_run_totals(docs_s, per_tok, lq * nprobe)
     cand_scores = jnp.where(is_end & (docs_s < n_docs), seg, -jnp.inf)
-    top_scores, pos = jax.lax.top_k(cand_scores, ncand)
+    if topk_impl == "approx":
+        top_scores, pos = jax.lax.approx_max_k(
+            cand_scores, ncand, recall_target=0.99, aggregate_to_topk=True
+        )
+    else:
+        top_scores, pos = jax.lax.top_k(cand_scores, ncand)
     cand = jnp.take_along_axis(docs_s, pos, axis=1)
     # pad unscored slots with the sentinel so rescoring masks them
     cand = jnp.where(jnp.isfinite(top_scores), cand, n_docs)
