@@ -168,7 +168,14 @@ def main():
         dvals = jax.random.randint(ks[6], (1, per, H), -127, 128, jnp.int32
                                    ).astype(jnp.int8)
         cid = jax.random.randint(ks[7], (1, per, LD), 0, C, jnp.int32)
-        codes = jax.random.bits(ks[8], (1, per, LD, D * NBITS // 8), dtype=jnp.uint8)
+        # codes in the per-shard segmented f32 serving form
+        # (ShardedPlaidIndex.codes_seg): the flat u8 wide-row gather is the
+        # measured dominant rescore cost (index/compression.py codes_seg)
+        g4 = LD * D * NBITS // 8 // 512
+        codes = jax.lax.bitcast_convert_type(
+            jax.random.bits(ks[8], (1, 1, per, g4, 128), dtype=jnp.uint32),
+            jnp.float32,
+        )
         cmask = jnp.ones((1, per, LD), jnp.uint8)
         ce_tok = jax.random.randint(ks[9], (1, per, LD_CE), 5, V_S, jnp.int32
                                     ).astype(jnp.uint16)
@@ -205,8 +212,9 @@ def main():
             cap_per_chunk=CAP_SC,
         ) if args.splade_impl == "scatter" else None,
         plaid_shards=ShardedPlaidIndex(
-            centroids=cents, bucket_weights=bw, centroid_ids=cid, codes=codes,
-            mask=cmask, ivf_doc=ivf, nbits=NBITS, n_docs=per, docs_per_shard=per,
+            centroids=cents, bucket_weights=bw, centroid_ids=cid, codes=None,
+            codes_seg=codes, mask=cmask, ivf_doc=ivf, nbits=NBITS,
+            n_docs=per, docs_per_shard=per,
         ),
         ce_tok_shards=ce_tok,
         ce_msk_shards=ce_msk,
@@ -238,18 +246,22 @@ def main():
         "ce_mask": jnp.ones((B, LQ), jnp.int32),
     }
 
-    tiny = jnp.zeros((), jnp.float32) + 1.0
+    bump = jax.jit(lambda x: x + 1.0)
+    tiny = bump(jnp.zeros((), jnp.float32))
     fetch(tiny)
 
     def measure_rtt():
-        """Tunnel round-trip floor: MIN of repeated tiny fetches on an
-        ALREADY-materialized scalar (a mean can swallow a stray program
-        completion and over-refund — observed 208 ms 'rtt' that clamped a
-        ~200 ms batch to zero)."""
+        """Tunnel round-trip floor: MIN of tiny fetches, each on a FRESH
+        result (refetching one materialized array hits jax's cached host
+        copy and reads 0 ms — observed after the 2026-08-19 reboot — which
+        under-refunds; a mean can conversely swallow a stray program
+        completion and over-refund)."""
         ts = []
+        out = tiny
         for _ in range(5):
+            out = bump(out)
             t0 = time.perf_counter()
-            fetch(tiny)
+            fetch(out)
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

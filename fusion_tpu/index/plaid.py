@@ -492,24 +492,46 @@ def _plaid_rescore_factored(
 
 class ShardedPlaidIndex(NamedTuple):
     """Doc-range shards of (compressed index + IVF), stacked on a leading
-    axis for ``shard_map`` placement over the mesh ``index`` axis."""
+    axis for ``shard_map`` placement over the mesh ``index`` axis.
+
+    Exactly one of ``codes`` / ``codes_seg`` is set: ``codes_seg`` is the
+    per-shard segmented f32 serving form (index/compression.py
+    ``codes_seg`` — the wide-row u8 gather it replaces is the measured
+    dominant rescore cost), stacked as [S, SEGS, seg, G, 128] so each
+    shard's slice is already the 4-D shape the rescore consumes."""
 
     centroids: "jax.Array"  # [C, D] (replicated)
     bucket_weights: "jax.Array"  # [2^nbits] (replicated)
     centroid_ids: "jax.Array"  # [S, per, Ld]
-    codes: "jax.Array"  # [S, per, Ld, D/p]
+    codes: "jax.Array | None"  # [S, per, Ld, D/p] u8 (legacy form)
     mask: "jax.Array"  # [S, per, Ld]
     ivf_doc: "jax.Array"  # [S, C, cap] (LOCAL doc ids; pad = per)
     nbits: int
     n_docs: int
     docs_per_shard: int
+    codes_seg: "jax.Array | None" = None  # [S, SEGS, seg, G, 128] f32
 
 
-def shard_plaid_index(index, n_shards: int, ivf_cap: int = 4096) -> ShardedPlaidIndex:
+def shard_plaid_index(
+    index, n_shards: int, ivf_cap: int = 4096, dma_codes: bool = True
+) -> ShardedPlaidIndex:
     """Split a CompressedTokenIndex into doc-range shards and build each
-    shard's IVF over its local doc ids (host-side, offline)."""
+    shard's IVF over its local doc ids (host-side, offline).
+
+    ``dma_codes=True`` (default) stores the codes in the segmented f32
+    serving form when the row bytes pack to whole 128-lane f32 rows;
+    otherwise (or with ``dma_codes=False``) the legacy u8 form is kept."""
     cid = np.asarray(index.centroid_ids)
-    codes = np.asarray(index.codes)
+    if index.codes is not None:
+        codes = np.asarray(index.codes)
+    else:  # serving-scale source index: codes live only in segmented form
+        seg_np = np.asarray(index.codes_seg)
+        s, seg, g, lanes = seg_np.shape
+        codes = (
+            seg_np.view(np.uint8)
+            .reshape(s * seg, g * lanes * 4)[: cid.shape[0]]
+            .reshape(cid.shape[0], cid.shape[1], -1)
+        )
     mask = np.asarray(index.mask)
     n = cid.shape[0]
     per = -(-n // n_shards)
@@ -523,6 +545,17 @@ def shard_plaid_index(index, n_shards: int, ivf_cap: int = 4096) -> ShardedPlaid
         return arr.reshape(n_shards, per, *arr.shape[1:])
 
     cid_s, codes_s, mask_s = pad_to(cid), pad_to(codes), pad_to(mask)
+    codes_seg_s = None
+    if dma_codes:
+        from fusion_tpu.index.compression import segment_codes_host
+
+        per_shard_segs = [
+            segment_codes_host(codes_s[s]) for s in range(n_shards)
+        ]
+        if all(x is not None for x in per_shard_segs):
+            codes_seg_s = jnp.stack(
+                [jnp.asarray(x) for x in per_shard_segs]
+            )
     ivf_s = np.stack([
         np.asarray(
             build_ivf(cid_s[s], mask_s[s], c, cap=ivf_cap).ivf_doc
@@ -533,12 +566,13 @@ def shard_plaid_index(index, n_shards: int, ivf_cap: int = 4096) -> ShardedPlaid
         centroids=index.centroids,
         bucket_weights=index.bucket_weights,
         centroid_ids=jnp.asarray(cid_s),
-        codes=jnp.asarray(codes_s),
+        codes=None if codes_seg_s is not None else jnp.asarray(codes_s),
         mask=jnp.asarray(mask_s),
         ivf_doc=jnp.asarray(ivf_s),
         nbits=index.nbits,
         n_docs=n,
         docs_per_shard=per,
+        codes_seg=codes_seg_s,
     )
 
 
@@ -574,7 +608,9 @@ def sharded_plaid_search(
         nr = max(ncand_rescore - ncand_rescore % chunk, chunk)
     k = min(k, nr or ncand_l)
 
-    def local(qt, qm, cents, bw, cid, codes, msk, ivf):
+    use_seg = sharded.codes_seg is not None
+
+    def local(qt, qm, cents, bw, cid, codes_arr, msk, ivf):
         shard_idx = jax.lax.axis_index(INDEX_AXIS)
         cand, _ = plaid_candidates(
             qt, qm, cents, ivf[0], per, nprobe=nprobe, ncand=ncand_l
@@ -587,17 +623,19 @@ def sharded_plaid_search(
                 qt, qm, cents, cid[0], msk[0], cand, ncand2=nr, cs=cs,
                 gather_impl=gather_impl,
             )
+        codes_l = None if use_seg else codes_arr[0]
+        seg_l = codes_arr[0] if use_seg else None
         if rescore_impl == "factored":
             local_ranked = _plaid_rescore_factored(
-                qt, qm, cs, cid[0], codes[0], msk[0], bw, cand,
+                qt, qm, cs, cid[0], codes_l, msk[0], bw, cand,
                 nbits=sharded.nbits, k=k, cand_chunk=chunk,
-                gather_impl=gather_impl,
+                gather_impl=gather_impl, codes_seg=seg_l,
             )
         else:
             local_ranked = _plaid_rescore(
-                qt, qm, cents, cid[0], codes[0], msk[0], bw, cand,
+                qt, qm, cents, cid[0], codes_l, msk[0], bw, cand,
                 nbits=sharded.nbits, k=k, cand_chunk=chunk,
-                gather_impl=gather_impl,
+                gather_impl=gather_impl, codes_seg=seg_l,
             )
         global_ids = jnp.where(
             local_ranked.ids >= 0, local_ranked.ids + shard_idx * per, -1
@@ -612,18 +650,23 @@ def sharded_plaid_search(
 
     from fusion_tpu.parallel.sharding import cached_shard_program
 
+    codes_operand = sharded.codes_seg if use_seg else sharded.codes
+    codes_spec = (
+        P(INDEX_AXIS, None, None, None, None) if use_seg
+        else P(INDEX_AXIS, None, None, None)
+    )
     program = cached_shard_program(
         (
             "sharded_plaid_search",
             mesh, k, per, nprobe, ncand_l, nr, chunk, sharded.nbits,
-            rescore_impl, gather_impl,
+            rescore_impl, gather_impl, use_seg,
         ),
         lambda: shard_map(
             local,
             mesh=mesh,
             in_specs=(
                 P(), P(), P(), P(),
-                P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None, None),
+                P(INDEX_AXIS, None, None), codes_spec,
                 P(INDEX_AXIS, None, None), P(INDEX_AXIS, None, None),
             ),
             out_specs=(P(), P()),
@@ -633,7 +676,7 @@ def sharded_plaid_search(
     ids, scores = program(
         q_tok.astype(jnp.float32), q_mask.astype(jnp.float32),
         sharded.centroids, sharded.bucket_weights,
-        sharded.centroid_ids, sharded.codes, sharded.mask, sharded.ivf_doc,
+        sharded.centroid_ids, codes_operand, sharded.mask, sharded.ivf_doc,
     )
     return RankedLists(ids=ids, scores=scores)
 

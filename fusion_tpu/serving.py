@@ -605,8 +605,12 @@ class HybridSearcher:
             ops["cb_params"] = self.colbert_model.params
             ci = self.colbert_index
             if isinstance(ci, CompressedTokenIndex):
+                # codes_seg travels as an OPERAND like the rest: a closed-
+                # over multi-GB device array would be embedded in the
+                # remote-compile payload (kills the tunnel compile helper)
                 ops["cb_comp"] = (
-                    ci.centroids, ci.centroid_ids, ci.codes, ci.mask, ci.bucket_weights
+                    ci.centroids, ci.centroid_ids, ci.codes, ci.mask,
+                    ci.bucket_weights, ci.codes_seg,
                 )
                 if self.colbert_ivf is not None:
                     ops["cb_ivf"] = self.colbert_ivf.ivf_doc
@@ -741,7 +745,8 @@ class HybridSearcher:
                     index = dataclasses.replace(
                         self.colbert_index,
                         centroids=cc[0], centroid_ids=cc[1], codes=cc[2],
-                        mask=cc[3], bucket_weights=cc[4], _prepared=None,
+                        mask=cc[3], bucket_weights=cc[4], codes_seg=cc[5],
+                        _prepared=None,
                     )
                 if "cb_ivf" in ops:
                     from fusion_tpu.index.plaid import plaid_search

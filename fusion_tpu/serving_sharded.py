@@ -317,13 +317,17 @@ class ShardedHybridSearcher(HybridSearcher):
                 ))
         if self.plaid_shards is not None:
             rep = NamedSharding(mesh, P())
-            self.plaid_shards = self.plaid_shards._replace(
-                centroids=jax.device_put(self.plaid_shards.centroids, rep),
-                bucket_weights=jax.device_put(self.plaid_shards.bucket_weights, rep),
-                centroid_ids=put(self.plaid_shards.centroid_ids, 2),
-                codes=put(self.plaid_shards.codes, 3),
-                mask=put(self.plaid_shards.mask, 2),
-                ivf_doc=put(self.plaid_shards.ivf_doc, 2),
+            ps = self.plaid_shards
+            self.plaid_shards = ps._replace(
+                centroids=jax.device_put(ps.centroids, rep),
+                bucket_weights=jax.device_put(ps.bucket_weights, rep),
+                centroid_ids=put(ps.centroid_ids, 2),
+                codes=None if ps.codes is None else put(ps.codes, 3),
+                codes_seg=(
+                    None if ps.codes_seg is None else put(ps.codes_seg, 4)
+                ),
+                mask=put(ps.mask, 2),
+                ivf_doc=put(ps.ivf_doc, 2),
             )
         if self.ce_tok_shards is not None:
             self.ce_tok_shards = put(self.ce_tok_shards, 2)
@@ -433,11 +437,18 @@ class ShardedHybridSearcher(HybridSearcher):
             )
         if self.plaid_shards is not None:
             ps = self.plaid_shards
+            # codes slot carries the segmented f32 serving form (5-D) when
+            # built, else the legacy u8 codes (4-D) — see ShardedPlaidIndex
+            codes_arr = ps.codes_seg if ps.codes_seg is not None else ps.codes
+            codes_spec = (
+                P(INDEX_AXIS, None, None, None, None)
+                if ps.codes_seg is not None else SH4
+            )
             slots["plaid"] = (
                 add(ps.centroids, P()),
                 add(ps.bucket_weights, P()),
                 add(ps.centroid_ids, SH3),
-                add(ps.codes, SH4),
+                add(codes_arr, codes_spec),
                 add(ps.mask, SH3),
                 add(ps.ivf_doc, SH3),
             )
@@ -568,19 +579,22 @@ class ShardedHybridSearcher(HybridSearcher):
                         gather_impl=self.plaid_gather_impl,
                     )
                     kl = min(kl, nr)
+                use_seg = ps.codes_seg is not None
+                codes_l = None if use_seg else arrs[icod][0]
+                seg_l = arrs[icod][0] if use_seg else None
                 if factored:
                     from fusion_tpu.index.plaid import _plaid_rescore_factored
 
                     local = _plaid_rescore_factored(
-                        qt, qm, cs, arrs[icid][0], arrs[icod][0], arrs[imsk][0],
+                        qt, qm, cs, arrs[icid][0], codes_l, arrs[imsk][0],
                         arrs[ibw], cand, nbits=ps.nbits, k=kl, cand_chunk=chunk,
-                        gather_impl=self.plaid_gather_impl,
+                        gather_impl=self.plaid_gather_impl, codes_seg=seg_l,
                     )
                 else:
                     local = _plaid_rescore(
-                        qt, qm, arrs[ic], arrs[icid][0], arrs[icod][0], arrs[imsk][0],
+                        qt, qm, arrs[ic], arrs[icid][0], codes_l, arrs[imsk][0],
                         arrs[ibw], cand, nbits=ps.nbits, k=kl, cand_chunk=chunk,
-                        gather_impl=self.plaid_gather_impl,
+                        gather_impl=self.plaid_gather_impl, codes_seg=seg_l,
                     )
                 results["colbert"] = globalize_merge(local, per)
 

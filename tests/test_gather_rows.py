@@ -194,6 +194,40 @@ def test_plaid_search_segmented_codes_matches_plain(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out.ids), np.asarray(ref.ids))
 
 
+def test_sharded_plaid_segmented_codes_matches_legacy():
+    """shard_plaid_index's default segmented-f32 codes form must reproduce
+    the legacy u8 form's ranking exactly through the 8-shard mesh program
+    (512 B code rows so the segmented form actually builds)."""
+    rng = np.random.default_rng(13)
+    from fusion_tpu.index.compression import compress_token_index
+    from fusion_tpu.index.plaid import shard_plaid_index, sharded_plaid_search
+    from fusion_tpu.parallel.sharding import make_mesh
+
+    n, ld, d = 64, 16, 128
+    toks = rng.normal(size=(n, ld, d)).astype(np.float32)
+    mask = np.ones((n, ld), np.float32)
+    index = compress_token_index(
+        jnp.asarray(toks), jnp.asarray(mask), num_centroids=16, nbits=2, seed=0
+    )
+    seg_sh = shard_plaid_index(index, 8, ivf_cap=16)  # default dma_codes
+    assert seg_sh.codes is None and seg_sh.codes_seg is not None
+    leg_sh = shard_plaid_index(index, 8, ivf_cap=16, dma_codes=False)
+    assert leg_sh.codes_seg is None
+    q_tok = jnp.asarray(rng.normal(size=(2, 4, d)).astype(np.float32))
+    q_mask = jnp.ones((2, 4), jnp.float32)
+    mesh = make_mesh(data=1, model=1, index=8)
+    kw = dict(k=6, nprobe=4, ncand=8, cand_chunk=4, ncand_rescore=4)
+    ref = sharded_plaid_search(q_tok, q_mask, leg_sh, mesh, **kw)
+    for gi in ("xla", "pallas_interpret"):
+        out = sharded_plaid_search(
+            q_tok, q_mask, seg_sh, mesh, gather_impl=gi, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(out.ids), np.asarray(ref.ids))
+        np.testing.assert_allclose(
+            np.asarray(out.scores), np.asarray(ref.scores), rtol=1e-6
+        )
+
+
 def test_sharded_plaid_pallas_gather_matches_xla():
     """gather_impl='pallas_interpret' inside the 8-shard mesh program
     (shard_map over the index axis) must reproduce the 'xla' gather form's
