@@ -32,10 +32,13 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def overlap_at_k(a_ids: np.ndarray, b_ids: np.ndarray, k: int) -> float:
@@ -383,6 +386,9 @@ def main():
         index = compress_token_index(
             jnp.asarray(toks), jnp.asarray(mask), nbits=2, kmeans_iters=4,
             num_centroids=n_cent, sample_size=min(n_tokens, 1_048_576),
+            # the serving form: segmented f32 codes (codes_seg), so the
+            # study validates exactly what serves
+            dma_codes=True,
         )
         # queries: 8 tokens from ONE topic's clusters (+ jitter)
         q_topic = rng.integers(0, n_topics, size=B)
