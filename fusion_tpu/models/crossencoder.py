@@ -457,11 +457,14 @@ class CrossEncoder(PairRerankMixin):
         return [{"corpus_id": int(i), "score": float(scores[i])} for i in order]
 
     def quantized(self, mode: str = "int8") -> "CrossEncoder":
-        """Serving-speed view of this model: same params/tokenizer, trunk
-        dense matmuls run through the dynamic int8 MXU path
-        (encoder.int8_dot_general — 2× bf16 throughput on v5e).  Measure
-        ranking quality before deploying (scripts/cascade_study.py --int8);
-        do not train through it (zero gradient at the rounding)."""
+        """Serving view of this model: same params/tokenizer, trunk dense
+        matmuls run through the dynamic int8 MXU path
+        (encoder.int8_dot_general).  Chip-measured a WASH on the testbed
+        v5e (rerank stage 3053 vs 2877 ms bf16; raw int8 MXU is only ~1.2×
+        bf16 there — INT8_MXU_PROBE_r04.json), so this is NOT a default;
+        probe the target chip first.  Measure ranking quality before
+        deploying (scripts/cascade_study.py --int8); do not train through
+        it (zero gradient at the rounding)."""
         cfg = dataclasses.replace(self.cfg, quantize=mode)
         return CrossEncoder(
             cfg, params=self.params, tokenizer=self.tokenizer,

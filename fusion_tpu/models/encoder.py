@@ -61,8 +61,11 @@ class EncoderConfig:
     # None: bf16/f32 MXU matmuls.  'int8': SERVING-ONLY dynamic symmetric
     # int8 quantization of every trunk dense matmul (qkv/out/ffn) — per-row
     # activation + per-column weight absmax scales computed inside the
-    # program, int8×int8 MXU dot (2× bf16 throughput on v5e) with i32
-    # accumulation, f32 rescale.  Params stay f32/bf16 (quantization is in
+    # program, int8×int8 MXU dot with i32 accumulation, f32 rescale.
+    # Measured on this testbed's v5e (INT8_MXU_PROBE_r04.json): raw int8 is
+    # only ~1.2× bf16 at encoder shapes and the dynamic-quant overhead eats
+    # that margin (end-to-end a wash) — keep this OFF unless a probe on the
+    # target chip shows otherwise.  Params stay f32/bf16 (quantization is in
     # the forward), so any checkpoint serves either way.  round() has zero
     # gradient — do NOT train with this set; use it via
     # `dataclasses.replace(cfg, quantize='int8')` at serving time and
@@ -102,8 +105,10 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     """Drop-in ``lax.dot_general`` with dynamic symmetric int8 quantization.
 
     Per-row (all contracting dims reduced) absmax scales for both operands,
-    int8×int8 dot with i32 accumulation — the v5e MXU's 2×-throughput
-    path — then an f32 rescale.  Inference-only: ``round`` has zero
+    int8×int8 dot with i32 accumulation, then an f32 rescale.  NOTE: on the
+    testbed v5e the int8 MXU path measured only ~1.2× bf16 raw and a WASH
+    end-to-end once the dynamic quantization is included
+    (scripts/probe_int8_matmul.py → INT8_MXU_PROBE_r04.json).  Inference-only: ``round`` has zero
     gradient.  Assumes no batch dims (true for nn.Dense/DenseGeneral)."""
     (lc, rc), (lb, rb) = dimension_numbers
     assert not lb and not rb, "int8_dot_general: batch dims unsupported"
