@@ -408,6 +408,51 @@ def main():
 
     dt_rr_bk, dt_rr_bk_raw = time_rerank_bucketed(ce_b, "einsum_bf16+buckets")
 
+    # sequence-packed rerank (serving: HybridSearcher(rerank_packed=True)):
+    # pairs bin-packed back-to-back into fixed rows with block-diagonal
+    # segment attention — no intra-bucket padding at all (fill ≥0.93);
+    # same 2-host-hop pattern as buckets (head fetch + plan upload)
+    ce_q_lens = ce_mask_np.sum(axis=1).astype(np.int32)
+
+    def time_rerank_packed(ce_obj, label, row_width):
+        def once():
+            ids, scores = hybrid_jit(*args)
+            head = np.asarray(ids[:, :RERANK_DEPTH])
+            logits = ce_obj.rerank_tokens_packed(
+                ce.params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask,
+                head, ce_doc_lens, ce_q_lens, row_width=row_width,
+            )
+            return merge_jit(ids, scores, jnp.asarray(head), logits)
+
+        t0 = time.perf_counter()
+        fetch(once())
+        print(f"# hybrid+rerank[{label}] compile+first run: "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        raws = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            fetch(once())
+            raws.append(time.perf_counter() - t0)
+        raw = min(raws)
+        adj = max(raw - 2 * t_rt, dt)
+        print(f"# hybrid+rerank[{label}]: {adj*1000:.1f} ms/batch rtt-refunded "
+              f"(raw {raw*1000:.1f}; stage alone ~{(adj-dt)*1000:.1f} ms)",
+              file=sys.stderr)
+        return adj, raw
+
+    dt_rr_pk = dt_rr_pk_raw = pk_width = None
+    try:
+        # 256-wide rows keep the dense masked attention no wider than the
+        # flat 254-token pair; 512 halves the row count but doubles each
+        # token's attention span — measure both, report the winner
+        cands = []
+        for w in (256, 512):
+            adj, raw = time_rerank_packed(ce_b, f"einsum_bf16+packed{w}", w)
+            cands.append((adj, raw, w))
+        dt_rr_pk, dt_rr_pk_raw, pk_width = min(cands)
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"# hybrid+rerank[einsum_bf16+packed] FAILED: {e}", file=sys.stderr)
+
     # ------------------------------------------------------------------
     # baseline: reference-structure pipeline (host sparse BM25 scoring,
     # unfused legs, einsum MaxSim, host sync between systems) on the
@@ -526,6 +571,16 @@ def main():
                     round(B / dt_rr_i8, 2) if dt_rr_i8 else None
                 ),
                 "buckets": list(BUCKETS),
+                "ms_per_batch_rerank_stage_bf16attn_packed": (
+                    round((dt_rr_pk - dt) * 1000, 2) if dt_rr_pk else None
+                ),
+                "ms_per_batch_rerank_packed_raw": (
+                    round(dt_rr_pk_raw * 1000, 2) if dt_rr_pk_raw else None
+                ),
+                "q_per_s_with_rerank_packed": (
+                    round(B / dt_rr_pk, 2) if dt_rr_pk else None
+                ),
+                "packed_row_width": pk_width,
                 "doc_len_mix": "uniform 40-220 tokens",
             },
         },

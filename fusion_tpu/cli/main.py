@@ -667,6 +667,8 @@ def cmd_serve(args):
             ivf_cap=args.ivf_cap,
             rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
             rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
+            rerank_packed=getattr(args, "rerank_packed", False),
+            rerank_row_width=getattr(args, "rerank_row_width", None) or None,
             dense_impl=args.dense_impl,
             encoders_int8=getattr(args, "encoders_int8", False),
         )
@@ -689,6 +691,8 @@ def cmd_serve(args):
         splade_query_terms=args.splade_query_terms, dense_impl=args.dense_impl,
         rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
         rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
+        rerank_packed=getattr(args, "rerank_packed", False),
+        rerank_row_width=getattr(args, "rerank_row_width", None) or None,
     ).load_indexes(args.index_dir, int8_corpus=args.int8_corpus)
     if getattr(args, "encoders_int8", False):
         searcher.quantize_encoders()
@@ -913,6 +917,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "top KEEP at full width; STAGE1_TOKENS=0 resolves "
                          "to the corpus p90 token length (the measured "
                          "exact-parity regime)")
+    sp.add_argument("--rerank_packed", action="store_true",
+                    help="sequence-packed monoBERT rerank: (query, doc) "
+                         "pairs bin-packed back-to-back into fixed rows "
+                         "with block-diagonal segment attention — exact "
+                         "like --rerank_buckets but with no intra-bucket "
+                         "padding (fill >=0.93)")
+    sp.add_argument("--rerank_row_width", type=int, default=None,
+                    help="packed-rerank row width in tokens (default: "
+                         "max(512, longest pair rounded up to 128))")
     sp.add_argument("--ce_attention", default="einsum_bf16",
                     choices=["einsum", "einsum_bf16", "flash"],
                     help="rerank-stage attention impl; einsum_bf16 (2-byte "

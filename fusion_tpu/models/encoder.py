@@ -148,10 +148,15 @@ class Embeddings(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, deterministic=True):
+    def __call__(self, input_ids, attention_mask, deterministic=True, position_ids=None):
         c = self.cfg
         word = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.dtype, name="word")(input_ids)
-        if getattr(c, "position_offset", 2):
+        if position_ids is not None:
+            # caller-supplied positions: the packed-sequence serving path
+            # restarts positions at each packed segment so every (query,
+            # doc) pair sees exactly the positions it would get unpacked
+            pos_ids = position_ids
+        elif getattr(c, "position_offset", 2):
             # RoBERTa/CamemBERT scheme: positions count non-pad tokens,
             # offset past the pad index (HF create_position_ids_from_input_ids)
             pos_ids = roberta_position_ids(input_ids, c.pad_token_id)
@@ -175,7 +180,7 @@ class SelfAttention(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, attention_mask, deterministic=True):
+    def __call__(self, x, attention_mask, deterministic=True, segment_ids=None):
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
         # fused QKV: one [H, 3H] matmul instead of three [H, H] — fewer,
@@ -194,6 +199,16 @@ class SelfAttention(nn.Module):
             and x.shape[1] % 128 == 0
             and (deterministic or c.dropout == 0.0)
         )
+        # key-side attendability: [B,1,1,Lk] for plain rows; with packed
+        # segment ids it becomes block-diagonal [B,1,Lq,Lk] so tokens of
+        # one packed (query, doc) pair never attend across pairs
+        if segment_ids is None:
+            allowed = attention_mask[:, None, None, :] > 0
+        else:
+            allowed = (
+                (segment_ids[:, None, :] == segment_ids[:, :, None])
+                & (attention_mask[:, None, :] > 0)
+            )[:, None]
         if use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds,
@@ -202,7 +217,11 @@ class SelfAttention(nn.Module):
 
             # padding via segment ids: pad tokens (segment 0) are excluded
             # from real tokens' (segment 1) softmax and vice versa
-            seg = (attention_mask > 0).astype(jnp.int32)
+            seg = (
+                segment_ids.astype(jnp.int32)
+                if segment_ids is not None
+                else (attention_mask > 0).astype(jnp.int32)
+            )
             ctx = flash_attention(
                 q.transpose(0, 2, 1, 3).astype(c.dtype),  # [B, heads, L, hd]
                 k.transpose(0, 2, 1, 3).astype(c.dtype),
@@ -221,9 +240,7 @@ class SelfAttention(nn.Module):
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
             ).astype(jnp.bfloat16)
-            bias = jnp.where(
-                attention_mask[:, None, None, :] > 0, 0.0, -1e9
-            ).astype(jnp.bfloat16)
+            bias = jnp.where(allowed, 0.0, -1e9).astype(jnp.bfloat16)
             probs = jax.nn.softmax(
                 (logits * scale + bias).astype(jnp.float32), axis=-1
             ).astype(c.dtype)
@@ -239,7 +256,7 @@ class SelfAttention(nn.Module):
                 )
                 * scale
             )
-            bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+            bias = jnp.where(allowed, 0.0, -1e9)
             probs = jax.nn.softmax(logits + bias, axis=-1).astype(c.dtype)
             probs = nn.Dropout(c.dropout)(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
@@ -254,9 +271,11 @@ class TransformerLayer(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, attention_mask, deterministic=True):
+    def __call__(self, x, attention_mask, deterministic=True, segment_ids=None):
         c = self.cfg
-        attn = SelfAttention(c, name="attention")(x, attention_mask, deterministic)
+        attn = SelfAttention(c, name="attention")(
+            x, attention_mask, deterministic, segment_ids
+        )
         attn = nn.Dropout(c.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attn_ln")(
             x + attn
@@ -278,13 +297,24 @@ class Encoder(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, deterministic=True):
-        x = Embeddings(self.cfg, name="embeddings")(input_ids, attention_mask, deterministic)
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        deterministic=True,
+        position_ids=None,
+        segment_ids=None,
+    ):
+        x = Embeddings(self.cfg, name="embeddings")(
+            input_ids, attention_mask, deterministic, position_ids
+        )
         layer_cls = (
             nn.remat(TransformerLayer, static_argnums=(3,)) if self.cfg.remat else TransformerLayer
         )
         for i in range(self.cfg.num_layers):
-            x = layer_cls(self.cfg, name=f"layer_{i}")(x, attention_mask, deterministic)
+            x = layer_cls(self.cfg, name=f"layer_{i}")(
+                x, attention_mask, deterministic, segment_ids
+            )
         return x
 
 

@@ -209,6 +209,11 @@ class HybridSearcher:
     # doc-width ladder for the length-bucketed rerank stage; None = flat
     # full-width rerank inside the single device program
     rerank_buckets: tuple | None = None
+    # sequence-packed rerank stage (CrossEncoder.rerank_tokens_packed):
+    # pairs packed back-to-back into fixed rows with block-diagonal
+    # segment attention — exact like buckets, but no intra-bucket padding
+    rerank_packed: bool = False
+    rerank_row_width: int | None = None
     # (keep, stage1_tokens): two-stage in-program rerank — truncated-doc
     # prefilter over all candidates, full-width rescore of the top ``keep``
     # (CrossEncoder.rerank_tokens_cascade).  stage1_tokens of 0/None/'auto'
@@ -267,6 +272,8 @@ class HybridSearcher:
         ivf_cap: int = 1024,
         rerank_buckets: tuple | None = None,
         rerank_cascade: tuple | None = None,
+        rerank_packed: bool = False,
+        rerank_row_width: int | None = None,
         dense_impl: str = "auto",
         encoders_int8: bool = False,
     ) -> "HybridSearcher":
@@ -437,6 +444,8 @@ class HybridSearcher:
                 )
             )
             out.rerank_buckets = rerank_buckets
+            out.rerank_packed = rerank_packed
+            out.rerank_row_width = rerank_row_width
             if rerank_cascade is not None:
                 rerank_cascade = _resolve_cascade(
                     rerank_cascade, out.ce_doc_lens, out.ce_doc_tokens.shape[1]
@@ -550,12 +559,21 @@ class HybridSearcher:
                 "(the bucketed stage runs outside the device program and "
                 "would silently ignore the cascade) — configure one"
             )
+        if self.rerank_packed and (
+            self.rerank_buckets is not None or self.rerank_cascade is not None
+        ):
+            raise ValueError(
+                "rerank_packed is mutually exclusive with rerank_buckets / "
+                "rerank_cascade (the packed stage replaces them as the "
+                "variable-length strategy) — configure one"
+            )
         # cascade settings and every model object's identity are part of
         # the compiled program (swapping in .quantized() views or toggling
         # the cascade must not reuse a stale program).  The model OBJECTS
         # go in the key — identity-hashed AND strongly referenced, so a
         # freed id can never be recycled onto a stale entry.
-        key = (batch, use_pallas, self.rerank_buckets is None, dense_fused,
+        key = (batch, use_pallas, self.rerank_buckets is None,
+               self.rerank_packed, dense_fused,
                systems_out, self.rerank_cascade, self.cross_encoder,
                self.dense_model, self.splade_model, self.colbert_model,
                self.plaid_rescore_impl, self.plaid_gather_impl)
@@ -633,7 +651,11 @@ class HybridSearcher:
                 s: jnp.asarray(t, jnp.float32)
                 for s, t in self.percentile_distributions.items()
             }
-        in_program_rerank = self._rerank_active and self.rerank_buckets is None
+        in_program_rerank = (
+            self._rerank_active
+            and self.rerank_buckets is None
+            and not self.rerank_packed
+        )
         if in_program_rerank:
             ops["ce_params"] = self.cross_encoder.params
             ops["ce_tok"] = self.ce_doc_tokens
@@ -1054,6 +1076,12 @@ class HybridSearcher:
             ids, mask = self.cross_encoder.encode_queries_raw(
                 chunk, max_query_tokens=self.ce_query_length
             )
+            if self.rerank_packed:
+                # the packed stage's host-side bin-packing plan needs query
+                # token counts; grab them here while the mask is still a
+                # host array (a post-hoc device fetch costs a tunnel RTT).
+                # search() consumes this in the same loop iteration.
+                self._ce_qlens_host = np.asarray(mask).sum(axis=1).astype(np.int32)
             inputs["ce_ids"], inputs["ce_mask"] = jnp.asarray(ids), jnp.asarray(mask)
         return inputs
 
@@ -1076,6 +1104,9 @@ class HybridSearcher:
             buckets=self.rerank_buckets,
             pair_chunk=self.rerank_chunk,
         )
+        return self._head_merge(ids, scores, head_ids, logits)
+
+    def _head_merge(self, ids, scores, head_ids, logits):
         merge = self._jitted.get("_bucket_merge")
         if merge is None:
 
@@ -1087,6 +1118,28 @@ class HybridSearcher:
 
             merge = self._jitted["_bucket_merge"] = jax.jit(_merge)
         return merge(ids, scores, jnp.asarray(head_ids), logits)
+
+    def _packed_rerank_stage(
+        self, inputs: dict, ids: jax.Array, scores: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """Sequence-packed monoBERT stage: fetch the fused head ids (small),
+        bin-pack the (query, candidate) pairs into fixed-width rows on the
+        host, score with block-diagonal segment attention, merge on device
+        (see CrossEncoder.rerank_tokens_packed)."""
+        kr = min(self.rerank_depth, ids.shape[1])
+        head_ids = np.asarray(ids[:, :kr])
+        logits = self.cross_encoder.rerank_tokens_packed(
+            self.cross_encoder.params,
+            inputs["ce_ids"],
+            inputs["ce_mask"],
+            self.ce_doc_tokens,
+            self.ce_doc_mask,
+            head_ids,
+            self.ce_doc_lens,
+            self._ce_qlens_host,
+            row_width=self.rerank_row_width,
+        )
+        return self._head_merge(ids, scores, head_ids, logits)
 
     def search(
         self,
@@ -1115,6 +1168,8 @@ class HybridSearcher:
             ids, scores = program(inputs)
             if self._rerank_active and self.rerank_buckets is not None:
                 ids, scores = self._bucketed_rerank_stage(inputs, ids, scores)
+            elif self._rerank_active and self.rerank_packed:
+                ids, scores = self._packed_rerank_stage(inputs, ids, scores)
             if pending is not None:
                 p_ids, p_scores, p_real = pending
                 out_ids.append(np.asarray(p_ids)[:p_real])

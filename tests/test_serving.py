@@ -204,6 +204,83 @@ def test_rerank_bucketed_matches_full_width():
     np.testing.assert_allclose(b_def[valid], f[valid], rtol=2e-5, atol=2e-5)
 
 
+def test_pack_pairs_planner_properties():
+    """FFD planner: every pair fits its row, no overlap, decent fill."""
+    from fusion_tpu.models.crossencoder import PairRerankMixin
+
+    rng = np.random.default_rng(0)
+    plen = rng.integers(10, 200, size=400).astype(np.int32)
+    W = 256
+    row, off, n_rows = PairRerankMixin.pack_pairs(plen, W)
+    assert np.all(off + plen <= W)
+    # no overlap: occupancy painted per row
+    occ = np.zeros((n_rows, W), np.int32)
+    for p in range(plen.size):
+        occ[row[p], off[p] : off[p] + plen[p]] += 1
+    assert occ.max() == 1
+    fill = plen.sum() / (n_rows * W)
+    assert fill > 0.85, fill
+    # oversize pair rejected
+    with pytest.raises(ValueError):
+        PairRerankMixin.pack_pairs(np.array([W + 1]), W)
+
+
+def test_rerank_packed_matches_full_width():
+    """Sequence-packed scoring must equal the flat full-width path: block-
+    diagonal segment attention + per-pair position restarts reproduce each
+    pair's unpacked forward exactly (incl. empty-doc logits for -1 slots)."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=64)
+    docs = list(CORPUS.values()) + ["один"]  # mixed lengths incl. 1 token
+    d_ids, d_mask, d_lens = ce.prepare_corpus_tokens(
+        docs, max_doc_tokens=24, return_lens=True
+    )
+    q_ids_np, q_mask_np = ce.encode_queries_raw(QUERIES, max_query_tokens=6)
+    q_lens = np.asarray(q_mask_np).sum(axis=1).astype(np.int32)
+    q_ids, q_mask = jnp.asarray(q_ids_np), jnp.asarray(q_mask_np)
+    head = np.array([[0, 3, 8, -1], [5, 1, 2, 6], [7, 4, 0, -1]], np.int32)
+    cand = jnp.asarray(np.clip(head, 0, len(docs) - 1))
+    full = np.asarray(ce.rerank_tokens(
+        ce.params, q_ids, q_mask,
+        d_ids[cand].astype(jnp.int32),
+        d_mask[cand].astype(jnp.int32) * (head >= 0)[..., None],
+        pair_chunk=4,
+    ))
+    for row_width, rpc in ((128, None), (64, 2), (None, None)):
+        packed = np.asarray(ce.rerank_tokens_packed(
+            ce.params, q_ids, q_mask, d_ids, d_mask, head, d_lens, q_lens,
+            row_width=row_width, rows_per_chunk=rpc,
+        ))
+        np.testing.assert_allclose(packed, full, rtol=2e-5, atol=2e-5)
+
+
+def test_rerank_packed_rows_wider_than_max_position():
+    """Packed positions are bounded by pair length, not row width, so rows
+    may exceed the position table (tiny cfg max_position=66; width 128)."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    cfg = EncoderConfig.tiny(vocab_size=512)
+    assert cfg.max_position < 128
+    ce = CrossEncoder(cfg, max_length=40)
+    docs = list(CORPUS.values())
+    d_ids, d_mask, d_lens = ce.prepare_corpus_tokens(
+        docs, max_doc_tokens=16, return_lens=True
+    )
+    q_ids_np, q_mask_np = ce.encode_queries_raw(QUERIES, max_query_tokens=6)
+    q_lens = np.asarray(q_mask_np).sum(axis=1).astype(np.int32)
+    head = np.array([[0, 1], [2, 3], [4, 5]], np.int32)
+    out = np.asarray(ce.rerank_tokens_packed(
+        ce.params, jnp.asarray(q_ids_np), jnp.asarray(q_mask_np),
+        d_ids, d_mask, head, d_lens, q_lens, row_width=128,
+    ))
+    assert np.isfinite(out).all()
+
+
 def test_searcher_rerank_bucketed_matches_flat(models):
     """HybridSearcher with rerank_buckets must rank exactly like the
     in-program full-width rerank."""
@@ -224,6 +301,31 @@ def test_searcher_rerank_bucketed_matches_flat(models):
     np.testing.assert_allclose(
         np.asarray(r_flat.scores), np.asarray(r_buck.scores), rtol=1e-4, atol=1e-5
     )
+
+
+def test_searcher_rerank_packed_matches_flat(models):
+    """HybridSearcher with rerank_packed must rank exactly like the
+    in-program full-width rerank (and reject bucket/cascade combos)."""
+    dense, _, _ = models
+    from fusion_tpu.models.crossencoder import CrossEncoder
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    kwargs = dict(dense_model=dense, batch_size=4, topk=8)
+    flat = HybridSearcher.build(CORPUS, cross_encoder=ce, rerank_depth=4, **kwargs)
+    packed = HybridSearcher.build(
+        CORPUS, cross_encoder=ce, rerank_depth=4,
+        rerank_packed=True, rerank_row_width=128, **kwargs,
+    )
+    assert packed.ce_doc_lens is not None
+    r_flat, _ = flat.search(QUERIES, batch_size=4, use_pallas=False)
+    r_pack, _ = packed.search(QUERIES, batch_size=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(r_flat.ids), np.asarray(r_pack.ids))
+    np.testing.assert_allclose(
+        np.asarray(r_flat.scores), np.asarray(r_pack.scores), rtol=1e-4, atol=1e-5
+    )
+    packed.rerank_buckets = (8, 16)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        packed.search(QUERIES, batch_size=4, use_pallas=False)
 
 
 def test_rerank_cascade_properties():
