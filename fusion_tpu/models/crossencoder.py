@@ -420,6 +420,130 @@ class PairRerankMixin:
             row[pi] = r
         return row, off, len(rem)
 
+    def plan_packed(
+        self,
+        head_ids: np.ndarray,  # [Q, Kr] HOST candidate ids (pad -1)
+        doc_lens: np.ndarray,  # [N] HOST token counts
+        q_lens: np.ndarray,  # [Q] HOST query token counts
+        lq_max: int,
+        ld_max: int,
+        n_docs: int,
+        row_width: int | None = None,
+        rows_per_chunk: int | None = None,
+        chunk_multiple: int = 1,
+    ):
+        """Host-side packing plan shared by the single-chip and sharded
+        packed rerank paths.  Returns (desc [6, P] int32, tables
+        [nchunks, pc_cap, 3] int32, width, nchunks, rpc, pc_cap) where
+        nchunks is grid-bounded (bounded recompiles) and a multiple of
+        ``chunk_multiple`` (so a mesh can own whole chunk groups)."""
+        qn, kr = head_ids.shape
+        flat = head_ids.reshape(-1).astype(np.int64)
+        valid = flat >= 0
+        safe = np.clip(flat, 0, n_docs - 1).astype(np.int32)
+        dlen = np.where(valid, np.asarray(doc_lens)[safe], 0).astype(np.int32)
+        dlen = np.minimum(dlen, ld_max)
+        qrow = (np.arange(qn * kr) // kr).astype(np.int32)
+        qlen = np.minimum(np.asarray(q_lens, np.int32), lq_max)[qrow]
+        plen = (2 + qlen + dlen).astype(np.int32)
+        maxp = int(plen.max()) if plen.size else 2
+        width = row_width or max(512, -(-maxp // 128) * 128)
+        row, off, n_rows = self.pack_pairs(plen, width)
+        # reorder descriptors by (row, offset): the device owner map is a
+        # running max of scattered (index + 1) markers, which identifies
+        # the nearest-preceding pair only if indices increase along a row
+        perm = np.lexsort((off, row))
+        qrow, safe, qlen, dlen, row, off = (
+            a[perm] for a in (qrow, safe, qlen, dlen, row, off)
+        )
+        out_slot = perm.astype(np.int32)  # sorted pair j writes flat slot perm[j]
+        rpc = rows_per_chunk or max(8, (64 * 512) // width)
+        units = -(-max(n_rows, 1) // (rpc * chunk_multiple))
+        for g in self._BUCKET_CHUNK_GRID:
+            if g >= units:
+                units = g
+                break
+        nchunks = units * chunk_multiple
+        # per-chunk pair readout tables [nchunks, pc_cap, 3]:
+        # (local row, col, output slot); filler entries spill
+        chunk_of = row // rpc
+        counts = np.bincount(chunk_of, minlength=nchunks)
+        cmax = int(counts.max()) if counts.size else 0
+        pc_cap = max(8, 1 << max(0, cmax - 1).bit_length()) if cmax else 8
+        tables = np.zeros((nchunks, pc_cap, 3), np.int32)
+        tables[:, :, 2] = qn * kr  # spill slot
+        # descriptors are (row, offset)-sorted, so chunk_of is already
+        # non-decreasing — rank within chunk by position
+        first = np.searchsorted(chunk_of, np.arange(nchunks))
+        jj = np.arange(chunk_of.size) - first[chunk_of]
+        tables[chunk_of, jj, 0] = row - chunk_of * rpc
+        tables[chunk_of, jj, 1] = off
+        tables[chunk_of, jj, 2] = out_slot
+        desc = np.stack([qrow, safe, row, off, qlen, dlen]).astype(np.int32)
+        return desc, tables, width, nchunks, rpc, pc_cap
+
+    @property
+    def _packed_consts(self) -> tuple:
+        """(cls_id, sep_id, pad_id, roberta, cfg_pad) for row assembly."""
+        tok = self.tokenizer
+        pad_id = tok.pad_token_id
+        return (
+            tok.cls_token_id,
+            tok.sep_token_id,
+            pad_id,
+            int(getattr(self.cfg, "position_offset", 2)) != 0,
+            int(getattr(self.cfg, "pad_token_id", pad_id)),
+        )
+
+    @staticmethod
+    def assemble_packed_rows(desc, q_ids, drows, R, W, consts):
+        """Device-side assembly of [R, W] packed token rows from the host
+        plan.  ``desc`` [6, P] (see plan_packed), ``drows`` [P, Ld] the
+        candidate doc-token rows (already gathered/reconstructed by the
+        caller — the sharded path psum-reconstructs them across doc-range
+        shards).  Returns (ids, mask, seg, pos), each [R, W]."""
+        cls_id, sep_id, pad_id, roberta, cfg_pad = consts
+        qrow, cand, prow, poff, qlen, dlen = (desc[i] for i in range(6))
+        n_pairs = qrow.shape[0]
+        plen = 2 + qlen + dlen
+        start = jnp.zeros((R * W,), jnp.int32)
+        start = start.at[prow * W + poff].set(
+            jnp.arange(1, n_pairs + 1, dtype=jnp.int32)
+        )
+        # owner of every row position: pairs are packed contiguously,
+        # so a running max of the scattered (pair index + 1) start
+        # markers identifies the owning pair; positions past the
+        # owner's extent fall out via t < plen
+        own = jax.lax.associative_scan(jnp.maximum, start.reshape(R, W), axis=1)
+        p = jnp.maximum(own - 1, 0)
+        t = jnp.arange(W, dtype=jnp.int32)[None, :] - poff[p]
+        ql = qlen[p]
+        inseg = (own > 0) & (t < plen[p])
+        is_cls = inseg & (t == 0)
+        is_sep = inseg & (t == ql + 1)
+        in_q = inseg & (t >= 1) & (t <= ql)
+        in_d = inseg & (t >= ql + 2)
+        lq_max = q_ids.shape[1]
+        qtok = q_ids[qrow[p], jnp.clip(t - 1, 0, lq_max - 1)].astype(jnp.int32)
+        dtok = drows[p, jnp.clip(t - 2 - ql, 0, drows.shape[1] - 1)]
+        ids = jnp.where(
+            is_cls, cls_id,
+            jnp.where(is_sep, sep_id, jnp.where(in_q, qtok, jnp.where(in_d, dtok, pad_id))),
+        )
+        mask = inseg.astype(jnp.int32)
+        seg = own * mask
+        if roberta:
+            # per-segment RoBERTa positions: within a pair every
+            # token is non-pad, so the non-pad cumsum is t + 1 —
+            # exactly the positions the unpacked pair row gets
+            # (mid-sequence query pads there are skipped by the
+            # cumsum); bounded by pair length, NOT row width, so
+            # rows may be wider than max_position
+            pos = jnp.where(inseg, t + 1 + cfg_pad, cfg_pad)
+        else:
+            pos = jnp.where(inseg, t, 0)
+        return ids, mask, seg, pos
+
     def _packed_fns(self, width: int, nchunks: int, rpc: int, pc_cap: int):
         """Jitted packed scorer for one (row width, chunk grid) shape."""
         cache = getattr(self, "_packed_jit_cache", None)
@@ -428,58 +552,19 @@ class PairRerankMixin:
         key = (width, nchunks, rpc, pc_cap)
         if key not in cache:
             W, R = width, nchunks * rpc
-            tok = self.tokenizer
-            cls_id, sep_id, pad_id = tok.cls_token_id, tok.sep_token_id, tok.pad_token_id
-            cfg_pad = int(getattr(self.cfg, "pad_token_id", pad_id))
-            roberta = int(getattr(self.cfg, "position_offset", 2)) != 0
+            consts = self._packed_consts
 
             def score_packed(params, q_ids, q_mask, doc_tokens, doc_mask, desc, tables, buf):
                 # desc [6, P]: q_row, cand, row, offset, qlen, dlen — the
                 # ONLY per-batch upload (plus tables); token rows are
                 # assembled on device so nothing big crosses the host link
-                qrow, cand, prow, poff, qlen, dlen = (desc[i] for i in range(6))
-                n_pairs = qrow.shape[0]
-                plen = 2 + qlen + dlen
-                start = jnp.zeros((R * W,), jnp.int32)
-                start = start.at[prow * W + poff].set(
-                    jnp.arange(1, n_pairs + 1, dtype=jnp.int32)
-                )
-                # owner of every row position: pairs are packed contiguously,
-                # so a running max of the scattered (pair index + 1) start
-                # markers identifies the owning pair; positions past the
-                # owner's extent fall out via t < plen
-                own = jax.lax.associative_scan(jnp.maximum, start.reshape(R, W), axis=1)
-                p = jnp.maximum(own - 1, 0)
-                t = jnp.arange(W, dtype=jnp.int32)[None, :] - poff[p]
-                ql = qlen[p]
-                inseg = (own > 0) & (t < plen[p])
-                is_cls = inseg & (t == 0)
-                is_sep = inseg & (t == ql + 1)
-                in_q = inseg & (t >= 1) & (t <= ql)
-                in_d = inseg & (t >= ql + 2)
-                lq_max = q_ids.shape[1]
-                qtok = q_ids[qrow[p], jnp.clip(t - 1, 0, lq_max - 1)].astype(jnp.int32)
                 # two-step doc gather: candidate rows once (compact), then
                 # the [R, W] positional lookup hits the small [P, Ld] matrix
                 # instead of element-gathering from the corpus-scale table
-                drows = doc_tokens[cand].astype(jnp.int32)
-                dtok = drows[p, jnp.clip(t - 2 - ql, 0, drows.shape[1] - 1)]
-                ids = jnp.where(
-                    is_cls, cls_id,
-                    jnp.where(is_sep, sep_id, jnp.where(in_q, qtok, jnp.where(in_d, dtok, pad_id))),
+                drows = doc_tokens[desc[1]].astype(jnp.int32)
+                ids, mask, seg, pos = self.assemble_packed_rows(
+                    desc, q_ids, drows, R, W, consts
                 )
-                mask = inseg.astype(jnp.int32)
-                seg = own * mask
-                if roberta:
-                    # per-segment RoBERTa positions: within a pair every
-                    # token is non-pad, so the non-pad cumsum is t + 1 —
-                    # exactly the positions the unpacked pair row gets
-                    # (mid-sequence query pads there are skipped by the
-                    # cumsum); bounded by pair length, NOT row width, so
-                    # rows may be wider than max_position
-                    pos = jnp.where(inseg, t + 1 + cfg_pad, cfg_pad)
-                else:
-                    pos = jnp.where(inseg, t, 0)
                 shape_c = (nchunks, rpc, W)
 
                 def one(args):
@@ -537,48 +622,12 @@ class PairRerankMixin:
                 "requires segment-aware attention (BERT-style CrossEncoder only)"
             )
         qn, kr = head_ids.shape
-        n_docs = doc_tokens.shape[0]
-        flat = head_ids.reshape(-1).astype(np.int64)
-        valid = flat >= 0
-        safe = np.clip(flat, 0, n_docs - 1).astype(np.int32)
-        dlen = np.where(valid, np.asarray(doc_lens)[safe], 0).astype(np.int32)
-        dlen = np.minimum(dlen, doc_tokens.shape[1])
-        qrow = (np.arange(qn * kr) // kr).astype(np.int32)
-        qlen = np.minimum(np.asarray(q_lens, np.int32), q_ids.shape[1])[qrow]
-        plen = (2 + qlen + dlen).astype(np.int32)
-        maxp = int(plen.max()) if plen.size else 2
-        width = row_width or max(512, -(-maxp // 128) * 128)
-        row, off, n_rows = self.pack_pairs(plen, width)
-        # reorder descriptors by (row, offset): the device owner map is a
-        # running max of scattered (index + 1) markers, which identifies
-        # the nearest-preceding pair only if indices increase along a row
-        perm = np.lexsort((off, row))
-        qrow, safe, qlen, dlen, row, off = (
-            a[perm] for a in (qrow, safe, qlen, dlen, row, off)
+        desc, tables, width, nchunks, rpc, pc_cap = self.plan_packed(
+            head_ids, doc_lens, q_lens,
+            int(q_ids.shape[1]), int(doc_tokens.shape[1]),
+            int(doc_tokens.shape[0]),
+            row_width=row_width, rows_per_chunk=rows_per_chunk,
         )
-        out_slot = perm.astype(np.int32)  # sorted pair j writes flat slot perm[j]
-        rpc = rows_per_chunk or max(8, (64 * 512) // width)
-        nchunks = -(-n_rows // rpc)
-        for g in self._BUCKET_CHUNK_GRID:
-            if g >= nchunks:
-                nchunks = g
-                break
-        # per-chunk pair readout tables [nchunks, pc_cap, 3]:
-        # (local row, col, output slot); filler entries spill
-        chunk_of = row // rpc
-        counts = np.bincount(chunk_of, minlength=nchunks)
-        cmax = int(counts.max()) if counts.size else 0
-        pc_cap = max(8, 1 << max(0, cmax - 1).bit_length()) if cmax else 8
-        tables = np.zeros((nchunks, pc_cap, 3), np.int32)
-        tables[:, :, 2] = qn * kr  # spill slot
-        # descriptors are (row, offset)-sorted, so chunk_of is already
-        # non-decreasing — rank within chunk by position
-        first = np.searchsorted(chunk_of, np.arange(nchunks))
-        jj = np.arange(chunk_of.size) - first[chunk_of]
-        tables[chunk_of, jj, 0] = row - chunk_of * rpc
-        tables[chunk_of, jj, 1] = off
-        tables[chunk_of, jj, 2] = out_slot
-        desc = np.stack([qrow, safe, row, off, qlen, dlen]).astype(np.int32)
         buf = jnp.zeros(qn * kr + 1, jnp.float32)
         fn = self._packed_fns(width, nchunks, rpc, pc_cap)
         out = fn(

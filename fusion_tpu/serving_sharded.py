@@ -200,9 +200,12 @@ class ShardedHybridSearcher(HybridSearcher):
         device_puts every shard array with its NamedSharding so the jitted
         program never reshuffles the index.
 
-        ``rerank_cascade`` carries over; ``rerank_buckets`` does NOT (the
-        bucketed ladder is host-orchestrated and single-device only) — a
-        bucketed searcher shards to the flat in-program rerank."""
+        ``rerank_cascade`` carries over; ``rerank_packed`` carries over as a
+        SECOND mesh program (host pack plan from the fetched head ids, rows
+        sharded over ``index``, candidate tokens psum-reconstructed from the
+        doc-range shards).  ``rerank_buckets`` does NOT carry (the bucketed
+        ladder is host-orchestrated and single-device only) — a bucketed
+        searcher shards to the flat in-program rerank."""
         n_shards = int(mesh.shape[INDEX_AXIS])
         out = cls(
             corpus_ids=searcher.corpus_ids,
@@ -216,6 +219,9 @@ class ShardedHybridSearcher(HybridSearcher):
             ce_query_length=searcher.ce_query_length,
             rerank_chunk=searcher.rerank_chunk,
             rerank_cascade=searcher.rerank_cascade,
+            rerank_packed=searcher.rerank_packed,
+            rerank_row_width=searcher.rerank_row_width,
+            ce_doc_lens=searcher.ce_doc_lens,
             fusion_method=searcher.fusion_method,
             normalization=searcher.normalization,
             percentile_distributions=searcher.percentile_distributions,
@@ -385,6 +391,7 @@ class ShardedHybridSearcher(HybridSearcher):
         # cross_encoder.quantized()) must not reuse a stale program; the
         # objects themselves are keyed (identity hash + strong reference)
         key = (batch, use_pallas, self.rerank_depth, self.rerank_cascade,
+               self.rerank_packed,
                self.cross_encoder, self.dense_model, self.splade_model,
                self.colbert_model, self.plaid_rescore_impl,
                self.plaid_gather_impl, systems_out)
@@ -452,7 +459,17 @@ class ShardedHybridSearcher(HybridSearcher):
                 add(ps.mask, SH3),
                 add(ps.ivf_doc, SH3),
             )
-        rerank = self._rerank_active
+        if self.rerank_packed and (
+            self.rerank_buckets is not None or self.rerank_cascade is not None
+        ):
+            raise ValueError(
+                "rerank_packed is mutually exclusive with rerank_buckets / "
+                "rerank_cascade — configure one"
+            )
+        # packed rerank runs as a SECOND mesh program after the head ids
+        # are fetched (the pack plan is data-dependent) — drop the
+        # in-program stage
+        rerank = self._rerank_active and not self.rerank_packed
         if rerank:
             slots["ce"] = (
                 add(self.ce_tok_shards, SH3),
@@ -753,3 +770,116 @@ class ShardedHybridSearcher(HybridSearcher):
 
         self._programs[key] = call
         return self._programs[key]
+
+    # ------------------------------------------------------------------
+    # sharded sequence-packed rerank: second mesh program after the fused
+    # head ids are fetched (the pack plan is data-dependent, so it cannot
+    # live inside the one-program search)
+    # ------------------------------------------------------------------
+    def _packed_mesh_program(self, width: int, units: int, rpc: int, pc_cap: int):
+        """shard_map program scoring ``units`` row-chunks per shard.
+
+        Candidate doc-token rows are psum-reconstructed from the doc-range
+        shards (each candidate owned by exactly one shard — same trick as
+        the in-program flat rerank), rows are assembled once (replicated
+        elementwise work, a few MB) and each shard scores its contiguous
+        R/S row slice; logits return via a slot-scatter + psum."""
+        key = ("packed", width, units, rpc, pc_cap, self.cross_encoder)
+        if key in self._programs:
+            return self._programs[key]
+        mesh = self.mesh
+        n_shards = int(mesh.shape[INDEX_AXIS])
+        ce = self.cross_encoder
+        consts = ce._packed_consts
+        W, R_local = width, units * rpc
+        R = n_shards * R_local
+
+        def local_body(ce_params, q_ids, q_mask, desc, tables, buf, ce_tok):
+            shard_idx = jax.lax.axis_index(INDEX_AXIS)
+            tok_local = ce_tok[0]  # [per, Ld]
+            per = tok_local.shape[0]
+            cand = desc[1]
+            local = cand - shard_idx * per
+            own = (local >= 0) & (local < per)
+            safe = jnp.clip(local, 0, per - 1)
+            drows = jnp.where(
+                own[:, None], tok_local[safe].astype(jnp.int32), 0
+            )
+            drows = jax.lax.psum(drows, INDEX_AXIS)  # [P, Ld] replicated
+            ids, mask, seg, pos = type(ce).assemble_packed_rows(
+                desc, q_ids, drows, R, W, consts
+            )
+            start = shard_idx * R_local
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+                x, start, R_local, axis=0
+            )
+            ids, mask, seg, pos = sl(ids), sl(mask), sl(seg), sl(pos)
+            tb = tables[0]  # [units, pc_cap, 3] local chunk tables
+
+            def one(args):
+                ci, cm, cs, cp, t = args
+                return ce.packed_score_tokens(
+                    ce_params, ci, cm, cp, cs, t[:, 0], t[:, 1]
+                )
+
+            shape_c = (units, rpc, W)
+            logits = jax.lax.map(
+                one,
+                (
+                    ids.reshape(shape_c), mask.reshape(shape_c),
+                    seg.reshape(shape_c), pos.reshape(shape_c), tb,
+                ),
+            )  # [units, pc_cap]
+            # local slot scatter; every real slot is written by exactly one
+            # shard (zeros elsewhere), so a psum reconstructs the full
+            # buffer on every shard — spill collisions land past n_pairs
+            out = buf.at[tb[:, :, 2].reshape(-1)].set(logits.reshape(-1))
+            return jax.lax.psum(out, INDEX_AXIS)
+
+        fn = shard_map(
+            local_body,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), P(), P(),
+                P(INDEX_AXIS, None, None, None),  # tables [S, units, pc, 3]
+                P(),
+                P(INDEX_AXIS, None, None),  # ce token shards
+            ),
+            out_specs=P(),
+            check_vma=False,
+        )
+        jitted = jax.jit(fn)
+
+        def call(q_ids, q_mask, desc, tables, buf):
+            return jitted(
+                self.cross_encoder.params, q_ids, q_mask, desc, tables, buf,
+                self.ce_tok_shards,
+            )
+
+        self._programs[key] = call
+        return self._programs[key]
+
+    def _packed_rerank_stage(self, inputs, ids, scores):
+        """Mesh-sharded override of the single-chip packed stage (the base
+        class plans identically; only the executor differs)."""
+        n_shards = int(self.mesh.shape[INDEX_AXIS])
+        kr = min(self.rerank_depth, ids.shape[1])
+        head_ids = np.asarray(ids[:, :kr])
+        qn = head_ids.shape[0]
+        ce = self.cross_encoder
+        ld = int(self.ce_tok_shards.shape[2])
+        desc, tables, width, nchunks, rpc, pc_cap = ce.plan_packed(
+            head_ids, self.ce_doc_lens, self._ce_qlens_host,
+            int(inputs["ce_ids"].shape[1]), ld, len(self.ce_doc_lens),
+            row_width=self.rerank_row_width, chunk_multiple=n_shards,
+        )
+        units = nchunks // n_shards
+        program = self._packed_mesh_program(width, units, rpc, pc_cap)
+        buf = jnp.zeros(qn * kr + 1, jnp.float32)
+        out = program(
+            inputs["ce_ids"], inputs["ce_mask"],
+            jnp.asarray(desc), jnp.asarray(tables.reshape(n_shards, units, pc_cap, 3)),
+            buf,
+        )
+        logits = out[: qn * kr].reshape(qn, kr)
+        return self._head_merge(ids, scores, head_ids, logits)

@@ -242,6 +242,43 @@ def test_search_systems_on_sharded_matches_single(models):
             )
 
 
+def test_sharded_rerank_packed_matches_single(models):
+    """Sequence-packed rerank over the mesh (second program: psum doc-row
+    reconstruction + row-sharded scoring) must rank exactly like the
+    single-device packed searcher AND the sharded flat in-program rerank."""
+    dense, _, _, ce = models
+    mesh = make_mesh(data=1, model=1, index=len(jax.devices()))
+    common = dict(
+        dense_model=dense, cross_encoder=ce, rerank_depth=4,
+        batch_size=4, topk=8, int8_corpus=True,
+    )
+    flat = HybridSearcher.build(CORPUS, **common)
+    packed = HybridSearcher.build(
+        CORPUS, rerank_packed=True, rerank_row_width=64, **common
+    )
+    sh_flat = ShardedHybridSearcher.from_searcher(flat, mesh)
+    sh_packed = ShardedHybridSearcher.from_searcher(packed, mesh)
+    assert sh_packed.rerank_packed and sh_packed.rerank_row_width == 64
+
+    r_single, _ = packed.search(QUERIES, batch_size=4, use_pallas=False)
+    r_flat, _ = sh_flat.search(QUERIES, batch_size=4, use_pallas=False)
+    r_multi, _ = sh_packed.search(QUERIES, batch_size=4, use_pallas=False)
+    s_ids, m_ids = np.asarray(r_single.ids), np.asarray(r_multi.ids)
+    s_sc, m_sc = np.asarray(r_single.scores), np.asarray(r_multi.scores)
+    f_ids, f_sc = np.asarray(r_flat.ids), np.asarray(r_flat.scores)
+    for qi in range(len(QUERIES)):
+        assert m_ids[qi, 0] == s_ids[qi, 0] == f_ids[qi, 0]
+        # reranked head agrees across all three executors; tail may permute
+        # at exactly-tied fused scores (tiny duplicate-word corpus)
+        assert set(m_ids[qi, :4]) == set(s_ids[qi, :4]) == set(f_ids[qi, :4])
+        row = m_sc[qi][np.isfinite(m_sc[qi])]
+        assert np.all(np.diff(row) <= 1e-6)
+        agree = (s_ids[qi] == m_ids[qi]) & np.isfinite(s_sc[qi]) & np.isfinite(m_sc[qi])
+        np.testing.assert_allclose(s_sc[qi][agree], m_sc[qi][agree], rtol=2e-3, atol=2e-4)
+        agree_f = (f_ids[qi] == m_ids[qi]) & np.isfinite(f_sc[qi]) & np.isfinite(m_sc[qi])
+        np.testing.assert_allclose(f_sc[qi][agree_f], m_sc[qi][agree_f], rtol=2e-3, atol=2e-4)
+
+
 def test_sharded_rerank_cascade_matches_single(models):
     """Cascade rerank inside the sharded mesh program: degenerate settings
     equal the sharded flat rerank; a real cut matches the single-device
