@@ -442,11 +442,11 @@ def main():
 
     dt_rr_pk = dt_rr_pk_raw = pk_width = None
     try:
-        # 256-wide rows keep the dense masked attention no wider than the
-        # flat 254-token pair; 512 halves the row count but doubles each
-        # token's attention span — measure both, report the winner
+        # 384 = the chip-measured optimum (~1.5x the longest pair;
+        # probe_rerank_packed 2026-08-19: 256->1868 / 320->1795 /
+        # 384->1774 / 448->1927 / 512->2032 ms) — keep 256 as the A/B
         cands = []
-        for w in (256, 512):
+        for w in (384, 256):
             adj, raw = time_rerank_packed(ce_b, f"einsum_bf16+packed{w}", w)
             cands.append((adj, raw, w))
         dt_rr_pk, dt_rr_pk_raw, pk_width = min(cands)

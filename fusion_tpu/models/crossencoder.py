@@ -447,7 +447,13 @@ class PairRerankMixin:
         qlen = np.minimum(np.asarray(q_lens, np.int32), lq_max)[qrow]
         plen = (2 + qlen + dlen).astype(np.int32)
         maxp = int(plen.max()) if plen.size else 2
-        width = row_width or max(512, -(-maxp // 128) * 128)
+        # default width: ~1.5x the longest pair, rounded up to the 128-lane
+        # multiple — the chip-measured optimum at CamemBERT-base serving
+        # shape (64qx100 pairs, Lq 32, Ld 40-220: packed384 1774 ms vs
+        # packed256 1868 / packed512 2032 / flat 2929; probe_rerank_packed,
+        # 2026-08-19).  Wider rows fit fewer rows per MXU pass than the
+        # extra fill saves; narrower rows strand long pairs alone per row.
+        width = row_width or max(256, -(-(3 * maxp) // 256) * 128)
         row, off, n_rows = self.pack_pairs(plen, width)
         # reorder descriptors by (row, offset): the device owner map is a
         # running max of scattered (index + 1) markers, which identifies
