@@ -62,7 +62,15 @@ runpy.run_path('scripts/recall_study.py', run_name='__main__')
 " > /tmp/chip_r04/recall_study.log 2>&1
 tail -1 /tmp/chip_r04/recall_study.log
 
-echo "== 5/5 bench_sharded (scatter splade + fused dense + rerank)"
+echo "== 4b/5 rerank-stage variants in isolation (flat/bucketed/packed widths)"
+python -c "
+import sys; sys.path.insert(0, '/root/repo')
+import runpy; sys.argv = ['probe_rerank_packed.py', '--widths', '256,384,512']
+runpy.run_path('scripts/probe_rerank_packed.py', run_name='__main__')
+" > /tmp/chip_r04/probe_rerank_packed.log 2>&1
+tail -1 /tmp/chip_r04/probe_rerank_packed.log
+
+echo "== 5/5 bench_sharded (scatter splade + fused dense + rerank incl. packed)"
 python bench_sharded.py --ce_attention einsum_bf16 \
   > /tmp/chip_r04/bench_sharded.log 2>&1
 tail -1 /tmp/chip_r04/bench_sharded.log
