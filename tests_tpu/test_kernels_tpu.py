@@ -436,3 +436,47 @@ def test_plaid_rescore_pallas_gather_matches_xla_on_tpu():
         np.testing.assert_allclose(
             fetch(out.scores), fetch(ref.scores), rtol=1e-5, atol=1e-6
         )
+
+
+def test_rerank_packed_matches_flat_on_tpu():
+    """COMPILED equivalence of the sequence-packed rerank on the real
+    backend: block-diagonal segment attention + per-pair position restarts
+    must reproduce each pair's flat full-width forward on TPU too (the
+    serving default since r04 — chip-measured 1.65x the flat stage,
+    RERANK_PACKED_PROBE_r04.json).  tests/ proves this on the CPU mesh;
+    this guards the compiled-XLA path (bf16-free tiny config keeps the
+    tolerance at numeric noise)."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.models.crossencoder import CrossEncoder
+    from fusion_tpu.models.encoder import EncoderConfig
+
+    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=64)
+    rng = np.random.default_rng(3)
+    n_docs, ld = 64, 24
+    d_ids = jnp.asarray(rng.integers(5, 500, (n_docs, ld)), jnp.int32)
+    d_lens = rng.integers(1, ld + 1, size=n_docs).astype(np.int32)
+    d_mask = jnp.asarray(
+        (np.arange(ld)[None, :] < d_lens[:, None]).astype(np.int32)
+    )
+    lq = 6
+    q_ids = jnp.asarray(rng.integers(5, 500, (4, lq)), jnp.int32)
+    q_lens = rng.integers(2, lq + 1, size=4).astype(np.int32)
+    q_mask = jnp.asarray((np.arange(lq)[None, :] < q_lens[:, None]).astype(np.int32))
+    head = rng.integers(0, n_docs, (4, 8)).astype(np.int32)
+    head[0, -1] = -1  # pad slot must come back as the empty-doc logit
+    cand = jnp.asarray(np.clip(head, 0, n_docs - 1))
+    flat = fetch(ce.rerank_tokens(
+        ce.params, q_ids, q_mask,
+        d_ids[cand].astype(jnp.int32),
+        d_mask[cand] * (head >= 0)[..., None],
+        pair_chunk=8,
+    ))
+    # two widths keep the tunnel compile budget bounded (~2 min each);
+    # None = the ~1.5x-maxp default formula
+    for row_width in (64, None):
+        packed = fetch(ce.rerank_tokens_packed(
+            ce.params, q_ids, q_mask, d_ids, d_mask, head,
+            d_lens, q_lens, row_width=row_width,
+        ))
+        np.testing.assert_allclose(packed, flat, rtol=2e-5, atol=2e-5)
