@@ -669,6 +669,10 @@ def cmd_serve(args):
             impact_cap=args.impact_cap,
             splade_query_terms=args.splade_query_terms,
             splade_impl=args.splade_impl,
+            splade_rescore_depth=(
+                None if args.splade_rescore_depth < 0
+                else args.splade_rescore_depth
+            ),
             plaid_nprobe=args.plaid_nprobe,
             plaid_ncand=args.plaid_ncand,
             plaid_ncand_rescore=args.plaid_ncand_rescore or None,
@@ -699,6 +703,7 @@ def cmd_serve(args):
         plaid_rescore_impl=args.plaid_rescore_impl,
         plaid_gather_impl=args.plaid_gather_impl,
         splade_query_terms=args.splade_query_terms, dense_impl=args.dense_impl,
+        splade_rescore_depth=max(args.splade_rescore_depth, 0),
         rerank_buckets=tuple(args.rerank_buckets) if args.rerank_buckets else None,
         rerank_cascade=tuple(args.rerank_cascade) if args.rerank_cascade else None,
         rerank_packed=getattr(args, "rerank_packed", False),
@@ -898,6 +903,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "or the factorized-scatter MXU kernel (auto = "
                          "scatter at >=1M docs; 10x the sort form measured "
                          "at 8.9M docs)")
+    sp.add_argument("--splade_rescore_depth", type=int, default=-1,
+                    help="two-stage SPLADE: the capped impact/scatter form "
+                         "only GENERATES this many candidates, each rescored "
+                         "EXACTLY against its full stored doc vector (the "
+                         "capped forms alone measured overlap@100 0.69-0.74, "
+                         "RECALL_STUDY_r04). -1 = auto (2048 in scale mode), "
+                         "0 = off")
     sp.add_argument("--plaid_ncand_rescore", type=int, default=0,
                     help="candidates reaching PLAID's exact decompressed "
                          "tier after centroid-only pruning (0 = rescore "

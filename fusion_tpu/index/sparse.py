@@ -174,3 +174,177 @@ def sparse_search(
     return _sparse_search(
         query_activations, index.entry_term, index.entry_weight, k, doc_block, local_topk
     )
+
+
+# ----------------------------------------------------------------------
+# two-stage exact rescore: candidate gather + uncapped doc-vector dot
+# ----------------------------------------------------------------------
+# The capped serving forms (flat/chunked impact, factorized scatter —
+# index/inverted.py, ops/scatter_score.py) trade recall for speed via
+# per-term posting caps: RECALL_STUDY_r04 measured overlap@100 = 0.69-0.74
+# at mMARCO-scale capacity, tracking the kept-postings fraction ~1:1.
+# The fix mirrors PLAID's shallow two-stage (index/plaid.py): the capped
+# form only GENERATES candidates (depth 1-4k), and each candidate is then
+# scored EXACTLY against its full stored top-K doc vector — the same
+# semantics as the reference's uncapped SPLADE scoring
+# (src/retrievers/splade/base.py:199-251) over index-time-pruned docs.
+#
+# Store layout: ONE uint16 row per doc, [2K] = K term ids ++ K f16 weight
+# bits — a single 4K-byte row gather per candidate instead of two (gather
+# cost on this backend scales with row count, NOTES_ROUND4).  At K=128 a
+# row is 512 B = 128 f32 lanes, the exact DMA shape gather_rows accepts.
+# Sources past the u32 byte-offset range are BORN segmented [S, seg, 2K]
+# (host reshape — an in-jit reshape of a >4 GiB buffer materializes a
+# copy and crashes the remote compile; see ops/gather_rows.py).
+
+RESCORE_MAX_FLAT_BYTES = (1 << 32) - (1 << 20)
+
+
+class SpladeRescoreStore(NamedTuple):
+    packed: jax.Array  # uint16 [N', 2K] flat or [S, seg, 2K] segmented
+    n_docs: int
+    vocab_size: int
+    prune_topk: int  # K
+
+    def nbytes(self) -> int:
+        return self.packed.nbytes
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(path, "rescore_store.npz"),
+            packed=np.asarray(self.packed).reshape(-1, 2 * self.prune_topk),
+            meta=np.array(
+                [self.n_docs, self.vocab_size, self.prune_topk], np.int64
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "SpladeRescoreStore":
+        z = np.load(os.path.join(path, "rescore_store.npz"))
+        n, v, kk = (int(x) for x in z["meta"])
+        return cls(
+            packed=jnp.asarray(_maybe_segment(z["packed"])),
+            n_docs=n,
+            vocab_size=v,
+            prune_topk=kk,
+        )
+
+
+def _maybe_segment(packed: np.ndarray) -> np.ndarray:
+    """Host-side: segment a [N', 2K] u16 store into [S, seg, 2K] when it
+    exceeds the u32 byte-offset gather range (free view — the row count is
+    already padded to a power-of-two segment multiple by the builder)."""
+    if packed.nbytes <= RESCORE_MAX_FLAT_BYTES:
+        return packed
+    n = packed.shape[0]
+    div = next(d for d in range(2, 65)
+               if n % d == 0 and packed.nbytes // d <= RESCORE_MAX_FLAT_BYTES)
+    return packed.reshape(div, n // div, packed.shape[1])
+
+
+def build_rescore_store(index: SparseIndex) -> SpladeRescoreStore:
+    """Host-side build from a SparseIndex (offline index work).
+
+    Weights store as f16 — the SAME precision ``SparseIndex.save`` persists,
+    so the rescore is exact w.r.t. the stored index.  Terms store as u16
+    (SPLADE vocabularies are ≤ 32k; pad slots keep weight 0 so their term
+    id is inert)."""
+    assert index.vocab_size <= 0xFFFF, (
+        f"rescore store packs term ids as uint16; vocab_size="
+        f"{index.vocab_size} does not fit (SPLADE vocabs are ~32k)"
+    )
+    terms = np.asarray(index.entry_term)
+    w = np.asarray(index.entry_weight, dtype=np.float16)
+    n, kk = terms.shape
+    t16 = np.minimum(terms, index.vocab_size).astype(np.uint16)
+    packed = np.concatenate([t16, w.view(np.uint16)], axis=1)  # [N, 2K]
+    if packed.nbytes > RESCORE_MAX_FLAT_BYTES:
+        # pad the row count so a small divisor exists, then segment
+        mult = 64
+        want = -(-n // mult) * mult
+        if want != n:
+            packed = np.concatenate(
+                [packed, np.zeros((want - n, 2 * kk), np.uint16)]
+            )
+        packed = _maybe_segment(packed)
+    return SpladeRescoreStore(
+        packed=jnp.asarray(packed),
+        n_docs=n,
+        vocab_size=index.vocab_size,
+        prune_topk=kk,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_docs", "vocab_size", "kk", "k", "cand_chunk")
+)
+def _sparse_rescore(
+    qv: jax.Array,  # f32 [Q, V] FULL query activations
+    packed: jax.Array,  # u16 [N', 2K] or [S, seg, 2K]
+    cand: jax.Array,  # int32 [Q, C] candidate doc ids (pad < 0 or >= n_docs)
+    n_docs: int,
+    vocab_size: int,
+    kk: int,
+    k: int,
+    cand_chunk: int,
+) -> RankedLists:
+    from fusion_tpu.ops.topk import blockwise_topk
+
+    q, ncand = cand.shape
+    # one flat [Q·(V+1)] table: the per-(q, term) lookup becomes a single
+    # one-axis gather (a batched take_along_axis lowers to serializing
+    # element gathers — same finding as the PLAID prune tier)
+    qvp = jnp.concatenate(
+        [qv.astype(jnp.float32), jnp.zeros((q, 1), jnp.float32)], axis=-1
+    ).reshape(-1)
+    q_off = (jnp.arange(q, dtype=jnp.int32) * (vocab_size + 1))[:, None, None]
+    import math
+
+    seg = packed.shape[1] if packed.ndim == 3 else None
+    # cc must DIVIDE ncand: the clamped dynamic slice of a ragged last
+    # chunk would re-score overlapping candidates → duplicate doc ids
+    cc = math.gcd(min(cand_chunk, ncand), ncand)
+    num_chunks = ncand // cc
+
+    def block_scores(bi):
+        sl = jax.lax.dynamic_slice_in_dim(cand, bi * cc, cc, axis=1)  # [Q, cc]
+        valid = (sl >= 0) & (sl < n_docs)
+        safe = jnp.clip(sl, 0, n_docs - 1)
+        if seg is not None:  # two-level gather on the born-segmented store
+            rows = packed[safe // seg, jnp.remainder(safe, seg)]
+        else:
+            rows = packed[safe]  # [Q, cc, 2K]
+        terms = rows[..., :kk].astype(jnp.int32)
+        w = jax.lax.bitcast_convert_type(
+            rows[..., kk:], jnp.float16
+        ).astype(jnp.float32)
+        g = qvp[jnp.minimum(terms, vocab_size) + q_off]  # [Q, cc, K]
+        scores = (g * w).sum(axis=-1)
+        return jnp.where(valid, scores, -jnp.inf), sl.astype(jnp.int32)
+
+    out = blockwise_topk(block_scores, num_chunks, q, min(k, ncand))
+    return RankedLists(
+        ids=jnp.where(jnp.isfinite(out.scores), out.ids, -1).astype(jnp.int32),
+        scores=out.scores,
+    )
+
+
+def sparse_rescore(
+    query_activations: jax.Array,  # f32 [Q, V] FULL (unpruned) activations
+    cand_ids: jax.Array,  # int32 [Q, C] stage-1 candidates (pad -1)
+    store: SpladeRescoreStore,
+    k: int = 1000,
+    cand_chunk: int = 4096,
+) -> RankedLists:
+    """Exact rescore of stage-1 candidates against their full stored doc
+    vectors: gather each candidate's packed row, dot with the query's dense
+    activation.  Score-exact w.r.t. ``sparse_search`` over the source
+    SparseIndex (at its f16 stored-weight precision) restricted to the
+    candidate set — the two-stage serving form that lifts the capped
+    forms' overlap@100 from ~0.69 to candidate-recall-bound."""
+    return _sparse_rescore(
+        query_activations, store.packed, cand_ids,
+        store.n_docs, store.vocab_size, store.prune_topk,
+        k, cand_chunk,
+    )

@@ -179,6 +179,14 @@ class HybridSearcher:
     splade_impact_index: object | None = None  # ImpactIndex (corpus-scale form)
     splade_scatter_index: object | None = None  # ChunkedImpactIndex (scatter form)
     splade_query_terms: int = 64
+    # two-stage exact rescore over the capped SPLADE forms: the impact /
+    # scatter index only GENERATES ``splade_rescore_depth`` candidates and
+    # each is rescored exactly against its full stored doc vector
+    # (index/sparse.py SpladeRescoreStore — the capped forms alone measured
+    # overlap@100 0.69-0.74 at scale, RECALL_STUDY_r04; the reference
+    # scores SPLADE uncapped, splade/base.py:199-251).  0 disables.
+    splade_rescore_store: object | None = None
+    splade_rescore_depth: int = 0
     colbert_model: object | None = None
     colbert_index: object | None = None
     colbert_ivf: object | None = None  # IVFIndex → PLAID two-stage search
@@ -262,6 +270,7 @@ class HybridSearcher:
         splade_prune_topk: int = 128,
         splade_query_terms: int = 64,
         splade_impl: str = "auto",
+        splade_rescore_depth: int | None = None,
         scatter_docs_per_chunk: int = 16_384,
         colbert_plaid: bool = False,
         plaid_nprobe: int = 4,
@@ -387,6 +396,16 @@ class HybridSearcher:
                     )
                 else:
                     out.splade_impact_index = sparse_to_impact_index(sp, cap=impact_cap)
+                # two-stage exact rescore is the scale-mode DEFAULT: the
+                # capped stage-1 forms alone measured overlap@100 0.69-0.74
+                # (RECALL_STUDY_r04) — quality-unsafe as a serving default
+                if splade_rescore_depth is None:
+                    splade_rescore_depth = 2048
+                if splade_rescore_depth:
+                    from fusion_tpu.index.sparse import build_rescore_store
+
+                    out.splade_rescore_store = build_rescore_store(sp)
+                    out.splade_rescore_depth = int(splade_rescore_depth)
             else:
                 acts = jnp.asarray(
                     splade_model.encode(
@@ -576,7 +595,8 @@ class HybridSearcher:
                self.rerank_packed, dense_fused,
                systems_out, self.rerank_cascade, self.cross_encoder,
                self.dense_model, self.splade_model, self.colbert_model,
-               self.plaid_rescore_impl, self.plaid_gather_impl)
+               self.plaid_rescore_impl, self.plaid_gather_impl,
+               self.splade_rescore_depth)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -613,6 +633,13 @@ class HybridSearcher:
             si = self.splade_impact_index
             ops["sp_ii"] = (si.post_doc, si.post_impact)
             ops["splade_params"] = self.splade_model.params
+        splade_rescore = (
+            self.splade_rescore_store is not None
+            and self.splade_rescore_depth > 0
+            and ("sp_sc" in ops or "sp_ii" in ops)
+        )
+        if splade_rescore:
+            ops["sp_rs"] = self.splade_rescore_store.packed
         elif self.splade_corpus is not None:
             sc = self.splade_corpus
             ops["splade_corpus"] = (
@@ -729,6 +756,13 @@ class HybridSearcher:
                 q_terms, q_weights = activations_to_query_terms(
                     q, self.splade_query_terms
                 )
+                # with the two-stage rescore, stage 1 only GENERATES
+                # candidates at the rescore depth; the final list comes
+                # from the exact rescore below
+                k1 = (
+                    self.splade_rescore_depth if splade_rescore
+                    else topk
+                )
                 if "sp_sc" in ops:
                     from fusion_tpu.ops.scatter_score import scatter_impact_search
 
@@ -736,15 +770,27 @@ class HybridSearcher:
                         post_doc=ops["sp_sc"][0], post_impact=ops["sp_sc"][1]
                     )
                     results["splade"] = scatter_impact_search(
-                        q_terms, q_weights, index, k=min(topk, index.n_docs),
+                        q_terms, q_weights, index, k=min(k1, index.n_docs),
                         use_pallas=use_pallas,
                     )
                 else:
                     index = self.splade_impact_index._replace(
                         post_doc=ops["sp_ii"][0], post_impact=ops["sp_ii"][1]
                     )
+                    # clamp to the flattened posting width (top_k ceiling)
+                    width = q_terms.shape[1] * index.post_doc.shape[1]
                     results["splade"] = impact_search(
-                        q_terms, q_weights, index, k=min(topk, index.n_docs)
+                        q_terms, q_weights, index, k=min(k1, index.n_docs, width)
+                    )
+                if splade_rescore:
+                    from fusion_tpu.index.sparse import sparse_rescore
+
+                    store = self.splade_rescore_store._replace(
+                        packed=ops["sp_rs"]
+                    )
+                    results["splade"] = sparse_rescore(
+                        q, results["splade"].ids, store,
+                        k=min(topk, results["splade"].ids.shape[1]),
                     )
             elif "splade_corpus" in ops:
                 q = self.splade_model.embed_tokens(
@@ -895,6 +941,8 @@ class HybridSearcher:
             self.splade_impact_index.save(os.path.join(path, "splade_impact"))
         if self.splade_scatter_index is not None:
             self.splade_scatter_index.save(os.path.join(path, "splade_scatter"))
+        if self.splade_rescore_store is not None:
+            self.splade_rescore_store.save(os.path.join(path, "splade_rescore"))
         if self.colbert_index is not None:
             self.colbert_index.save(os.path.join(path, "colbert"))
         if self.colbert_ivf is not None:
@@ -944,6 +992,14 @@ class HybridSearcher:
             self.splade_scatter_index = ChunkedImpactIndex.load(
                 os.path.join(path, "splade_scatter")
             )
+        if os.path.exists(os.path.join(path, "splade_rescore", "rescore_store.npz")):
+            from fusion_tpu.index.sparse import SpladeRescoreStore
+
+            self.splade_rescore_store = SpladeRescoreStore.load(
+                os.path.join(path, "splade_rescore")
+            )
+            if not self.splade_rescore_depth:
+                self.splade_rescore_depth = 2048  # the scale-mode default
         has_ivf = os.path.exists(os.path.join(path, "colbert_ivf", "ivf_index.npz"))
         if os.path.exists(os.path.join(path, "colbert", "compressed_index.npz")):
             from fusion_tpu.index.compression import CompressedTokenIndex

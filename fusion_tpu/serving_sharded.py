@@ -167,6 +167,12 @@ class ShardedHybridSearcher(HybridSearcher):
     splade_leg: ShardedDenseLeg | None = None
     splade_shards: ShardedImpactIndex | None = None
     splade_scatter_shards: object | None = None  # ShardedChunkedImpactIndex
+    # doc-range shards of the SPLADE exact-rescore store (u16 [S, per, 2K]),
+    # partitioned identically to the stage-1 splade shards; with
+    # splade_rescore_depth > 0 each shard rescores its own stage-1
+    # candidates exactly before the all-gather merge (index/sparse.py)
+    splade_rescore_shards: jax.Array | None = None
+    splade_rescore_meta: tuple | None = None  # (vocab_size, prune_topk)
     plaid_shards: object | None = None  # index.plaid.ShardedPlaidIndex
     ce_tok_shards: jax.Array | None = None  # [S, per, Ld] uint16/int32
     ce_msk_shards: jax.Array | None = None  # [S, per, Ld] int8
@@ -259,6 +265,30 @@ class ShardedHybridSearcher(HybridSearcher):
             out.splade_leg = _shard_dense_matrix(
                 searcher.splade_corpus, searcher.splade_model.similarity, n_shards
             )
+        if (
+            searcher.splade_rescore_store is not None
+            and searcher.splade_rescore_depth > 0
+            and (out.splade_scatter_shards is not None
+                 or out.splade_shards is not None)
+        ):
+            store = searcher.splade_rescore_store
+            per = (
+                out.splade_scatter_shards.docs_per_shard
+                if out.splade_scatter_shards is not None
+                else out.splade_shards.docs_per_shard
+            )
+            flat = np.asarray(store.packed).reshape(-1, 2 * store.prune_topk)
+            want = n_shards * per
+            if flat.shape[0] < want:
+                flat = np.concatenate([
+                    flat,
+                    np.zeros((want - flat.shape[0], flat.shape[1]), np.uint16),
+                ])
+            out.splade_rescore_shards = jnp.asarray(
+                flat[:want].reshape(n_shards, per, -1)
+            )
+            out.splade_rescore_meta = (store.vocab_size, store.prune_topk)
+            out.splade_rescore_depth = searcher.splade_rescore_depth
         if searcher.colbert_index is not None:
             from fusion_tpu.index.compression import CompressedTokenIndex
             from fusion_tpu.index.plaid import shard_plaid_index
@@ -315,6 +345,8 @@ class ShardedHybridSearcher(HybridSearcher):
                 post_doc=put(self.splade_scatter_shards.post_doc, 3),
                 post_impact=put(self.splade_scatter_shards.post_impact, 3),
             )
+        if self.splade_rescore_shards is not None:
+            self.splade_rescore_shards = put(self.splade_rescore_shards, 2)
         for name in ("dense_leg", "splade_leg"):
             leg = getattr(self, name)
             if leg is not None:
@@ -394,7 +426,7 @@ class ShardedHybridSearcher(HybridSearcher):
                self.rerank_packed,
                self.cross_encoder, self.dense_model, self.splade_model,
                self.colbert_model, self.plaid_rescore_impl,
-               self.plaid_gather_impl, systems_out)
+               self.plaid_gather_impl, self.splade_rescore_depth, systems_out)
         if key in self._programs:
             return self._programs[key]
 
@@ -442,6 +474,13 @@ class ShardedHybridSearcher(HybridSearcher):
                 add(self.splade_leg.values, SH3),
                 add(self.splade_leg.scales, SH2),
             )
+        splade_rescore = (
+            self.splade_rescore_shards is not None
+            and self.splade_rescore_depth > 0
+            and ("splade_sc" in slots or "splade_imp" in slots)
+        )
+        if splade_rescore:
+            slots["splade_rs"] = (add(self.splade_rescore_shards, SH3),)
         if self.plaid_shards is not None:
             ps = self.plaid_shards
             # codes slot carries the segmented f32 serving form (5-D) when
@@ -539,25 +578,56 @@ class ShardedHybridSearcher(HybridSearcher):
                 results["dpr"] = dense_style_leg(
                     self.dense_leg, arrs[i0], arrs[i1], queries["q_dense"]
                 )
+            def splade_rescore_local(local: RankedLists, per: int) -> RankedLists:
+                """Per-shard exact rescore of the capped stage-1 candidates
+                against the shard's full stored doc vectors (local ids)."""
+                from fusion_tpu.index.sparse import _sparse_rescore
+
+                (irs,) = slots["splade_rs"]
+                v, kk = self.splade_rescore_meta
+                return _sparse_rescore(
+                    queries["sp_qv"], arrs[irs][0], local.ids,
+                    per, v, kk, min(topk, local.ids.shape[1]), 4096,
+                )
+
             if "splade_sc" in slots:
                 from fusion_tpu.ops.scatter_score import local_scatter_search
 
                 i0, i1 = slots["splade_sc"]
                 sc = self.splade_scatter_shards
                 per = sc.docs_per_shard
-                kl = min(topk, per)
+                kl = (
+                    min(self.splade_rescore_depth, per) if splade_rescore
+                    else min(topk, per)
+                )
                 local = local_scatter_search(
                     queries["sp_terms"], queries["sp_weights"],
                     arrs[i0][0], arrs[i1][0], sc.docs_per_chunk, per, kl,
                     use_pallas=use_pallas,
                 )
+                if splade_rescore:
+                    local = splade_rescore_local(local, per)
                 results["splade"] = globalize_merge(local, per)
             elif "splade_imp" in slots:
                 i0, i1 = slots["splade_imp"]
-                results["splade"] = impact_leg(
-                    self.splade_shards, arrs[i0], arrs[i1],
-                    queries["sp_terms"], queries["sp_weights"],
-                )
+                if splade_rescore:
+                    per = self.splade_shards.docs_per_shard
+                    # clamp to the flattened posting width (top_k ceiling)
+                    width = (
+                        queries["sp_terms"].shape[1] * arrs[i0].shape[-1]
+                    )
+                    kl = min(self.splade_rescore_depth, per, width)
+                    local = _impact_search(
+                        queries["sp_terms"], queries["sp_weights"],
+                        arrs[i0][0], arrs[i1][0], per, kl,
+                    )
+                    local = splade_rescore_local(local, per)
+                    results["splade"] = globalize_merge(local, per)
+                else:
+                    results["splade"] = impact_leg(
+                        self.splade_shards, arrs[i0], arrs[i1],
+                        queries["sp_terms"], queries["sp_weights"],
+                    )
             elif "splade_dense" in slots:
                 i0, i1 = slots["splade_dense"]
                 results["splade"] = dense_style_leg(
@@ -726,6 +796,10 @@ class ShardedHybridSearcher(HybridSearcher):
                         qf, self.splade_query_terms
                     )
                     queries["sp_terms"], queries["sp_weights"] = terms, weights
+                    if splade_rescore:
+                        # the exact rescore scores the FULL activation (not
+                        # the pruned query terms) — replicated, a few MB
+                        queries["sp_qv"] = qf
                 else:
                     queries["q_splade"] = q
             if "plaid" in slots:

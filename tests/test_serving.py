@@ -1005,3 +1005,62 @@ def test_rerank_cascade_auto_stage1_resolves_to_p90(models):
         assert _resolve_cascade((3, sentinel), lens, 64) == (3, 48)
     assert _resolve_cascade((3, sentinel), lens, 32) == (3, 32)  # clamped
     assert _resolve_cascade((3, 24), lens, 64) == (3, 24)
+
+
+def test_splade_two_stage_rescore_exact_vs_dense_form(models, tmp_path):
+    """Scale-mode SPLADE with the two-stage rescore at depth >= n_docs must
+    reproduce the EXACT dense-form ranking (full query activation x full
+    stored doc vectors) — the quality contract of the serving default
+    (reference scores SPLADE uncapped, splade/base.py:199-251)."""
+    _, splade, _ = models
+    kwargs = dict(batch_size=4, topk=8)
+    exact = HybridSearcher.build(CORPUS, splade_model=splade, **kwargs)
+    two = HybridSearcher.build(
+        CORPUS, splade_model=splade, scale_mode=True, impact_cap=64,
+        splade_prune_topk=512, splade_query_terms=512,
+        splade_rescore_depth=len(CORPUS), **kwargs
+    )
+    assert two.splade_rescore_store is not None
+    f_ex, _ = exact.search(QUERIES, batch_size=4, use_pallas=False)
+    f_two, _ = two.search(QUERIES, batch_size=4, use_pallas=False)
+    i1, i2 = np.asarray(f_ex.ids), np.asarray(f_two.ids)
+    s1, s2 = np.asarray(f_ex.scores), np.asarray(f_two.scores)
+    for qi in range(len(QUERIES)):
+        # the rescored ranking equals the dense exact ranking (f16 stored
+        # weights vs the bf16 corpus matrix: compare ids + close scores)
+        head = min(4, np.isfinite(s2[qi]).sum())
+        assert list(i1[qi][:head]) == list(i2[qi][:head]), (qi, i1[qi], i2[qi])
+        np.testing.assert_allclose(
+            s1[qi][:head], s2[qi][:head], rtol=2e-2, atol=1e-3
+        )
+
+    # depth < n_docs with a BRUTAL stage-1 cap: rescore still returns the
+    # exact scores for whatever candidates survive (quality floor test)
+    capped = HybridSearcher.build(
+        CORPUS, splade_model=splade, scale_mode=True, impact_cap=2,
+        splade_prune_topk=512, splade_query_terms=512,
+        splade_rescore_depth=4, **kwargs
+    )
+    f_cap, _ = capped.search(QUERIES, batch_size=4, use_pallas=False)
+    s_cap = np.asarray(f_cap.scores)
+    exact_map = {
+        (qi, int(i1[qi][j])): float(s1[qi][j])
+        for qi in range(len(QUERIES)) for j in range(i1.shape[1])
+    }
+    for qi in range(len(QUERIES)):
+        for j in range(4):
+            key = (qi, int(np.asarray(f_cap.ids)[qi][j]))
+            if key in exact_map and np.isfinite(s_cap[qi][j]):
+                np.testing.assert_allclose(
+                    s_cap[qi][j], exact_map[key], rtol=2e-2, atol=1e-3
+                )
+
+    # persistence: the store round-trips and the loaded searcher matches
+    two.save_indexes(str(tmp_path))
+    loaded = HybridSearcher(
+        corpus_ids=np.array([]), splade_model=splade, splade_query_terms=512,
+        splade_rescore_depth=len(CORPUS),
+    ).load_indexes(str(tmp_path))
+    loaded.topk = 8
+    f_ld, _ = loaded.search(QUERIES, batch_size=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(f_ld.ids), np.asarray(f_two.ids))

@@ -315,3 +315,43 @@ def test_sharded_rerank_cascade_matches_single(models):
         assert np.all(np.diff(row) <= 1e-6)
         agree = (s_ids[qi] == m_ids[qi]) & np.isfinite(s_sc[qi]) & np.isfinite(m_sc[qi])
         np.testing.assert_allclose(s_sc[qi][agree], m_sc[qi][agree], rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_splade_two_stage_rescore(models):
+    """Sharded two-stage SPLADE (per-shard capped candidates + per-shard
+    exact rescore + all-gather merge) must match the single-device
+    two-stage form."""
+    _, splade, _, _ = models
+    mesh = make_mesh(data=1, model=1, index=len(jax.devices()))
+    common = dict(
+        splade_model=splade, batch_size=4, topk=8, scale_mode=True,
+        impact_cap=64, splade_prune_topk=512, splade_query_terms=8,
+        splade_rescore_depth=len(CORPUS),
+    )
+    single = HybridSearcher.build(CORPUS, splade_impl="impact", **common)
+    assert single.splade_rescore_store is not None
+    sharded = ShardedHybridSearcher.from_searcher(single, mesh)
+    assert sharded.splade_rescore_shards is not None
+    r1, _ = single.search(QUERIES, batch_size=4, use_pallas=False)
+    r2, _ = sharded.search(QUERIES, batch_size=4, use_pallas=False)
+    i1, i2 = np.asarray(r1.ids), np.asarray(r2.ids)
+    s1, s2 = np.asarray(r1.scores), np.asarray(r2.scores)
+    for qi in range(len(QUERIES)):
+        f1, f2 = np.isfinite(s1[qi]), np.isfinite(s2[qi])
+        np.testing.assert_array_equal(f1, f2)
+        assert set(i1[qi][f1]) == set(i2[qi][f2])
+        np.testing.assert_allclose(np.sort(s1[qi][f1]), np.sort(s2[qi][f2]), rtol=1e-5)
+
+    # scatter stage-1 shards with the rescore too
+    scat = HybridSearcher.build(
+        CORPUS, splade_impl="scatter", scatter_docs_per_chunk=2048, **common
+    )
+    sharded_sc = ShardedHybridSearcher.from_searcher(scat, mesh)
+    assert sharded_sc.splade_rescore_shards is not None
+    r3, _ = sharded_sc.search(QUERIES, batch_size=4, use_pallas=False)
+    i3, s3 = np.asarray(r3.ids), np.asarray(r3.scores)
+    for qi in range(len(QUERIES)):
+        f1, f3 = np.isfinite(s1[qi]), np.isfinite(s3[qi])
+        np.testing.assert_array_equal(f1, f3)
+        assert set(i1[qi][f1]) == set(i3[qi][f3])
+        np.testing.assert_allclose(np.sort(s1[qi][f1]), np.sort(s3[qi][f3]), rtol=1e-5)
