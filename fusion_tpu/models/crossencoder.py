@@ -445,7 +445,9 @@ class PairRerankMixin:
         dlen = np.minimum(dlen, ld_max)
         qrow = (np.arange(qn * kr) // kr).astype(np.int32)
         qlen = np.minimum(np.asarray(q_lens, np.int32), lq_max)[qrow]
-        plen = (2 + qlen + dlen).astype(np.int32)
+        # pair length follows the backbone's layout: BERT [CLS|q|SEP|d]
+        # inserts 2 specials, T5 [q|EOS|d] inserts 1 (PAIR_SPECIALS)
+        plen = (self.PAIR_SPECIALS + qlen + dlen).astype(np.int32)
         maxp = int(plen.max()) if plen.size else 2
         # default width: ~1.5x the longest pair, rounded up to the 128-lane
         # multiple — the chip-measured optimum at CamemBERT-base serving
@@ -625,7 +627,8 @@ class PairRerankMixin:
         if not hasattr(self, "packed_score_tokens"):
             raise NotImplementedError(
                 f"{type(self).__name__} has no packed_score_tokens; packed rerank "
-                "requires segment-aware attention (BERT-style CrossEncoder only)"
+                "requires segment-aware attention (CrossEncoder and "
+                "T5CrossEncoder both provide it)"
             )
         qn, kr = head_ids.shape
         desc, tables, width, nchunks, rpc, pc_cap = self.plan_packed(

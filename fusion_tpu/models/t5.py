@@ -86,7 +86,8 @@ class T5SelfAttention(nn.Module):
     has_relative_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, attention_mask, position_bias=None):
+    def __call__(self, x, attention_mask, position_bias=None,
+                 position_ids=None, segment_ids=None):
         c = self.cfg
         dg = _trunk_dot_general(c)
         inner = c.num_heads * c.d_kv
@@ -106,8 +107,15 @@ class T5SelfAttention(nn.Module):
             # in place, PairRerankMixin._pair_layout) do NOT inflate
             # q<->d relative distances.  For contiguous end-padded inputs
             # this equals arange on every attended position, so HF parity
-            # and the host predict() path are unchanged.
-            pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1  # [B, T]
+            # and the host predict() path are unchanged.  Packed rows pass
+            # explicit per-pair positions (restarting at each pair) — the
+            # relative bias only sees position DIFFERENCES, so within-pair
+            # buckets match the unpacked row exactly, and cross-pair
+            # entries are masked out by the segment term below.
+            if position_ids is None:
+                pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+            else:
+                pos = position_ids.astype(jnp.int32)  # [B, T]
             rel = pos[:, None, :] - pos[:, :, None]  # [B, T, T] memory - query
             buckets = relative_position_bucket(
                 rel, c.relative_attention_num_buckets, c.relative_attention_max_distance
@@ -121,7 +129,15 @@ class T5SelfAttention(nn.Module):
         if position_bias is not None:
             logits = logits + position_bias.astype(jnp.float32)
 
-        logits = logits + jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+        allowed = attention_mask[:, None, None, :] > 0
+        if segment_ids is not None:
+            # block-diagonal attention: pairs packed into one row never
+            # attend across each other (exactness contract of the packed
+            # rerank — CrossEncoderModule.packed has the same structure)
+            allowed = allowed & (
+                segment_ids[:, None, None, :] == segment_ids[:, None, :, None]
+            )
+        logits = logits + jnp.where(allowed, 0.0, -1e9)
         probs = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, inner)
         out = nn.Dense(c.d_model, use_bias=False, dtype=c.dtype, name="o", dot_general=dg)(ctx)
@@ -133,12 +149,13 @@ class T5Block(nn.Module):
     has_relative_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, attention_mask, position_bias=None):
+    def __call__(self, x, attention_mask, position_bias=None,
+                 position_ids=None, segment_ids=None):
         c = self.cfg
         h = RMSNorm(c.layer_norm_eps, name="attn_norm")(x)
         attn, position_bias = T5SelfAttention(
             c, has_relative_bias=self.has_relative_bias, name="attention"
-        )(h, attention_mask, position_bias)
+        )(h, attention_mask, position_bias, position_ids, segment_ids)
         x = x + attn
         h = RMSNorm(c.layer_norm_eps, name="ffn_norm")(x)
         dg = _trunk_dot_general(c)
@@ -156,14 +173,15 @@ class T5Encoder(nn.Module):
     cfg: T5Config
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask):
+    def __call__(self, input_ids, attention_mask,
+                 position_ids=None, segment_ids=None):
         c = self.cfg
         x = nn.Embed(c.vocab_size, c.d_model, dtype=c.dtype, name="embed")(input_ids)
         position_bias = None
         for i in range(c.num_layers):
             x, position_bias = T5Block(
                 c, has_relative_bias=(i == 0), name=f"block_{i}"
-            )(x, attention_mask, position_bias)
+            )(x, attention_mask, position_bias, position_ids, segment_ids)
         x = RMSNorm(c.layer_norm_eps, name="final_norm")(x)
         return x
 
@@ -183,21 +201,78 @@ def pool_tokens(hidden: jax.Array, attention_mask: jax.Array, mode: str) -> jax.
 
 class T5EncoderForSequenceClassification(nn.Module):
     """Encoder → pool → (dense, tanh, out_proj) classification head —
-    HF T5ClassificationHead structure (t5.py:84-86)."""
+    HF T5ClassificationHead structure (t5.py:84-86).
+
+    Built with ``setup`` (attribute names double as param-scope names,
+    matching the earlier ``@nn.compact`` tree: "encoder", "head_dense",
+    "head_out") so the packed-row forward can share the same parameters."""
 
     cfg: T5Config
 
-    @nn.compact
+    def setup(self):
+        self.encoder = T5Encoder(self.cfg)
+        self.head_dense = nn.Dense(self.cfg.d_model, dtype=self.cfg.dtype)
+        self.head_out = nn.Dense(self.cfg.num_labels, dtype=jnp.float32)
+        self.head_dropout = nn.Dropout(self.cfg.dropout)
+
+    def _head(self, pooled, deterministic):
+        h = jnp.tanh(self.head_dense(pooled))
+        h = self.head_dropout(h, deterministic=deterministic)
+        return self.head_out(h.astype(jnp.float32))
+
     def __call__(self, input_ids, attention_mask, deterministic=True):
-        hidden = T5Encoder(self.cfg, name="encoder")(input_ids, attention_mask)
+        hidden = self.encoder(input_ids, attention_mask)
         pooled = pool_tokens(hidden, attention_mask, self.cfg.pooling_mode)
-        h = nn.Dense(self.cfg.d_model, dtype=self.cfg.dtype, name="head_dense")(pooled)
-        h = jnp.tanh(h)
-        h = nn.Dropout(self.cfg.dropout)(h, deterministic=deterministic)
-        logits = nn.Dense(self.cfg.num_labels, dtype=jnp.float32, name="head_out")(
-            h.astype(jnp.float32)
-        )
-        return logits
+        return self._head(pooled, deterministic)
+
+    def packed(
+        self,
+        input_ids,
+        attention_mask,
+        position_ids,
+        segment_ids,
+        gather_row,
+        gather_col,
+        deterministic=True,
+    ):
+        """Packed-row scoring: many (query, doc) pairs per sequence row.
+
+        ``segment_ids`` make attention block-diagonal, ``position_ids``
+        restart per pair (the relative bias only sees position
+        differences, so within-pair buckets equal the unpacked row), and
+        each pair pools over ITS OWN token span — located by its start
+        slot ``(gather_row[p], gather_col[p])`` and the matching segment
+        id.  Scores equal the unpacked one-pair-per-row forward exactly
+        while no MXU cycle is spent on padding (the block-diagonal trick
+        of CrossEncoderModule.packed composed with T5's relative
+        positions — the per-pair position restart is the same move)."""
+        hidden = self.encoder(
+            input_ids, attention_mask, position_ids, segment_ids
+        )  # [R, W, H]
+        rows = gather_row
+        segval = segment_ids[rows, gather_col]  # [P]
+        if self.cfg.pooling_mode == "first":
+            pooled = hidden[rows, gather_col]
+        else:
+            # pair extent = same row, same segment id, attended — filler
+            # table entries point at (0, 0) whose pooled garbage lands in
+            # the spill slot downstream
+            pairmask = (segment_ids[rows] == segval[:, None]) & (
+                attention_mask[rows] > 0
+            )  # [P, W]
+            hrow = hidden[rows]  # [P, W, H]
+            if self.cfg.pooling_mode == "mean":
+                m = pairmask[..., None].astype(hidden.dtype)
+                pooled = (hrow * m).sum(axis=1) / jnp.maximum(
+                    m.sum(axis=1), 1e-7
+                )
+            elif self.cfg.pooling_mode == "max":
+                pooled = jnp.where(pairmask[..., None], hrow, -1e9).max(axis=1)
+            else:
+                raise ValueError(
+                    f"unknown pooling mode {self.cfg.pooling_mode!r}"
+                )
+        return self._head(pooled, deterministic)
 
 
 # MT5 shares the architecture with gated FFN
@@ -254,6 +329,61 @@ class T5CrossEncoder(PairRerankMixin):
     def score_tokens(self, params, input_ids, attention_mask, train: bool = False, rngs=None):
         logits = self.module.apply(
             params, input_ids, attention_mask, deterministic=not train, rngs=rngs
+        )
+        return logits[..., 0]
+
+    # -- packed rerank support (T5 layout [q | SEP | d], PAIR_SPECIALS=1) --
+    @property
+    def _packed_consts(self) -> tuple:
+        tok = self.tokenizer
+        sep = getattr(tok, "sep_token_id", None)
+        if sep is None:
+            sep = getattr(tok, "eos_token_id", 1)
+        return (sep, tok.pad_token_id)
+
+    @staticmethod
+    def assemble_packed_rows(desc, q_ids, drows, R, W, consts):
+        """T5 variant of CrossEncoder.assemble_packed_rows: pairs lay out
+        as ``[q | SEP | d]`` (no CLS — T5 pools over the pair span), and
+        ``pos`` restarts at 0 per pair for the relative-position bias."""
+        sep_id, pad_id = consts
+        qrow, cand, prow, poff, qlen, dlen = (desc[i] for i in range(6))
+        n_pairs = qrow.shape[0]
+        plen = 1 + qlen + dlen
+        start = jnp.zeros((R * W,), jnp.int32)
+        start = start.at[prow * W + poff].set(
+            jnp.arange(1, n_pairs + 1, dtype=jnp.int32)
+        )
+        own = jax.lax.associative_scan(jnp.maximum, start.reshape(R, W), axis=1)
+        p = jnp.maximum(own - 1, 0)
+        t = jnp.arange(W, dtype=jnp.int32)[None, :] - poff[p]
+        ql = qlen[p]
+        inseg = (own > 0) & (t >= 0) & (t < plen[p])
+        in_q = inseg & (t < ql)
+        is_sep = inseg & (t == ql)
+        in_d = inseg & (t > ql)
+        lq_max = q_ids.shape[1]
+        qtok = q_ids[qrow[p], jnp.clip(t, 0, lq_max - 1)].astype(jnp.int32)
+        dtok = drows[p, jnp.clip(t - 1 - ql, 0, drows.shape[1] - 1)]
+        ids = jnp.where(
+            in_q, qtok, jnp.where(is_sep, sep_id, jnp.where(in_d, dtok, pad_id))
+        )
+        mask = inseg.astype(jnp.int32)
+        seg = own * mask
+        pos = jnp.where(inseg, t, 0)
+        return ids, mask, seg, pos
+
+    def packed_score_tokens(
+        self, params, input_ids, attention_mask, position_ids, segment_ids,
+        gather_row, gather_col, train: bool = False, rngs=None,
+    ):
+        """Packed-row forward (T5EncoderForSequenceClassification.packed):
+        block-diagonal segment attention + per-pair relative positions +
+        per-pair pooled head — score-exact vs the unpacked forward."""
+        logits = self.module.apply(
+            params, input_ids, attention_mask, position_ids, segment_ids,
+            gather_row, gather_col, deterministic=not train, rngs=rngs,
+            method=T5EncoderForSequenceClassification.packed,
         )
         return logits[..., 0]
 

@@ -222,3 +222,51 @@ def test_t5_int8_quantized_scores_close():
     s = ce.predict(pairs, apply_sigmoid=False)
     s8 = ce8.predict(pairs, apply_sigmoid=False)
     assert np.corrcoef(s, s8)[0, 1] > 0.98
+
+
+@pytest.mark.parametrize("pooling", ["first", "mean", "max"])
+def test_t5_rerank_packed_matches_full_width(pooling):
+    """T5 sequence-packed scoring equals the flat full-width path for every
+    pooling mode: block-diagonal segment attention + per-pair relative
+    positions (restart per pair — bias sees only position differences) +
+    per-pair pooled head reproduce each pair's unpacked forward exactly
+    (closes the packed-rerank T5 gap; reference T5 rerank path:
+    src/utils/sentence_transformers.py:525-534)."""
+    import jax.numpy as jnp
+
+    from fusion_tpu.models.t5 import T5Config, T5CrossEncoder
+
+    ce = T5CrossEncoder(T5Config.tiny(vocab_size=512, pooling_mode=pooling),
+                        max_length=64)
+    docs = [
+        "le chat noir dort sur le tapis du salon",
+        "un contrat de travail est signe entre les parties",
+        "le tribunal rend un jugement motive",
+        "короткий",
+        "la cour d appel confirme la decision du premier juge dans cette affaire",
+        "une voiture rouge roule sur la route",
+        "le chien aboie",
+        "les oiseaux chantent dans la foret au printemps",
+        "texte",
+    ]
+    d_ids, d_mask, d_lens = ce.prepare_corpus_tokens(
+        docs, max_doc_tokens=24, return_lens=True
+    )
+    queries = ["chat tapis", "jugement tribunal cour", "contrat"]
+    q_ids_np, q_mask_np = ce.encode_queries_raw(queries, max_query_tokens=6)
+    q_lens = np.asarray(q_mask_np).sum(axis=1).astype(np.int32)
+    q_ids, q_mask = jnp.asarray(q_ids_np), jnp.asarray(q_mask_np)
+    head = np.array([[0, 3, 8, -1], [5, 1, 2, 6], [7, 4, 0, -1]], np.int32)
+    cand = jnp.asarray(np.clip(head, 0, len(docs) - 1))
+    full = np.asarray(ce.rerank_tokens(
+        ce.params, q_ids, q_mask,
+        d_ids[cand].astype(jnp.int32),
+        d_mask[cand].astype(jnp.int32) * (head >= 0)[..., None],
+        pair_chunk=4,
+    ))
+    for row_width, rpc in ((128, None), (64, 2)):
+        packed = np.asarray(ce.rerank_tokens_packed(
+            ce.params, q_ids, q_mask, d_ids, d_mask, head, d_lens, q_lens,
+            row_width=row_width, rows_per_chunk=rpc,
+        ))
+        np.testing.assert_allclose(packed, full, rtol=2e-5, atol=2e-5)
