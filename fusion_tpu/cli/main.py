@@ -883,8 +883,11 @@ def build_parser() -> argparse.ArgumentParser:
     # relevance sweep in scripts/recall_study.py — see RECALL_STUDY json)
     sp.add_argument("--plaid_nprobe", type=int, default=4,
                     help="centroids probed per query token (PLAID stage 1)")
-    sp.add_argument("--plaid_ncand", type=int, default=4096,
-                    help="docs rescored per query (PLAID stage 2)")
+    sp.add_argument("--plaid_ncand", type=int, default=1024,
+                    help="docs rescored per query (PLAID stage 2; 1024 = "
+                         "overlap@100 0.9984 at 8.9M docs, identical to "
+                         "deeper configs at 2.6x the speed — RECALL_STUDY/"
+                         "probe_plaid r04)")
     sp.add_argument("--ivf_cap", type=int, default=1024,
                     help="docs kept per centroid in the PLAID IVF "
                          "(1024 == 4096 on recall in the planted sweep)")
@@ -967,9 +970,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "current backend: stage 3042 vs 2852 ms — "
                          "measure before enabling)")
     sp.add_argument("--encoders_int8", action="store_true",
-                    help="serve the QUERY encoders (dense/SPLADE/ColBERT) "
-                         "with int8 trunk matmuls; the corpus index stays "
-                         "f32-encoded (measure retrieval overlap first)")
+                    help="EXPERIMENTAL: serve the QUERY encoders (dense/"
+                         "SPLADE/ColBERT) with int8 trunk matmuls; the "
+                         "corpus index stays f32-encoded. Quality evidence "
+                         "at production shape is pending (the r04 base-"
+                         "shape study's f32 baseline was unconverged, so "
+                         "its overlap number measured quantization noise); "
+                         "the tiny-shape study held 0.989 top-10 overlap — "
+                         "measure on YOUR model before enabling")
     sp.add_argument("--encoders_attention", default=None,
                     choices=["einsum", "einsum_bf16", "flash"],
                     help="serve the QUERY encoders with this attention "

@@ -352,7 +352,7 @@ def _gather_rescore_rows(
     import math
 
     from fusion_tpu.index.compression import unsegment_gathered_codes
-    from fusion_tpu.ops.gather_rows import gather_rows_pallas
+    from fusion_tpu.ops.gather_rows import gather_rows_pallas_split
 
     ld = centroid_ids.shape[1]
     packed = codes_seg.shape[2] * 512 // ld
@@ -362,7 +362,9 @@ def _gather_rescore_rows(
         codf = codes_seg[safe // seg, jnp.remainder(safe, seg)]
         codf = codf.reshape(*safe.shape, -1)
     else:
-        (codf,) = gather_rows_pallas(
+        # the split wrapper applies the MAX_IDX_BYTES scalar-prefetch
+        # guard (a big Q × cand_chunk idx crashes the remote compile)
+        (codf,) = gather_rows_pallas_split(
             (codes_seg,), safe,
             rows_per_block=math.gcd(256, safe.shape[1]),
             interpret=(gather_impl == "pallas_interpret"),
@@ -588,6 +590,7 @@ def sharded_plaid_search(
     ncand_rescore: int | None = 1024,
     rescore_impl: str = "gather",
     gather_impl: str = "xla",
+    topk_impl: str = "approx",
 ) -> RankedLists:
     """Index-parallel PLAID: each device probes + prunes + rescores its
     doc-range shard (queries and centroid table replicated), per-shard top-k
@@ -613,7 +616,8 @@ def sharded_plaid_search(
     def local(qt, qm, cents, bw, cid, codes_arr, msk, ivf):
         shard_idx = jax.lax.axis_index(INDEX_AXIS)
         cand, _ = plaid_candidates(
-            qt, qm, cents, ivf[0], per, nprobe=nprobe, ncand=ncand_l
+            qt, qm, cents, ivf[0], per, nprobe=nprobe, ncand=ncand_l,
+            topk_impl=topk_impl,
         )
         cs = None
         if nr or rescore_impl == "factored":
@@ -659,7 +663,7 @@ def sharded_plaid_search(
         (
             "sharded_plaid_search",
             mesh, k, per, nprobe, ncand_l, nr, chunk, sharded.nbits,
-            rescore_impl, gather_impl, use_seg,
+            rescore_impl, gather_impl, topk_impl, use_seg,
         ),
         lambda: shard_map(
             local,
@@ -693,6 +697,7 @@ def plaid_search(
     ncand_rescore: int | None = 1024,
     rescore_impl: str = "gather",
     gather_impl: str = "xla",
+    topk_impl: str = "approx",
 ) -> RankedLists:
     """Three-stage search: candidate generation → centroid-only pruning →
     exact decompressed rescore (colbert-ai PLAID's stage structure).
@@ -708,7 +713,11 @@ def plaid_search(
 
     ``gather_impl``: 'xla' uses plain ``src[idx]`` candidate-row gathers;
     'pallas' streams them as pipelined DMAs (ops/gather_rows.py);
-    'pallas_interpret' is the CPU-testable interpret mode."""
+    'pallas_interpret' is the CPU-testable interpret mode.
+
+    ``topk_impl``: 'approx' (default) cuts candidates with ``approx_max_k``
+    (recall 0.99); 'exact' keeps ``lax.top_k`` for oracle comparisons —
+    reachable end-to-end through the searcher's ``plaid_topk_impl``."""
     # the rescore chunks candidates with clamped dynamic slices: keep ncand a
     # multiple of cand_chunk so no candidate is scored twice
     ncand = min(ncand, max(ivf.n_docs, 1))
@@ -716,7 +725,7 @@ def plaid_search(
     ncand -= ncand % cand_chunk
     cand, _ = plaid_candidates(
         q_tok, q_mask, index.centroids, ivf.ivf_doc, ivf.n_docs,
-        nprobe=nprobe, ncand=ncand,
+        nprobe=nprobe, ncand=ncand, topk_impl=topk_impl,
     )
     qm = q_mask.astype(jnp.float32)
     prune = bool(ncand_rescore and ncand_rescore < ncand)

@@ -105,12 +105,12 @@ MAX_IDX_BYTES = 512 * 1024
 
 # u32 byte-offset ceiling: a 2-D source over 2**32 bytes crashes the
 # compile helper (bisected on chip 2026-08-19: 4.1 GB OK, 9.1 GB HTTP
-# 500), because the row*row_bytes offset product overflows.  Sources
-# over this are viewed [S, N/S, G, 128] (a free reshape when a small
-# divisor of N exists) and the kernel indexes .at[row // seg, row % seg]
-# — measured OK at 9.1 GB in the segmented form.
+# 500), because the row*row_bytes offset product overflows.  Larger
+# sources must arrive BORN segmented [S, N/S, G, 128] (host reshape —
+# in-jit reshapes of >4 GiB buffers materialize a copy); the kernel
+# then indexes .at[row // seg, row % seg] — measured OK at 9.1 GB.
+# Flat sources past the ceiling fall back to the XLA gather.
 MAX_SRC_BYTES = (1 << 32) - (1 << 20)
-_SEG_DIVISORS = range(2, 17)
 
 
 @functools.partial(
@@ -159,22 +159,18 @@ def gather_rows_pallas(
         )
         g = s.shape[1] // LANES
         glanes.append(g)
-        if s.nbytes > MAX_SRC_BYTES:
-            div = next((d for d in _SEG_DIVISORS
-                        if s.shape[0] % d == 0
-                        and s.nbytes // d <= MAX_SRC_BYTES), None)
-            assert div is not None, (
-                f"source of {s.nbytes} B exceeds the u32 DMA offset range "
-                f"and N={s.shape[0]} has no divisor in "
-                f"{list(_SEG_DIVISORS)} — pad the row count upstream "
-                "(gather_rows() routes such sources to the XLA fallback)"
-            )
-            seg = s.shape[0] // div
-            srcs_g.append(s.reshape(div, seg, g, LANES))
-            seg_rows.append(seg)
-        else:
-            srcs_g.append(s.reshape(s.shape[0], g, LANES))
-            seg_rows.append(None)
+        # a >MAX_SRC_BYTES flat source must arrive PRE-SEGMENTED 4-D: an
+        # in-jit reshape of a >4 GiB buffer materializes a copy (OOM at
+        # corpus scale) and crashes the remote compile.  gather_rows()
+        # routes such sources to the XLA fallback; segment on the host
+        # (born segmented) to use the DMA kernel.
+        assert s.nbytes <= MAX_SRC_BYTES, (
+            f"flat source of {s.nbytes} B exceeds the u32 DMA offset "
+            "range — pass it born-segmented [S, seg, G, 128] (host "
+            "reshape) or call through gather_rows() for the XLA fallback"
+        )
+        srcs_g.append(s.reshape(s.shape[0], g, LANES))
+        seg_rows.append(None)
     srcs_g = tuple(srcs_g)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -202,6 +198,45 @@ def gather_rows_pallas(
         name=f"gather_rows_x{n_srcs}",
     )(idx.astype(jnp.int32), *srcs_g)
     return tuple(o.reshape(q, k, -1) for o in out)
+
+
+def gather_rows_pallas_split(
+    srcs: tuple[jax.Array, ...],
+    idx: jax.Array,
+    rows_per_block: int = 256,
+    in_flight: int = 16,
+    interpret: bool = False,
+) -> tuple[jax.Array, ...]:
+    """``gather_rows_pallas`` with the scalar-prefetch SMEM guard applied:
+    an idx over MAX_IDX_BYTES crashes the remote compile helper, so big
+    query batches split along Q into multiple pallas_calls (the rows are
+    independent).  Callers with pre-segmented 4-D sources use this instead
+    of calling the kernel directly (gather_rows() applies the same split
+    for flat sources)."""
+    if not isinstance(srcs, (tuple, list)):
+        srcs = (srcs,)
+    q, k = idx.shape
+    assert 4 * k <= MAX_IDX_BYTES, (
+        f"a single idx row of {4 * k} B exceeds the scalar-prefetch SMEM "
+        "ceiling — chunk the candidate axis upstream"
+    )
+    rows_per_call = max(1, MAX_IDX_BYTES // max(4 * k, 1))
+    if q <= rows_per_call:
+        return gather_rows_pallas(
+            srcs, idx, rows_per_block=rows_per_block,
+            in_flight=in_flight, interpret=interpret,
+        )
+    parts = []
+    for q0 in range(0, q, rows_per_call):
+        parts.append(gather_rows_pallas(
+            srcs, jax.lax.slice_in_dim(idx, q0, min(q0 + rows_per_call, q)),
+            rows_per_block=rows_per_block, in_flight=in_flight,
+            interpret=interpret,
+        ))
+    return tuple(
+        jnp.concatenate([p[i] for p in parts], axis=0)
+        for i in range(len(srcs))
+    )
 
 
 def _to_f32_rows(s: jax.Array) -> jax.Array:
@@ -266,41 +301,27 @@ def gather_rows(
     flat = tuple(s.reshape(s.shape[0], -1) for s in srcs)
     flat_f32 = tuple(_to_f32_rows(s) for s in flat)
     def _dma_ok(f):
-        if f.shape[1] % LANES:
-            return False
-        if f.nbytes > MAX_SRC_BYTES:  # u32 offset range: needs segmenting
-            return any(f.shape[0] % d == 0
-                       and f.nbytes // d <= MAX_SRC_BYTES
-                       for d in _SEG_DIVISORS)
-        return True
+        # flat sources past the u32 byte-offset range fall back to XLA:
+        # segmenting them here would be an in-jit reshape of a >4 GiB
+        # buffer (materialized copy + remote-compile crash) — callers with
+        # such sources pass them born-segmented 4-D instead (e.g. the
+        # PLAID codes_seg serving form)
+        return f.shape[1] % LANES == 0 and f.nbytes <= MAX_SRC_BYTES
 
     dma = [i for i, f in enumerate(flat_f32) if _dma_ok(f)]
     q, k = idx.shape
     results: list = [None] * len(srcs)
     if dma:
-        # split oversized idx along Q: > MAX_IDX_BYTES of scalar-prefetch
-        # SMEM crashes the remote compile helper (see MAX_IDX_BYTES)
-        rows_per_call = max(1, MAX_IDX_BYTES // max(4 * k, 1))
         dma_srcs = tuple(flat_f32[i] for i in dma)
-        if q > rows_per_call and 4 * k <= MAX_IDX_BYTES:
-            parts = []
-            for q0 in range(0, q, rows_per_call):
-                parts.append(gather_rows_pallas(
-                    dma_srcs, jax.lax.slice_in_dim(idx, q0,
-                                                   min(q0 + rows_per_call, q)),
-                    rows_per_block=rows_per_block, in_flight=in_flight,
-                    interpret=interpret,
-                ))
-            out = tuple(jnp.concatenate([p[i] for p in parts], axis=0)
-                        for i in range(len(dma_srcs)))
-        elif 4 * k > MAX_IDX_BYTES:
+        if 4 * k > MAX_IDX_BYTES:
             # a single idx row over the SMEM ceiling: XLA fallback
             out = tuple(
                 _to_f32_rows(flat[i][idx.reshape(-1)]
                              ).reshape(q, k, -1) for i in dma
             )
         else:
-            out = gather_rows_pallas(
+            # gather_rows_pallas_split applies the MAX_IDX_BYTES Q-split
+            out = gather_rows_pallas_split(
                 dma_srcs, idx,
                 rows_per_block=rows_per_block, in_flight=in_flight,
                 interpret=interpret,

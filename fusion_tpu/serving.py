@@ -191,7 +191,11 @@ class HybridSearcher:
     colbert_index: object | None = None
     colbert_ivf: object | None = None  # IVFIndex → PLAID two-stage search
     plaid_nprobe: int = 4
-    plaid_ncand: int = 4096
+    # 1024 = the measured-best shallow two-stage depth: overlap@100 0.9984
+    # at 8.9M docs, IDENTICAL to every deeper config (the 0.0016 is the
+    # compression floor, RECALL_STUDY_r04), at 2.6x the nc4096 speed
+    # (probe_plaid 2026-08-19); candidates come pre-ranked by probe score
+    plaid_ncand: int = 1024
     # candidates reaching the exact decompressed tier after centroid-only
     # pruning (three-stage PLAID); 0/None = rescore all plaid_ncand.
     # Default None: the prune tier is a measured LOSS on chip — its
@@ -207,6 +211,9 @@ class HybridSearcher:
     # candidate-row gathers in the prune/exact tiers: 'xla' plain gather,
     # 'pallas' pipelined-DMA kernel (ops/gather_rows.py)
     plaid_gather_impl: str = "xla"
+    # candidate-stage top-k cut: 'approx' (approx_max_k, recall 0.99 — the
+    # measured default) or 'exact' (lax.top_k) for oracle comparisons
+    plaid_topk_impl: str = "approx"
     cross_encoder: object | None = None
     ce_doc_tokens: jax.Array | None = None
     ce_doc_mask: jax.Array | None = None
@@ -274,14 +281,15 @@ class HybridSearcher:
         scatter_docs_per_chunk: int = 16_384,
         colbert_plaid: bool = False,
         plaid_nprobe: int = 4,
-        plaid_ncand: int = 4096,
+        plaid_ncand: int = 1024,
         plaid_ncand_rescore: int | None = None,
         plaid_rescore_impl: str = "gather",
         plaid_gather_impl: str = "xla",
+        plaid_topk_impl: str = "approx",
         ivf_cap: int = 1024,
         rerank_buckets: tuple | None = None,
         rerank_cascade: tuple | None = None,
-        rerank_packed: bool = False,
+        rerank_packed: bool | None = None,
         rerank_row_width: int | None = None,
         dense_impl: str = "auto",
         encoders_int8: bool = False,
@@ -327,6 +335,7 @@ class HybridSearcher:
         out.plaid_ncand_rescore = plaid_ncand_rescore
         out.plaid_rescore_impl = plaid_rescore_impl
         out.plaid_gather_impl = plaid_gather_impl
+        out.plaid_topk_impl = plaid_topk_impl
         out.dense_impl = dense_impl
         if bm25_docs is not None:
             out.bm25 = BM25Index.build(bm25_docs, k1=k1, b=b)
@@ -463,7 +472,17 @@ class HybridSearcher:
                 )
             )
             out.rerank_buckets = rerank_buckets
-            out.rerank_packed = rerank_packed
+            if rerank_packed is None:
+                # packed is the measured-best EXACT rerank stage (1774 ms vs
+                # flat 2929 at depth 100, RERANK_PACKED_PROBE_r04) — default
+                # ON whenever the backbone supports segment attention and no
+                # competing variable-length stage was requested
+                rerank_packed = (
+                    rerank_buckets is None
+                    and rerank_cascade is None
+                    and hasattr(cross_encoder, "packed_score_tokens")
+                )
+            out.rerank_packed = bool(rerank_packed)
             out.rerank_row_width = rerank_row_width
             if rerank_cascade is not None:
                 rerank_cascade = _resolve_cascade(
@@ -596,7 +615,7 @@ class HybridSearcher:
                systems_out, self.rerank_cascade, self.cross_encoder,
                self.dense_model, self.splade_model, self.colbert_model,
                self.plaid_rescore_impl, self.plaid_gather_impl,
-               self.splade_rescore_depth)
+               self.plaid_topk_impl, self.splade_rescore_depth)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -831,6 +850,7 @@ class HybridSearcher:
                         ncand_rescore=self.plaid_ncand_rescore,
                         rescore_impl=self.plaid_rescore_impl,
                         gather_impl=self.plaid_gather_impl,
+                        topk_impl=self.plaid_topk_impl,
                     )
                 elif "cb_comp" in ops:
                     results["colbert"] = maxsim_search_compressed(
@@ -909,6 +929,11 @@ class HybridSearcher:
         def call(inputs: dict):
             return jitted(inputs, ops)
 
+        # cost-analysis hook (utils/profiling.mfu_report consumes it): the
+        # index arrays stay jit ARGUMENTS here — wrapping `call` in an outer
+        # jit instead would capture them as mlir constants (GBs baked into
+        # the lowering at corpus scale)
+        call.lower_for_cost = lambda inputs: jitted.lower(inputs, ops)
         self._jitted[key] = call
         return self._jitted[key]
 
@@ -1004,7 +1029,14 @@ class HybridSearcher:
         if os.path.exists(os.path.join(path, "colbert", "compressed_index.npz")):
             from fusion_tpu.index.compression import CompressedTokenIndex
 
-            self.colbert_index = CompressedTokenIndex.load(os.path.join(path, "colbert"))
+            # PLAID serving wants the segmented f32 codes form (codes_seg):
+            # build() always attaches it (the two-level gather is 2.2x the
+            # flat u8 row gather, and the pallas DMA impl requires it) — a
+            # reloaded searcher must serve the same form, not depend on an
+            # in-jit reshape fallback that copies multi-GB codes
+            self.colbert_index = CompressedTokenIndex.load(
+                os.path.join(path, "colbert"), dma_form=has_ivf
+            )
             if not has_ivf:  # PLAID never reads the token-major copies
                 self.colbert_index.prepared()
         elif os.path.exists(os.path.join(path, "colbert", "token_index.npz")):
@@ -1197,6 +1229,40 @@ class HybridSearcher:
         )
         return self._head_merge(ids, scores, head_ids, logits)
 
+    def _run_program_with_gather_fallback(
+        self, inputs: dict, batch: int, use_pallas: bool,
+        systems_out: bool = False,
+    ):
+        """First invocation of a batch program, with the pallas-gather
+        crash net: the pipelined-DMA row-gather kernel (ops/gather_rows.py)
+        is shape-sensitive on some relay toolchains — the Mosaic compile
+        helper HTTP-500s at e.g. the nc4096/rescore1024 shape
+        (PLAID_BREAKDOWN_r04, scripts/probe_gather_repro.py) while other
+        shapes pass.  Compilation happens at first call under jit, so a
+        failing kernel surfaces HERE; rebuild the program with
+        gather_impl='xla' (measured a tie with the kernel on the segmented
+        codes form) and retry once instead of taking the service down."""
+        program = self._device_program(batch, use_pallas, systems_out)
+        if not str(self.plaid_gather_impl).startswith("pallas"):
+            return program(inputs)
+        try:
+            return program(inputs)
+        except Exception as e:  # noqa: BLE001 — compile-time crash net
+            import warnings
+
+            warnings.warn(
+                f"plaid_gather_impl={self.plaid_gather_impl!r} failed to "
+                f"compile/run ({type(e).__name__}: {str(e)[:200]}) — "
+                "falling back to gather_impl='xla' for this searcher "
+                "(measured a tie with the DMA kernel on the segmented "
+                "codes form; see PLAID_BREAKDOWN_r04)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            self.plaid_gather_impl = "xla"
+            program = self._device_program(batch, use_pallas, systems_out)
+            return program(inputs)
+
     def search(
         self,
         queries: Sequence[str],
@@ -1220,8 +1286,9 @@ class HybridSearcher:
             while len(chunk) < batch_size and len(queries) > batch_size:
                 chunk.append("")
             inputs = self._prepare_inputs(chunk)
-            program = self._device_program(len(chunk), use_pallas)
-            ids, scores = program(inputs)
+            ids, scores = self._run_program_with_gather_fallback(
+                inputs, len(chunk), use_pallas
+            )
             if self._rerank_active and self.rerank_buckets is not None:
                 ids, scores = self._bucketed_rerank_stage(inputs, ids, scores)
             elif self._rerank_active and self.rerank_packed:
@@ -1296,8 +1363,9 @@ class HybridSearcher:
             while len(chunk) < batch_size and len(queries) > batch_size:
                 chunk.append("")
             inputs = self._prepare_inputs(chunk)
-            program = self._device_program(len(chunk), use_pallas, systems_out=True)
-            out = program(inputs)
+            out = self._run_program_with_gather_fallback(
+                inputs, len(chunk), use_pallas, systems_out=True
+            )
             for system, (ids, scores) in out.items():
                 per_system.setdefault(system, []).append(
                     (np.asarray(ids)[:real], np.asarray(scores)[:real])

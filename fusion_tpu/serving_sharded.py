@@ -240,6 +240,7 @@ class ShardedHybridSearcher(HybridSearcher):
             plaid_ncand_rescore=searcher.plaid_ncand_rescore,
             plaid_rescore_impl=searcher.plaid_rescore_impl,
             plaid_gather_impl=searcher.plaid_gather_impl,
+            plaid_topk_impl=searcher.plaid_topk_impl,
             dense_local_topk=dense_local_topk,
         )
         if searcher.bm25 is not None:
@@ -426,7 +427,8 @@ class ShardedHybridSearcher(HybridSearcher):
                self.rerank_packed,
                self.cross_encoder, self.dense_model, self.splade_model,
                self.colbert_model, self.plaid_rescore_impl,
-               self.plaid_gather_impl, self.splade_rescore_depth, systems_out)
+               self.plaid_gather_impl, self.plaid_topk_impl,
+               self.splade_rescore_depth, systems_out)
         if key in self._programs:
             return self._programs[key]
 
@@ -648,6 +650,7 @@ class ShardedHybridSearcher(HybridSearcher):
                 cand, _ = plaid_candidates(
                     qt, qm, arrs[ic], arrs[iivf][0], per,
                     nprobe=self.plaid_nprobe, ncand=ncand_l,
+                    topk_impl=self.plaid_topk_impl,
                 )
                 nr = self.plaid_ncand_rescore
                 factored = self.plaid_rescore_impl == "factored"
@@ -842,6 +845,10 @@ class ShardedHybridSearcher(HybridSearcher):
         def call(inputs: dict):
             return jitted(inputs, enc_params, *shard_args)
 
+        # cost-analysis hook — see HybridSearcher._device_program
+        call.lower_for_cost = lambda inputs: jitted.lower(
+            inputs, enc_params, *shard_args
+        )
         self._programs[key] = call
         return self._programs[key]
 

@@ -303,19 +303,33 @@ def test_searcher_rerank_bucketed_matches_flat(models):
     )
 
 
-def test_searcher_rerank_packed_matches_flat(models):
+@pytest.mark.parametrize("backbone", ["bert", "t5"])
+def test_searcher_rerank_packed_matches_flat(models, backbone):
     """HybridSearcher with rerank_packed must rank exactly like the
-    in-program full-width rerank (and reject bucket/cascade combos)."""
+    in-program full-width rerank (and reject bucket/cascade combos) — on
+    BOTH cross-encoder backbones (T5 packed scoring closes the round-4
+    verdict gap)."""
     dense, _, _ = models
     from fusion_tpu.models.crossencoder import CrossEncoder
 
-    ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    if backbone == "bert":
+        ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
+    else:
+        from fusion_tpu.models.t5 import T5Config, T5CrossEncoder
+
+        ce = T5CrossEncoder(T5Config.tiny(vocab_size=512), max_length=48)
     kwargs = dict(dense_model=dense, batch_size=4, topk=8)
-    flat = HybridSearcher.build(CORPUS, cross_encoder=ce, rerank_depth=4, **kwargs)
+    flat = HybridSearcher.build(
+        CORPUS, cross_encoder=ce, rerank_depth=4, rerank_packed=False, **kwargs
+    )
+    assert not flat.rerank_packed
     packed = HybridSearcher.build(
         CORPUS, cross_encoder=ce, rerank_depth=4,
-        rerank_packed=True, rerank_row_width=128, **kwargs,
+        rerank_row_width=128, **kwargs,
     )
+    # packed is the LIBRARY default when the backbone supports it
+    # (measured-best exact stage; library/CLI defaults now aligned)
+    assert packed.rerank_packed
     assert packed.ce_doc_lens is not None
     r_flat, _ = flat.search(QUERIES, batch_size=4, use_pallas=False)
     r_pack, _ = packed.search(QUERIES, batch_size=4, use_pallas=False)
@@ -585,6 +599,13 @@ def test_searcher_scale_mode_neural_legs(models, tmp_path):
         plaid_nprobe=32, plaid_ncand=8,
     ).load_indexes(str(tmp_path / "cb"))
     assert loaded_cb.colbert_ivf is not None
+    # disk-loaded PLAID serving gets the SAME serving form as build():
+    # codes_seg attached whenever the rows pack (round-4 advisor finding)
+    if sc_cb.colbert_index.codes_seg is not None:
+        assert loaded_cb.colbert_index.codes_seg is not None
+    loaded_cb.topk = 8
+    f_lcb, _ = loaded_cb.search(QUERIES, batch_size=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(f_lcb.ids), np.asarray(f_sc.ids))
 
 
 class _StubTextEncoder:
@@ -808,7 +829,7 @@ def test_rerank_cascade_toggle_recompiles(models):
     ce = CrossEncoder(EncoderConfig.tiny(vocab_size=512), max_length=48)
     sr = HybridSearcher.build(
         CORPUS, dense_model=dense, cross_encoder=ce, rerank_depth=4,
-        batch_size=4, topk=8,
+        batch_size=4, topk=8, rerank_packed=False,  # packed is the default
     )
     p_flat = sr._device_program(4, use_pallas=False)
     sr.rerank_cascade = (2, 8)
@@ -1064,3 +1085,34 @@ def test_splade_two_stage_rescore_exact_vs_dense_form(models, tmp_path):
     loaded.topk = 8
     f_ld, _ = loaded.search(QUERIES, batch_size=4, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(f_ld.ids), np.asarray(f_two.ids))
+
+
+def test_plaid_gather_pallas_crash_falls_back_to_xla(models, monkeypatch, recwarn):
+    """A Mosaic compile crash in the pipelined-DMA gather kernel (the
+    observed HTTP-500 failure mode, PLAID_BREAKDOWN_r04) must not take
+    serving down: the searcher warns once, rebuilds with
+    gather_impl='xla', and returns the same ranking."""
+    _, _, colbert = models
+    import fusion_tpu.ops.gather_rows as gr
+
+    kwargs = dict(
+        colbert_model=colbert, colbert_compressed=True, colbert_plaid=True,
+        plaid_nprobe=32, plaid_ncand=8, ivf_cap=8, batch_size=4, topk=8,
+    )
+    oracle = HybridSearcher.build(CORPUS, plaid_gather_impl="xla", **kwargs)
+    r_ok, _ = oracle.search(QUERIES, batch_size=4, use_pallas=False)
+
+    broken = HybridSearcher.build(
+        CORPUS, plaid_gather_impl="pallas_interpret", **kwargs
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("Mosaic compile helper returned HTTP 500")
+
+    monkeypatch.setattr(gr, "gather_rows", boom)
+    monkeypatch.setattr(gr, "gather_rows_pallas_split", boom)
+    r_fb, _ = broken.search(QUERIES, batch_size=4, use_pallas=False)
+    assert broken.plaid_gather_impl == "xla"
+    assert any("falling back to gather_impl='xla'" in str(w.message)
+               for w in recwarn.list)
+    np.testing.assert_array_equal(np.asarray(r_fb.ids), np.asarray(r_ok.ids))
