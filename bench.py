@@ -235,6 +235,13 @@ def main():
     dt, dt_spread = time_groups(hybrid_jit, args)
     qps = B / dt
 
+    # achieved TFLOP/s + MFU vs the chip's bf16 peak (verdict r04 #4:
+    # relate every stage's ms to the roofline, not just to last round)
+    from fusion_tpu.utils.profiling import mfu_report
+
+    mfu_fused = mfu_report(hybrid_jit, args, dt)
+    print(f"# hybrid fused MFU: {mfu_fused}", file=sys.stderr)
+
     # int8 query encoders (serve --encoders_int8; overlap study
     # INT8_ENCODER_STUDY_r03.json): same params, quantized trunk views.
     # Guarded: an int8 lowering failure on this backend must not kill the
@@ -325,6 +332,8 @@ def main():
 
         return jax.jit(hybrid_rerank)
 
+    rerank_mfu: dict = {}
+
     def time_rerank(ce_obj, label, cascade=None):
         rerank_jit = make_rerank(ce_obj, cascade)
         r_args = (args, ce.params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask)
@@ -343,6 +352,10 @@ def main():
         dt_rr = max(min(raws) - t_rt, dt)
         print(f"# hybrid+rerank[{label}]: {dt_rr*1000:.1f} ms/batch "
               f"(rerank stage alone ~{(dt_rr-dt)*1000:.1f} ms)", file=sys.stderr)
+        m = mfu_report(rerank_jit, r_args, dt_rr)
+        if m:
+            rerank_mfu[label] = m
+            print(f"# hybrid+rerank[{label}] MFU: {m}", file=sys.stderr)
         return dt_rr
 
     dt_rr = time_rerank(ce, "einsum")
@@ -440,6 +453,21 @@ def main():
               file=sys.stderr)
         return adj, raw
 
+    def packed_stage_mfu(ce_obj, row_width, stage_seconds):
+        """MFU of the packed rerank's device program (the host plan is
+        rebuilt here with the same inputs to lower the exact executable)."""
+        ids, _ = hybrid_jit(*args)
+        head = np.asarray(ids[:, :RERANK_DEPTH])
+        desc, tables, width, nchunks, rpc, pc_cap = ce_obj.plan_packed(
+            head, ce_doc_lens, ce_q_lens, int(ce_ids.shape[1]),
+            int(ce_doc_toks.shape[1]), N, row_width=row_width,
+        )
+        fn = ce_obj._packed_fns(width, nchunks, rpc, pc_cap)
+        buf = jnp.zeros(head.size + 1, jnp.float32)
+        p_args = (ce.params, ce_ids, ce_mask, ce_doc_toks, ce_doc_mask,
+                  jnp.asarray(desc), jnp.asarray(tables), buf)
+        return mfu_report(fn, p_args, stage_seconds)
+
     dt_rr_pk = dt_rr_pk_raw = pk_width = None
     try:
         # 384 = the chip-measured optimum (~1.5x the longest pair;
@@ -450,6 +478,10 @@ def main():
             adj, raw = time_rerank_packed(ce_b, f"einsum_bf16+packed{w}", w)
             cands.append((adj, raw, w))
         dt_rr_pk, dt_rr_pk_raw, pk_width = min(cands)
+        m = packed_stage_mfu(ce_b, pk_width, dt_rr_pk - dt)
+        if m:
+            rerank_mfu[f"packed{pk_width}_stage"] = m
+            print(f"# rerank packed{pk_width} stage MFU: {m}", file=sys.stderr)
     except Exception as e:  # pragma: no cover - backend-specific
         print(f"# hybrid+rerank[einsum_bf16+packed] FAILED: {e}", file=sys.stderr)
 
@@ -533,6 +565,8 @@ def main():
                       "~4x; the spread shows the noise)",
             "ms_per_batch_fused": round(dt * 1000, 2),
             "ms_per_batch_fused_group_spread": dt_spread,
+            "mfu_fused": mfu_fused or None,
+            "mfu_rerank": rerank_mfu or None,
             "ms_per_batch_fused_int8_encoders": (
                 round(dt_i8 * 1000, 2) if dt_i8 else None
             ),

@@ -48,13 +48,17 @@ def fetch(x):
     return np.asarray(x)
 
 
-def time_batch(fn, args, iters=6, label=""):
+def time_batch(fn, args, iters=6, label="", with_mfu=True):
     """Per-call fenced timing: each call is fetch-fenced and the tunnel
     round-trip (measured separately) is refunded.  Chained un-fenced
     dispatch would be lower-overhead, but with multi-GB working sets the
     tunneled runtime has been observed to stall on long unfenced program
     queues — per-call fencing is robust and the RTT refund keeps the
-    number honest."""
+    number honest.
+
+    Returns (seconds, mfu_dict): when ``fn`` is arrays-only jittable
+    (statics closed over), the leg also reports achieved TFLOP/s + MFU
+    from XLA cost analysis (verdict r04 #4)."""
     t0 = time.perf_counter()
     out = fn(*args)
     fetch(out[0] if isinstance(out, tuple) else out.ids)
@@ -80,7 +84,15 @@ def time_batch(fn, args, iters=6, label=""):
     # min, not median: the chip is shared and co-tenant load inflates
     # single iterations up to ~4x (NOTES_ROUND4) — the min estimates
     # unloaded capability; the per-iter prints above show the spread
-    return max(min(times) - rtt, 1e-9)
+    dt = max(min(times) - rtt, 1e-9)
+    mfu = {}
+    if with_mfu:
+        from fusion_tpu.utils.profiling import mfu_report
+
+        mfu = mfu_report(fn, args, dt)
+        if mfu:
+            print(f"# {label} MFU: {mfu}", file=sys.stderr)
+    return dt, mfu
 
 
 def main():
@@ -89,7 +101,7 @@ def main():
                     help="corpus size (default: mMARCO's 8.84M rounded up to the gen chunk)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--topk", type=int, default=1000)
-    ap.add_argument("--legs", default="bm25_inv,splade_inv,dense,colbert")
+    ap.add_argument("--legs", default="bm25_inv,splade_inv,dense,colbert,splade_rescore")
     ap.add_argument("--local_topk", default="approx", choices=["approx", "exact", "none"])
     ap.add_argument("--gen_chunk", type=int, default=131072)
     ap.add_argument("--cpu", action="store_true",
@@ -157,28 +169,40 @@ def main():
         q_embs = jax.random.normal(jax.random.PRNGKey(1), (B, H), jnp.float32)
 
         if "dense" in legs_set:
-            fn = functools.partial(
-                quantized_dense_search, k=TOPK, doc_block=262_144, local_topk=local_topk
+            def dense_fn(q, vals, scales):
+                idx = QuantizedDenseIndex(values=vals, scales=scales, normalized=True)
+                return quantized_dense_search(
+                    q, idx, k=TOPK, doc_block=262_144, local_topk=local_topk
+                )
+
+            dt, mfu = time_batch(
+                dense_fn, (q_embs, vals, scales), label="dense int8"
             )
-            dt = time_batch(fn, (q_embs, index), label="dense int8")
             legs["dense_int8"] = {
                 "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
                 "index_gb": round(index.nbytes() / 1e9, 2), "dim": H,
-                "build_s": round(build_s, 1),
+                "build_s": round(build_s, 1), "mfu": mfu or None,
             }
         if "dense_fused" in legs_set:
             # fused Pallas matmul + binned streaming top-k (ops/dense_topk.py)
             from fusion_tpu.ops.dense_topk import fused_dense_topk
 
-            fn = functools.partial(
-                fused_dense_topk, k=TOPK, doc_block=2048, use_pallas=on_tpu
+            def dense_fused_fn(q, vals, scales):
+                idx = QuantizedDenseIndex(values=vals, scales=scales, normalized=True)
+                return fused_dense_topk(
+                    q, idx, k=TOPK, doc_block=2048, use_pallas=on_tpu
+                )
+
+            dt, mfu = time_batch(
+                dense_fused_fn, (q_embs, vals, scales), label="dense fused-binned"
             )
-            dt = time_batch(fn, (q_embs, index), label="dense fused-binned")
             legs["dense_int8_fused"] = {
                 "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
                 "index_gb": round(index.nbytes() / 1e9, 2), "dim": H,
+                "serving_default": True,
                 "form": "fused Pallas matmul + 16-doc binned argmax-packed "
                         "top-k, one approx_max_k over bin maxima",
+                "mfu": mfu or None,
             }
         del vals, scales, index, q_embs
         gc.collect()
@@ -211,8 +235,11 @@ def main():
         # dense query activations (the SPLADE encoder emits them on device)
         qv = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(3), (B, V_S), jnp.float32))
 
-        fn = functools.partial(sparse_search, k=TOPK, doc_block=32_768, local_topk=local_topk)
-        dt = time_batch(fn, (qv, index), label="splade fixed-K")
+        def splade_fixedk_fn(qv, terms, weights):
+            idx = SparseIndex(terms, weights, n_docs=N, vocab_size=V_S, nnz=N * K_S)
+            return sparse_search(qv, idx, k=TOPK, doc_block=32_768, local_topk=local_topk)
+
+        dt, _ = time_batch(splade_fixedk_fn, (qv, terms, weights), label="splade fixed-K")
         legs["splade_fixedk"] = {
             "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
             "index_gb": round(index.nbytes() / 1e9, 2), "K": K_S, "vocab": V_S,
@@ -237,7 +264,8 @@ def main():
             qv = lexical_query_matrix(q_terms, q_weights, V_B)  # on-device prep
             return sparse_search(qv, index, k=TOPK, doc_block=32_768, local_topk=local_topk)
 
-        dt = time_batch(bm25_step, (q_terms, q_weights, index), label="bm25 fixed-K")
+        dt, _ = time_batch(bm25_step, (q_terms, q_weights, index),
+                           label="bm25 fixed-K", with_mfu=False)
         legs["bm25_fixedk"] = {
             "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
             "index_gb": round(index.nbytes() / 1e9, 2), "K": K_B, "vocab": V_B,
@@ -265,13 +293,22 @@ def main():
         q_terms = jax.random.randint(k3, (B, kq), 0, v, dtype=jnp.int32)
         q_weights = jnp.ones((B, kq), jnp.float32)
 
-        fn = functools.partial(impact_search, k=TOPK)
-        dt = time_batch(fn, (q_terms, q_weights, index), label=name)
+        def impact_fn(qt, qw, pd, pi):
+            idx = ImpactIndex(pd, pi, n_docs=N, vocab_size=v, cap=p,
+                              nnz_kept=(v + 1) * p)
+            return impact_search(qt, qw, idx, k=TOPK)
+
+        dt, mfu = time_batch(
+            impact_fn, (q_terms, q_weights, post_doc, post_imp), label=name
+        )
         legs[name] = {
             "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
             "index_gb": round(index.nbytes() / 1e9, 2), "cap": p,
             "query_terms": kq, "vocab": v, "build_s": round(build_s, 1),
+            "mfu": mfu or None,
         }
+        if name == "bm25_impact":
+            legs[name]["serving_default"] = True
         del post_doc, post_imp, index, q_terms, q_weights
         gc.collect()
 
@@ -310,10 +347,19 @@ def main():
         )
         q_terms = jax.random.randint(k3, (B, kq), 0, v, dtype=jnp.int32)
         q_weights = jnp.ones((B, kq), jnp.float32)
-        fn = functools.partial(
-            chunked_impact_search, k=TOPK, local_k=local_k, bf16_payload=bf16_payload
+        def chunked_fn(qt, qw, pd, pi):
+            idx = ChunkedImpactIndex(
+                pd, pi, n_docs=N, docs_per_chunk=docs_per_chunk,
+                vocab_size=v, cap_per_chunk=capc,
+                nnz_kept=(v + 1) * num_chunks * capc,
+            )
+            return chunked_impact_search(
+                qt, qw, idx, k=TOPK, local_k=local_k, bf16_payload=bf16_payload
+            )
+
+        dt, _ = time_batch(
+            chunked_fn, (q_terms, q_weights, post_doc, post_imp), label=name
         )
-        dt = time_batch(fn, (q_terms, q_weights, index), label=name)
         legs[name] = {
             "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
             "index_gb": round(index.nbytes() / 1e9, 2),
@@ -362,14 +408,25 @@ def main():
         )
         q_terms = jax.random.randint(k3, (B, kq), 0, v, dtype=jnp.int32)
         q_weights = jnp.ones((B, kq), jnp.float32)
-        fn = functools.partial(scatter_impact_search, k=TOPK, use_pallas=on_tpu)
-        dt = time_batch(fn, (q_terms, q_weights, index), label=name)
+
+        def scatter_fn(qt, qw, pd, pi):
+            idx = ChunkedImpactIndex(
+                pd, pi, n_docs=N, docs_per_chunk=docs_per_chunk,
+                vocab_size=v, cap_per_chunk=capc,
+                nnz_kept=(v + 1) * num_chunks * capc,
+            )
+            return scatter_impact_search(qt, qw, idx, k=TOPK, use_pallas=on_tpu)
+
+        dt, mfu = time_batch(
+            scatter_fn, (q_terms, q_weights, post_doc, post_imp), label=name
+        )
         legs[name] = {
             "ms_per_batch": round(dt * 1000, 2), "q_per_s": round(B / dt, 1),
             "index_gb": round(index.nbytes() / 1e9, 2),
             "chunks": num_chunks, "cap_per_chunk": capc,
             "query_terms": kq, "vocab": v, "build_s": round(build_s, 1),
             "postings_per_query_chunk": kq * capc,
+            "mfu": mfu or None,
         }
         del post_doc, post_imp, index, q_terms, q_weights
         gc.collect()
@@ -386,6 +443,110 @@ def main():
             "bm25_scatter", v=262_144, kq=16, docs_per_chunk=16_384,
             capc=4, seed=15,
         )
+
+    # ------------------------------------------------------------------
+    # two-stage SPLADE leg (the r05 serving default): factorized-scatter
+    # candidates at depth 2048 + EXACT rescore of each candidate against
+    # its full stored top-K doc vector (index/sparse.py SpladeRescoreStore
+    # — the capped forms alone measured overlap@100 0.69-0.74 at this
+    # capacity, RECALL_STUDY_r04; the rescore lifts quality to candidate-
+    # recall-bound at the cost of one Q*depth packed-row gather)
+    # ------------------------------------------------------------------
+    if "splade_rescore" in legs_set:
+        from fusion_tpu.index.inverted import ChunkedImpactIndex
+        from fusion_tpu.index.sparse import RESCORE_MAX_FLAT_BYTES, _sparse_rescore
+        from fusion_tpu.ops.scatter_score import scatter_impact_search
+
+        V_R, KQ_R, K_R, DEPTH = 32_768, 64, 128, 2048
+        DPC_R, CAPC_R = 16_384, 32
+        num_chunks_r = -(-N // DPC_R)
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(21), 4)
+        t0 = time.perf_counter()
+        post_doc = jax.random.randint(
+            k1, (V_R + 1, num_chunks_r, CAPC_R), 0, DPC_R, dtype=jnp.int32
+        ).astype(jnp.uint16)
+        post_imp = jax.random.uniform(
+            k2, (V_R + 1, num_chunks_r, CAPC_R), jnp.float32, 0.05, 3.0
+        ).astype(jnp.float16)
+        # rescore store generated DIRECTLY in its born-segmented shape
+        # (u16 [S, seg, 2K]: terms first K slots, f16 weight bits last K)
+        store_bytes = N * 4 * K_R
+        SEGS_R = 1
+        while (store_bytes // SEGS_R > RESCORE_MAX_FLAT_BYTES
+               or n_chunks % SEGS_R):
+            SEGS_R += 1
+        seg_rows_r = N // SEGS_R
+        chunks_per_seg_r = n_chunks // SEGS_R
+
+        @functools.partial(jax.jit, static_argnames=("n_chunks",))
+        def gen_store(key, n_chunks):
+            keys = jax.random.split(key, n_chunks)
+            buf0 = jnp.zeros((SEGS_R, seg_rows_r, 2 * K_R), jnp.uint16)
+
+            def body(i, buf):
+                ka, kb = jax.random.split(keys[i])
+                terms = jax.random.randint(
+                    ka, (CH, K_R), 0, V_R, dtype=jnp.int32
+                ).astype(jnp.uint16)
+                w = jax.random.uniform(kb, (CH, K_R), jnp.float32, 0.05, 3.0
+                                       ).astype(jnp.float16)
+                row = jnp.concatenate(
+                    [terms, jax.lax.bitcast_convert_type(w, jnp.uint16)], axis=-1
+                )
+                return jax.lax.dynamic_update_slice(
+                    buf, row[None],
+                    (i // chunks_per_seg_r, (i % chunks_per_seg_r) * CH, 0),
+                )
+
+            return jax.lax.fori_loop(0, n_chunks, body, buf0)
+
+        packed_store = gen_store(k3, n_chunks)
+        fetch(packed_store[:1, :1, :1])
+        build_s = time.perf_counter() - t0
+        qv = jax.nn.relu(jax.random.normal(k4, (B, V_R), jnp.float32))
+        q_weights_r, q_terms_r = jax.lax.top_k(qv, KQ_R)
+        q_terms_r = q_terms_r.astype(jnp.int32)
+
+        def cand_fn(qt, qw, pd, pi):
+            idx = ChunkedImpactIndex(
+                pd, pi, n_docs=N, docs_per_chunk=DPC_R, vocab_size=V_R,
+                cap_per_chunk=CAPC_R,
+                nnz_kept=(V_R + 1) * num_chunks_r * CAPC_R,
+            )
+            return scatter_impact_search(qt, qw, idx, k=DEPTH, use_pallas=on_tpu)
+
+        def two_stage_fn(qt, qw, qv, pd, pi, packed):
+            cand = cand_fn(qt, qw, pd, pi)
+            return _sparse_rescore(
+                qv, packed, cand.ids, N, V_R, K_R, min(TOPK, DEPTH), 4096
+            )
+
+        ts_args = (q_terms_r, q_weights_r, qv, post_doc, post_imp, packed_store)
+        dt_ts, mfu_ts = time_batch(
+            two_stage_fn, ts_args, label="splade two-stage rescore"
+        )
+        # candidate stage alone at the same depth → the rescore stage delta
+        dt_c1, _ = time_batch(
+            cand_fn, (q_terms_r, q_weights_r, post_doc, post_imp),
+            label="splade scatter cand2048",
+        )
+        idx_gb = (post_doc.nbytes + post_imp.nbytes + packed_store.nbytes) / 1e9
+        legs["splade_scatter_rescore"] = {
+            "ms_per_batch": round(dt_ts * 1000, 2), "q_per_s": round(B / dt_ts, 1),
+            "ms_candidate_stage": round(dt_c1 * 1000, 2),
+            "ms_rescore_stage": round((dt_ts - dt_c1) * 1000, 2),
+            "index_gb": round(idx_gb, 2),
+            "store_gb": round(packed_store.nbytes / 1e9, 2),
+            "rescore_depth": DEPTH, "prune_topk": K_R,
+            "store_segments": SEGS_R,
+            "serving_default": True,
+            "build_s": round(build_s, 1),
+            "mfu": mfu_ts or None,
+            "form": ("scatter candidates (capc 32) + exact rescore vs full "
+                     "stored doc vectors — the scale-mode serving default"),
+        }
+        del post_doc, post_imp, packed_store, qv, q_terms_r, q_weights_r
+        gc.collect()
 
     # ------------------------------------------------------------------
     # ColBERT leg: residual-compressed token index, 32 salient tokens/doc
@@ -429,11 +590,11 @@ def main():
             nbits=NBITS, k=TOPK, doc_block=16_384, use_pallas=on_tpu,
             local_topk=local_topk,
         )
-        dt = time_batch(
+        dt, _ = time_batch(
             fn,
             (q_tok.astype(jnp.bfloat16 if on_tpu else jnp.float32), q_mask,
              cents, cid_tm, codes_tm, mask_tm, doc_valid, bw),
-            iters=3, label="colbert compressed",
+            iters=3, label="colbert compressed", with_mfu=False,
         )
         idx_gb = (cid_tm.nbytes + codes_tm.nbytes + mask_tm.nbytes + cents.nbytes) / 1e9
         legs["colbert_compressed"] = {
@@ -517,11 +678,25 @@ def main():
         q_tok = q_tok / jnp.linalg.norm(q_tok, axis=-1, keepdims=True)
         q_mask = jnp.ones((B, LQ), jnp.float32)
 
-        fn = functools.partial(
-            plaid_search, k=TOPK, nprobe=NPROBE, ncand=NCAND, cand_chunk=512,
-            ncand_rescore=NCAND_RESCORE,
+        def plaid_fn_factory(**kw):
+            def plaid_fn(q_tok, q_mask, cid, codes_seg, msk, cents, bw, ivf_doc):
+                idx = CompressedTokenIndex(
+                    centroids=cents, centroid_ids=cid, codes=None,
+                    codes_seg=codes_seg, mask=msk, bucket_weights=bw,
+                    nbits=NBITS,
+                )
+                iv = IVFIndex(ivf_doc=ivf_doc, n_docs=N, cap=IVF_CAP)
+                return plaid_search(
+                    q_tok, q_mask, idx, iv, k=TOPK, nprobe=NPROBE,
+                    cand_chunk=512, **kw,
+                )
+            return plaid_fn
+
+        plaid_args = (q_tok, q_mask, cid, codes, mask, cents, bw, ivf_doc)
+        dt, mfu = time_batch(
+            plaid_fn_factory(ncand=NCAND, ncand_rescore=NCAND_RESCORE),
+            plaid_args, iters=4, label="colbert plaid",
         )
-        dt = time_batch(fn, (q_tok, q_mask, index, ivf), iters=4, label="colbert plaid")
         idx_gb = (cid.nbytes + codes.nbytes + mask.nbytes + cents.nbytes
                   + ivf_doc.nbytes) / 1e9
         legs["colbert_plaid"] = {
@@ -530,15 +705,14 @@ def main():
             "centroids": C, "nprobe": NPROBE, "ncand": NCAND,
             "ncand_rescore": NCAND_RESCORE,
             "ivf_cap": IVF_CAP, "build_s": round(build_s, 1),
+            "mfu": mfu or None,
         }
         # two-stage comparison form (rescore ALL ncand candidates) on the
         # same index — isolates the centroid-prune tier's win
-        fn2 = functools.partial(
-            plaid_search, k=TOPK, nprobe=NPROBE, ncand=NCAND, cand_chunk=512,
-            ncand_rescore=None,
+        dt2, _ = time_batch(
+            plaid_fn_factory(ncand=NCAND, ncand_rescore=None),
+            plaid_args, iters=4, label="colbert plaid (no prune)",
         )
-        dt2 = time_batch(fn2, (q_tok, q_mask, index, ivf), iters=4,
-                         label="colbert plaid (no prune)")
         legs["colbert_plaid_two_stage"] = {
             "ms_per_batch": round(dt2 * 1000, 2), "q_per_s": round(B / dt2, 1),
             "index_gb": round(idx_gb, 2), "nprobe": NPROBE, "ncand": NCAND,
@@ -549,26 +723,26 @@ def main():
         # exact-tier cost scales ~linearly with ncand while the recall study
         # holds >=0.9988 overlap@100 at nc1024 in every structured regime
         # (RECALL_STUDY r03/r04 plaid sweep, ncand_rescore=None rows)
-        fn2s = functools.partial(
-            plaid_search, k=TOPK, nprobe=NPROBE, ncand=1024, cand_chunk=512,
-            ncand_rescore=None,
+        dt2s, mfu2s = time_batch(
+            plaid_fn_factory(ncand=1024, ncand_rescore=None),
+            plaid_args, iters=4, label="colbert plaid (nc1024)",
         )
-        dt2s = time_batch(fn2s, (q_tok, q_mask, index, ivf), iters=4,
-                          label="colbert plaid (nc1024)")
         legs["colbert_plaid_nc1024"] = {
             "ms_per_batch": round(dt2s * 1000, 2), "q_per_s": round(B / dt2s, 1),
             "index_gb": round(idx_gb, 2), "nprobe": NPROBE, "ncand": 1024,
+            "serving_default": True,
             "form": ("shallow two-stage: top-1024 candidates by probe score, "
-                     "exact rescore of all of them"),
+                     "exact rescore of all of them — the serving default "
+                     "(plaid_ncand=1024, gather_impl='xla')"),
+            "mfu": mfu2s or None,
         }
         # round-4 factored rescore: exact tier reuses the pruning tier's
         # centroid-score table (no per-token centroid row gather)
-        fn3 = functools.partial(
-            plaid_search, k=TOPK, nprobe=NPROBE, ncand=NCAND, cand_chunk=512,
-            ncand_rescore=NCAND_RESCORE, rescore_impl="factored",
+        dt3, _ = time_batch(
+            plaid_fn_factory(ncand=NCAND, ncand_rescore=NCAND_RESCORE,
+                             rescore_impl="factored"),
+            plaid_args, iters=4, label="colbert plaid (factored)",
         )
-        dt3 = time_batch(fn3, (q_tok, q_mask, index, ivf), iters=4,
-                         label="colbert plaid (factored)")
         legs["colbert_plaid_factored"] = {
             "ms_per_batch": round(dt3 * 1000, 2), "q_per_s": round(B / dt3, 1),
             "nprobe": NPROBE, "ncand": NCAND, "ncand_rescore": NCAND_RESCORE,
@@ -587,16 +761,15 @@ def main():
                   gather_impl="pallas")),
         ):
             try:
-                fng = functools.partial(
-                    plaid_search, k=TOPK, nprobe=NPROBE,
-                    cand_chunk=512, **gkw,
+                dtg, _ = time_batch(
+                    plaid_fn_factory(**gkw), plaid_args, iters=4, label=gname
                 )
-                dtg = time_batch(fng, (q_tok, q_mask, index, ivf), iters=4,
-                                 label=gname)
                 legs[gname] = {
                     "ms_per_batch": round(dtg * 1000, 2),
                     "q_per_s": round(B / dtg, 1),
-                    "form": f"DMA-pipelined codes gathers ({gkw})",
+                    "form": f"DMA-pipelined codes gathers ({gkw}) — "
+                            "comparison form (serving default is 'xla'; a "
+                            "Mosaic crash auto-falls back, serving.py)",
                 }
             except Exception as e:  # pragma: no cover - chip-only path
                 legs[gname] = {
@@ -607,10 +780,11 @@ def main():
         gc.collect()
 
     total_ms = sum(v["ms_per_batch"] for v in legs.values())
-    # Headline = the hybrid built from the BEST measured form per system
-    # (summing every measured variant double-counts the slow comparison
-    # forms).  Only meaningful when all four systems were measured.
-    best = {}
+    # Headline = the hybrid built from each system's SERVING-DEFAULT form
+    # (verdict r04 weak #3: the quoted number must be the form users get).
+    # Falls back to the best measured form for systems without a default-
+    # flagged leg in this run; the best-form sum is reported alongside.
+    default_leg, best = {}, {}
     for sys_name in ("bm25", "splade", "dense", "colbert"):
         forms = {k: v["ms_per_batch"] for k, v in legs.items()
                  if k.startswith(sys_name)
@@ -618,21 +792,32 @@ def main():
                  and v["ms_per_batch"] > 0}  # guarded legs report 0 on failure
         if forms:
             best[sys_name] = min(forms, key=forms.get)
+            defaults = [k for k in forms
+                        if legs[k].get("serving_default")]
+            default_leg[sys_name] = defaults[0] if defaults else best[sys_name]
     best_ms = sum(legs[k]["ms_per_batch"] for k in best.values())
-    all_four = len(best) == 4
+    default_ms = sum(legs[k]["ms_per_batch"] for k in default_leg.values())
+    all_four = len(default_leg) == 4
     print(json.dumps({
         "metric": "mmarco_scale_hybrid_q_per_s_per_chip",
-        "value": round(B / (best_ms / 1000), 2) if all_four and best_ms else 0.0,
+        "value": round(B / (default_ms / 1000), 2) if all_four and default_ms else 0.0,
         "unit": "queries/s",
         "vs_baseline": 0.0,
         "detail": {
             "corpus_docs": N, "batch": B, "topk": TOPK,
             "local_topk": args.local_topk,
+            "serving_default_leg_per_system": default_leg,
+            "serving_default_ms_per_batch": round(default_ms, 2),
             "best_form_per_system": best,
             "best_forms_ms_per_batch": round(best_ms, 2),
+            "best_forms_q_per_s": (
+                round(B / (best_ms / 1000), 2) if len(best) == 4 and best_ms
+                else None
+            ),
             "total_ms_per_batch_all_measured_legs": round(total_ms, 2),
-            "note": ("headline = sum of best-form leg times (legs measured "
-                     "separately on one chip; see BENCH_SHARDED for the "
+            "note": ("headline = sum of SERVING-DEFAULT leg times (legs "
+                     "measured separately on one chip; best-form sum "
+                     "reported alongside; see BENCH_SHARDED for the "
                      "one-program sharded number)"),
             "backend": jax.default_backend(),
             "legs": legs,

@@ -67,3 +67,44 @@ def flops_of(fn, *example_args) -> dict:
     from fusion_tpu.utils.common import estimate_flops
 
     return estimate_flops(fn, *example_args)
+
+
+# bf16 matmul peak of the bench chip (v5e ≈ 197 TFLOP/s); override with
+# FUSION_TPU_PEAK_TFLOPS when benching other hardware.  MFU here is the
+# standard achieved-FLOPs / peak-FLOPs ratio using XLA's cost-analysis
+# FLOP count for the compiled program (the denominator the reference's
+# DeepSpeed profiler estimates, common.py:198-218).
+DEFAULT_PEAK_TFLOPS = 197.0
+
+
+def peak_tflops() -> float:
+    import os
+
+    return float(os.environ.get("FUSION_TPU_PEAK_TFLOPS", DEFAULT_PEAK_TFLOPS))
+
+
+def mfu_report(fn, example_args, measured_seconds: float | None) -> dict:
+    """Achieved TFLOP/s + MFU for one measured executable.
+
+    ``fn`` may be a plain function or an already-jitted one — either way
+    the program is lowered+compiled once (warm: served from the persistent
+    compile cache) purely to read XLA's FLOP estimate; nothing executes.
+    Returns {} on failure (cost analysis is backend-dependent) so bench
+    scripts can sprinkle it without new failure modes."""
+    try:
+        compiled = jax.jit(fn).lower(*example_args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", -1.0))
+        if flops <= 0:
+            return {}
+        out = {"flops": flops}
+        if measured_seconds and measured_seconds > 0:
+            tps = flops / measured_seconds / 1e12
+            out["tflops_per_s"] = round(tps, 2)
+            out["mfu"] = round(tps / peak_tflops(), 4)
+            out["peak_tflops"] = peak_tflops()
+        return out
+    except Exception:  # pragma: no cover — backend-specific
+        return {}

@@ -218,7 +218,15 @@ def main():
     # splade: SPLADE-like activations, planted query-term overlap; flat
     # cap (the shipped serving form) + chunked (bf16 × local_k) vs exact
     # ------------------------------------------------------------------
-    if run_splade:
+    def splade_world(sigma: float, tag: str):
+        """One SPLADE study world at doc-weight lognormal σ=``sigma``.
+
+        σ=0.6 is the round-2..4 'flat' world; σ=1.2 is the PEAKED world the
+        r04 verdict asked for — real log1p∘relu SPLADE activations have a
+        much larger within-doc/within-term dynamic range than σ=0.6, and
+        impact-ordered capping keeps TOP impacts, so flat worlds are
+        pessimistic about the capped forms.  All report keys carry ``tag``.
+        """
         V, KD, KQ = 32_768, 128, 64
         t0 = time.time()
         # doc terms: zipf^0.8 over 32k (SPLADE activations concentrate on a
@@ -231,7 +239,7 @@ def main():
         terms = np.where(dup, V, terms)
         # lognormal magnitudes (log1p∘relu activations are right-skewed)
         weights = np.where(
-            terms < V, rng.lognormal(-0.5, 0.6, size=(N, KD)), 0.0
+            terms < V, rng.lognormal(-0.5, sigma, size=(N, KD)), 0.0
         ).astype(np.float32)
         # planted relevance: each query copies its strongest terms from a
         # SEED DOC (plus generic terms), so the seed doc's term-neighborhood
@@ -247,7 +255,7 @@ def main():
             generic = rng.choice(V, size=KQ - take.size, p=zipf_p)
             qt = np.concatenate([take, generic])
             q_terms[qi] = qt
-            q_w[qi] = rng.lognormal(-0.5, 0.6, size=KQ).astype(np.float32)
+            q_w[qi] = rng.lognormal(-0.5, sigma, size=KQ).astype(np.float32)
         sp = SparseIndex(
             entry_term=jnp.asarray(terms, jnp.int32), entry_weight=jnp.asarray(weights),
             n_docs=N, vocab_size=V, nnz=int((terms < V).sum()),
@@ -259,8 +267,8 @@ def main():
         seed_found = float(np.mean([
             seed_docs[qi] in set(exact_ids[qi, :10].tolist()) for qi in range(B)
         ]))
-        report["splade_seed_doc_in_exact_top10"] = round(seed_found, 4)
-        print(f"# splade gen+exact {time.time()-t0:.0f}s", file=sys.stderr)
+        report[f"splade_{tag}_seed_doc_in_exact_top10"] = round(seed_found, 4)
+        print(f"# splade[{tag}] gen+exact {time.time()-t0:.0f}s", file=sys.stderr)
 
         flat_t, flat_w = terms.ravel(), weights.ravel()
         flat_d = np.repeat(np.arange(N, dtype=np.int64), KD)
@@ -270,10 +278,10 @@ def main():
         for cap in (4096, 16_384):
             inv = build_impact_index(flat_t[keep], flat_d[keep], flat_w[keep], V, N, cap=cap)
             got = impact_search(qt_j, qw_j, inv, k=K)
-            report[f"splade_flat_cap{cap}_overlap@{K}"] = round(
+            report[f"splade_{tag}_flat_cap{cap}_overlap@{K}"] = round(
                 overlap_at_k(np.asarray(got.ids), exact_ids, K), 4
             )
-            report[f"splade_flat_cap{cap}_kept_frac"] = round(
+            report[f"splade_{tag}_flat_cap{cap}_kept_frac"] = round(
                 inv.nnz_kept / int(keep.sum()), 4
             )
             del inv
@@ -291,16 +299,16 @@ def main():
                 got = chunked_impact_search(
                     qt_j, qw_j, ch, k=K, local_k=local_k, bf16_payload=True
                 )
-                report[f"splade_chunked_capc{capc}_lk{local_k}_bf16_overlap@{K}"] = round(
+                report[f"splade_{tag}_chunked_capc{capc}_lk{local_k}_bf16_overlap@{K}"] = round(
                     overlap_at_k(np.asarray(got.ids), exact_ids, K), 4
                 )
             got = chunked_impact_search(
                 qt_j, qw_j, ch, k=K, local_k=128, bf16_payload=False
             )
-            report[f"splade_chunked_capc{capc}_lk128_f32_overlap@{K}"] = round(
+            report[f"splade_{tag}_chunked_capc{capc}_lk128_f32_overlap@{K}"] = round(
                 overlap_at_k(np.asarray(got.ids), exact_ids, K), 4
             )
-            report[f"splade_chunked_capc{capc}_kept_frac"] = round(
+            report[f"splade_{tag}_chunked_capc{capc}_kept_frac"] = round(
                 ch.nnz_kept / int(keep.sum()), 4
             )
             del ch
@@ -323,10 +331,10 @@ def main():
                 docs_per_chunk=16_384, cap_per_chunk=capc,
             )
             got = scatter_impact_search(qt_j, qw_j, ch, k=K)
-            report[f"splade_scatter_capc{capc}_overlap@{K}"] = round(
+            report[f"splade_{tag}_scatter_capc{capc}_overlap@{K}"] = round(
                 overlap_at_k(np.asarray(got.ids), exact_ids, K), 4
             )
-            report[f"splade_scatter_capc{capc}_kept_frac"] = round(
+            report[f"splade_{tag}_scatter_capc{capc}_kept_frac"] = round(
                 ch.nnz_kept / int(keep.sum()), 4
             )
             del ch
@@ -339,11 +347,46 @@ def main():
                 jnp.asarray(qt_c, jnp.int32), jnp.asarray(qw_c), V
             )
             got_ids = np.asarray(sparse_search(qv_c, sp, k=K, local_topk=None).ids)
-            report[f"splade_queryterms{kq_cap}_vs_{KQ}_overlap@{K}"] = round(
+            report[f"splade_{tag}_queryterms{kq_cap}_vs_{KQ}_overlap@{K}"] = round(
                 overlap_at_k(got_ids, exact_ids, K), 4
             )
-        del sp
-        print(f"# splade done: {report}", file=sys.stderr)
+        # ---- two-stage exact rescore (the r05 serving default): capped
+        # stage-1 candidates + exact rescore vs full stored doc vectors ----
+        from fusion_tpu.index.sparse import build_rescore_store, sparse_rescore
+
+        store = build_rescore_store(sp)
+        # exact vs the f16-stored vectors (what the store holds) — candidate
+        # recall is then the ONLY quality lever of the two-stage form
+        sp16 = sp._replace(entry_weight=jnp.asarray(
+            np.asarray(sp.entry_weight, np.float16).astype(np.float32)))
+        exact16_ids = np.asarray(sparse_search(qv, sp16, k=K, local_topk=None).ids)
+        nc_sc2 = -(-N // 16_384)
+        capc2 = min(max(4096 // nc_sc2, 4), MAX_POSTING_WIDTH // KQ)
+        ch2 = build_chunked_impact_index(
+            flat_t[keep], flat_d[keep], flat_w[keep], V, N,
+            docs_per_chunk=16_384, cap_per_chunk=capc2,
+        )
+        for depth in (512, 1024, 2048, 4096):
+            cand = scatter_impact_search(qt_j, qw_j, ch2, k=min(depth, N))
+            # candidate recall of the true top-K (the two-stage ceiling)
+            crec = float(np.mean([
+                len(set(np.asarray(cand.ids)[qi].tolist())
+                    & set(exact16_ids[qi, :K].tolist())) / K
+                for qi in range(B)
+            ]))
+            got = sparse_rescore(qv, cand.ids, store, k=K)
+            report[f"splade_{tag}_twostage_scatter_d{depth}_overlap@{K}"] = round(
+                overlap_at_k(np.asarray(got.ids), exact16_ids, K), 4
+            )
+            report[f"splade_{tag}_twostage_scatter_d{depth}_cand_recall@{K}"] = (
+                round(crec, 4)
+            )
+        del ch2, store, sp16, sp
+        print(f"# splade[{tag}] done", file=sys.stderr)
+
+    if run_splade:
+        splade_world(0.6, "flat")   # the round-2..4 world (comparability)
+        splade_world(1.2, "peaked")  # realistically peaked log1p∘relu shape
 
     # ------------------------------------------------------------------
     # colbert: PLANTED TOPICS — queries drawn from one topic's token
