@@ -34,6 +34,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fusion_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from fusion_tpu.models.colbert import ColBERT
@@ -95,6 +98,16 @@ def main():
         dt = max(elapsed, 1e-9)
 
     enc_tokens = bs * (lq + ld * args.nway)
+
+    # achieved TFLOP/s + MFU (verdict r04 #4/#3) — the XLA FLOP count of the
+    # compiled step includes the remat recompute, so this is the HARDWARE
+    # utilization; the "useful"-FLOP MFU (fwd+bwd only, 3x fwd) is lower by
+    # the remat factor and reported alongside.
+    from fusion_tpu.utils.profiling import mfu_report, peak_tflops
+
+    m = mfu_report(step_fn, (state, batch), dt)
+    p_matmul = cfg.num_layers * 12 * cfg.hidden_size ** 2
+    useful_tflop = 3 * 2 * p_matmul * enc_tokens / 1e12  # fwd + 2x-fwd bwd
     print(json.dumps({
         "metric": "colbert_train_step_ms",
         "value": round(dt * 1000, 2),
@@ -105,6 +118,9 @@ def main():
             "tokens_per_step": enc_tokens,
             "attention": args.attention,
             "backend": jax.default_backend(),
+            "mfu_hw": m or None,
+            "useful_tflops_per_s": round(useful_tflop / dt, 1),
+            "useful_mfu": round(useful_tflop / dt / peak_tflops(), 4),
         },
     }))
 

@@ -10,7 +10,9 @@ gold-doc rank deltas).  The SPLADE head is measured the same way
 untrained-for-ranking is meaningless for it, so it reports activation
 correlation only.
 
-Pure CPU.  Prints ONE json line; --write drops INT8_ENCODER_STUDY_r03.json.
+CPU by default; ``--platform tpu`` opts in to training on the bench chip
+(required for the base shape — see the flag help).  Prints ONE json line;
+--write drops the artifact named by --out.
 """
 
 from __future__ import annotations
@@ -40,11 +42,27 @@ def main():
                          "12 heads, FFN 3072) so the int8 overlap bound is "
                          "checked at production shape; pair with fewer "
                          "--steps on CPU")
+    ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu",
+                    help="'tpu' opts IN to claiming the bench chip — the "
+                         "base shape cannot converge in CPU-budget steps "
+                         "(r04 study: mrr_f32 0.033 after 600 CPU steps, so "
+                         "its int8 delta measured quantization noise on "
+                         "random embeddings); on chip the same world trains "
+                         "to signal in minutes. Default stays cpu so the "
+                         "study never grabs the chip by accident.")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override learning rate (default: 1e-3 tiny, "
+                         "3e-4 base — a 12L from-scratch trunk diverges at "
+                         "1e-3)")
+    ap.add_argument("--scheduler", default=None,
+                    help="override schedule (default: constant tiny, "
+                         "linear+4%% warmup base)")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # NEVER claim the chip
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # don't claim the chip
     import jax.numpy as jnp
 
     from cascade_study import build_world  # same planted-topic corpus
@@ -81,8 +99,17 @@ def main():
             intermediate_size=128, max_position=128,
         )
     dense = BiEncoder(cfg, head="dense", max_query_length=8, max_doc_length=32)
-    fit_cfg = FitConfig(steps=args.steps, batch_size=args.batch,
-                        learning_rate=1e-3, scheduler="constant")
+    base = args.shape == "base"
+    fit_cfg = FitConfig(
+        steps=args.steps, batch_size=args.batch,
+        learning_rate=args.lr if args.lr is not None else (3e-4 if base else 1e-3),
+        scheduler=args.scheduler or ("linear" if base else "constant"),
+        warmup_ratio=0.04,
+        log_every_n_steps=max(1, args.steps // 20),
+        log_callback=lambda e, spe, step, lr, v, name: print(
+            f"# step {step} {name}={v:.4f} lr={lr:.2e}", file=sys.stderr
+        ),
+    )
     state, tx, schedule = init_train_state(dense, fit_cfg)
     step = make_biencoder_train_step(dense, tx, {"name": "MNRLoss"}, None, fit_cfg.steps)
     sampler = TripletSampler(corpus, train_queries, train_qrels,
@@ -135,6 +162,8 @@ def main():
         "setup": {
             "n_topics": args.n_topics, "docs": len(corpus_list),
             "train_steps": args.steps, "shape": args.shape,
+            "platform": args.platform,
+            "lr": fit_cfg.learning_rate, "scheduler": fit_cfg.scheduler,
             "model": ("CamemBERT-base depth/width (12L x 768)"
                       if args.shape == "base" else "tiny (2L x 64)"),
             "pairing": "f32-encoded corpus, int8 query trunk "
