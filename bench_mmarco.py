@@ -545,7 +545,9 @@ def main():
             "form": ("scatter candidates (capc 32) + exact rescore vs full "
                      "stored doc vectors — the scale-mode serving default"),
         }
-        del post_doc, post_imp, packed_store, qv, q_terms_r, q_weights_r
+        # ts_args aliases the multi-GB stores — drop it too or the colbert
+        # leg allocates on top of ~6.8 GB of dead splade buffers (OOM)
+        del ts_args, post_doc, post_imp, packed_store, qv, q_terms_r, q_weights_r
         gc.collect()
 
     # ------------------------------------------------------------------
