@@ -101,7 +101,13 @@ def main():
                     help="corpus size (default: mMARCO's 8.84M rounded up to the gen chunk)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--topk", type=int, default=1000)
-    ap.add_argument("--legs", default="bm25_inv,splade_inv,dense,colbert,splade_rescore")
+    ap.add_argument(
+        "--legs",
+        # the default set MUST include every serving-default form (plaid +
+        # dense_fused) or the headline has no colbert leg and zeroes out —
+        # that is exactly what happened in the 2026-08-20 04:17 partial run
+        default="bm25_inv,splade_inv,dense,dense_fused,colbert,plaid,splade_rescore",
+    )
     ap.add_argument("--local_topk", default="approx", choices=["approx", "exact", "none"])
     ap.add_argument("--gen_chunk", type=int, default=131072)
     ap.add_argument("--cpu", action="store_true",
@@ -507,28 +513,44 @@ def main():
         q_weights_r, q_terms_r = jax.lax.top_k(qv, KQ_R)
         q_terms_r = q_terms_r.astype(jnp.int32)
 
-        def cand_fn(qt, qw, pd, pi):
-            idx = ChunkedImpactIndex(
-                pd, pi, n_docs=N, docs_per_chunk=DPC_R, vocab_size=V_R,
-                cap_per_chunk=CAPC_R,
-                nnz_kept=(V_R + 1) * num_chunks_r * CAPC_R,
-            )
-            return scatter_impact_search(qt, qw, idx, k=DEPTH, use_pallas=on_tpu)
+        def make_cand_fn(depth):
+            def cand_fn(qt, qw, pd, pi):
+                idx = ChunkedImpactIndex(
+                    pd, pi, n_docs=N, docs_per_chunk=DPC_R, vocab_size=V_R,
+                    cap_per_chunk=CAPC_R,
+                    nnz_kept=(V_R + 1) * num_chunks_r * CAPC_R,
+                )
+                return scatter_impact_search(
+                    qt, qw, idx, k=depth, use_pallas=on_tpu
+                )
+            return cand_fn
 
-        def two_stage_fn(qt, qw, qv, pd, pi, packed):
-            cand = cand_fn(qt, qw, pd, pi)
-            return _sparse_rescore(
-                qv, packed, cand.ids, N, V_R, K_R, min(TOPK, DEPTH), 4096
-            )
+        def make_two_stage_fn(depth):
+            cand_fn = make_cand_fn(depth)
+
+            def two_stage_fn(qt, qw, qv, pd, pi, packed):
+                cand = cand_fn(qt, qw, pd, pi)
+                return _sparse_rescore(
+                    qv, packed, cand.ids, N, V_R, K_R, min(TOPK, depth), 4096
+                )
+            return two_stage_fn
 
         ts_args = (q_terms_r, q_weights_r, qv, post_doc, post_imp, packed_store)
         dt_ts, mfu_ts = time_batch(
-            two_stage_fn, ts_args, label="splade two-stage rescore"
+            make_two_stage_fn(DEPTH), ts_args, label="splade two-stage rescore"
         )
         # candidate stage alone at the same depth → the rescore stage delta
         dt_c1, _ = time_batch(
-            cand_fn, (q_terms_r, q_weights_r, post_doc, post_imp),
+            make_cand_fn(DEPTH), (q_terms_r, q_weights_r, post_doc, post_imp),
             label="splade scatter cand2048",
+        )
+        # depth-512 variant: RECALL_STUDY_r05 measured candidate
+        # recall@100 = 0.9994 already at depth 512 with peaked
+        # (log1p∘relu-shaped) doc weights — if this form lands fast on a
+        # quiet chip it is the evidence-backed next serving default
+        dt_512, _ = time_batch(
+            make_two_stage_fn(512), ts_args,
+            label="splade two-stage rescore d512", with_mfu=False,
         )
         idx_gb = (post_doc.nbytes + post_imp.nbytes + packed_store.nbytes) / 1e9
         legs["splade_scatter_rescore"] = {
@@ -544,6 +566,14 @@ def main():
             "mfu": mfu_ts or None,
             "form": ("scatter candidates (capc 32) + exact rescore vs full "
                      "stored doc vectors — the scale-mode serving default"),
+        }
+        legs["splade_scatter_rescore_d512"] = {
+            "ms_per_batch": round(dt_512 * 1000, 2),
+            "q_per_s": round(B / dt_512, 1),
+            "rescore_depth": 512, "prune_topk": K_R,
+            "form": ("two-stage at depth 512 — candidate recall@100 0.9994 "
+                     "with peaked doc weights (RECALL_STUDY_r05), quality-"
+                     "equal to d2048 in the study world"),
         }
         # ts_args aliases the multi-GB stores — drop it too or the colbert
         # leg allocates on top of ~6.8 GB of dead splade buffers (OOM)
