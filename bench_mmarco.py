@@ -463,7 +463,7 @@ def main():
         from fusion_tpu.index.sparse import RESCORE_MAX_FLAT_BYTES, _sparse_rescore
         from fusion_tpu.ops.scatter_score import scatter_impact_search
 
-        V_R, KQ_R, K_R, DEPTH = 32_768, 64, 128, 2048
+        V_R, KQ_R, K_R, DEPTH = 32_768, 64, 128, 512
         DPC_R, CAPC_R = 16_384, 32
         num_chunks_r = -(-N // DPC_R)
         k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(21), 4)
@@ -544,13 +544,13 @@ def main():
             make_cand_fn(DEPTH), (q_terms_r, q_weights_r, post_doc, post_imp),
             label="splade scatter cand2048",
         )
-        # depth-512 variant: RECALL_STUDY_r05 measured candidate
-        # recall@100 = 0.9994 already at depth 512 with peaked
-        # (log1p∘relu-shaped) doc weights — if this form lands fast on a
-        # quiet chip it is the evidence-backed next serving default
-        dt_512, _ = time_batch(
-            make_two_stage_fn(512), ts_args,
-            label="splade two-stage rescore d512", with_mfu=False,
+        # depth-2048 variant: the conservative depth for flat-weights
+        # models (candidate recall 0.981 vs 0.928 at d512 in the flat
+        # stress world; peaked weights are depth-invariant at 0.9994 —
+        # RECALL_STUDY_r05)
+        dt_2048, _ = time_batch(
+            make_two_stage_fn(2048), ts_args,
+            label="splade two-stage rescore d2048", with_mfu=False,
         )
         idx_gb = (post_doc.nbytes + post_imp.nbytes + packed_store.nbytes) / 1e9
         legs["splade_scatter_rescore"] = {
@@ -564,16 +564,19 @@ def main():
             "serving_default": True,
             "build_s": round(build_s, 1),
             "mfu": mfu_ts or None,
-            "form": ("scatter candidates (capc 32) + exact rescore vs full "
-                     "stored doc vectors — the scale-mode serving default"),
+            "form": ("scatter candidates (capc 32) + exact rescore of each "
+                     "vs its full stored doc vector — the scale-mode "
+                     "serving default (depth 512: candidate recall@100 "
+                     "0.9994 with peaked doc weights, RECALL_STUDY_r05)"),
         }
-        legs["splade_scatter_rescore_d512"] = {
-            "ms_per_batch": round(dt_512 * 1000, 2),
-            "q_per_s": round(B / dt_512, 1),
-            "rescore_depth": 512, "prune_topk": K_R,
-            "form": ("two-stage at depth 512 — candidate recall@100 0.9994 "
-                     "with peaked doc weights (RECALL_STUDY_r05), quality-"
-                     "equal to d2048 in the study world"),
+        legs["splade_scatter_rescore_d2048"] = {
+            "ms_per_batch": round(dt_2048 * 1000, 2),
+            "q_per_s": round(B / dt_2048, 1),
+            "rescore_depth": 2048, "prune_topk": K_R,
+            "form": ("two-stage at depth 2048 — the conservative depth for "
+                     "flat-weights models (flat-world recall 0.981 vs "
+                     "0.928 at d512; peaked weights depth-invariant at "
+                     "0.9994, RECALL_STUDY_r05)"),
         }
         # ts_args aliases the multi-GB stores — drop it too or the colbert
         # leg allocates on top of ~6.8 GB of dead splade buffers (OOM)

@@ -260,7 +260,7 @@ def main():
         # candidates + exact rescore of each against its stored doc vector)
         splade_rescore_shards=rs_store,
         splade_rescore_meta=(V_S, K_R),
-        splade_rescore_depth=min(2048, per),
+        splade_rescore_depth=min(512, per),
         dense_model=dense,
         splade_model=splade,
         colbert_model=colbert,
@@ -437,7 +437,7 @@ def main():
         ),
         "backend": jax.default_backend(),
         "build_s": round(build_s, 1),
-        "splade_rescore_depth": min(2048, per),
+        "splade_rescore_depth": min(512, per),
         "plaid_ncand_per_shard": 1024,
         "mfu_by_program": mfu_by_label or None,
     }

@@ -911,7 +911,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "only GENERATES this many candidates, each rescored "
                          "EXACTLY against its full stored doc vector (the "
                          "capped forms alone measured overlap@100 0.69-0.74, "
-                         "RECALL_STUDY_r04). -1 = auto (2048 in scale mode), "
+                         "RECALL_STUDY_r04). -1 = auto (512 in scale mode — "
+                         "candidate recall@100 0.9994 with peaked weights, "
+                         "RECALL_STUDY_r05; raise for flat-weights models), "
                          "0 = off")
     sp.add_argument("--plaid_ncand_rescore", type=int, default=0,
                     help="candidates reaching PLAID's exact decompressed "

@@ -407,9 +407,16 @@ class HybridSearcher:
                     out.splade_impact_index = sparse_to_impact_index(sp, cap=impact_cap)
                 # two-stage exact rescore is the scale-mode DEFAULT: the
                 # capped stage-1 forms alone measured overlap@100 0.69-0.74
-                # (RECALL_STUDY_r04) — quality-unsafe as a serving default
+                # (RECALL_STUDY_r04) — quality-unsafe as a serving default.
+                # Depth 512: with log1p∘relu-shaped (peaked) doc weights —
+                # SPLADE's actual output regime — candidate recall@100 is
+                # 0.9994 and DEPTH-INVARIANT through 4096; only the
+                # flat-weights stress world rewards depth (0.928@512 →
+                # 0.981@2048, RECALL_STUDY_r05). 512 serves the leg in
+                # ~62 ms/64q at 8.9M docs vs ~209 ms at 2048
+                # (BENCH_MMARCO_r05); raise the knob for flat-ish models.
                 if splade_rescore_depth is None:
-                    splade_rescore_depth = 2048
+                    splade_rescore_depth = 512
                 if splade_rescore_depth:
                     from fusion_tpu.index.sparse import build_rescore_store
 
@@ -1024,7 +1031,7 @@ class HybridSearcher:
                 os.path.join(path, "splade_rescore")
             )
             if not self.splade_rescore_depth:
-                self.splade_rescore_depth = 2048  # the scale-mode default
+                self.splade_rescore_depth = 512  # the scale-mode default
         has_ivf = os.path.exists(os.path.join(path, "colbert_ivf", "ivf_index.npz"))
         if os.path.exists(os.path.join(path, "colbert", "compressed_index.npz")):
             from fusion_tpu.index.compression import CompressedTokenIndex
